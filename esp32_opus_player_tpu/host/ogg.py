@@ -1,0 +1,187 @@
+"""Ogg container demux — host-side byte work (RFC 3533).
+
+Covers the behavior of the reference container layer (reference src/ogg.cpp):
+capture-pattern scan + CRC verification with resync on mismatch
+(src/ogg.cpp:839-923), lacing-value packet reassembly with continued packets,
+hole detection on page-sequence discontinuities (src/ogg.cpp:1020-1033), and
+granule positions attached to the last packet completed on a page.
+
+Implemented as a clean streaming parser rather than a port of libogg's
+buffer machinery: pages in, packets out.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+        _r &= 0xFFFFFFFF
+    _CRC_TABLE.append(_r)
+
+
+def ogg_crc(data: bytes, crc: int = 0) -> int:
+    """CRC-32, poly 0x04c11db7, no reflection, init/xorout 0
+    (table-driven like reference crc_lookup, src/ogg.cpp:26-265)."""
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+@dataclass
+class OggPage:
+    version: int
+    continued: bool
+    bos: bool
+    eos: bool
+    granulepos: int          # signed 64-bit; -1 = no packet ends on page
+    serialno: int
+    pageno: int
+    lacing: bytes            # segment table
+    body: bytes
+
+    @property
+    def num_packets(self) -> int:
+        """Packets *completed* on this page (ogg_page_packets semantics)."""
+        n = 0
+        for v in self.lacing:
+            if v < 255:
+                n += 1
+        return n
+
+
+class OggSync:
+    """Byte stream -> verified pages. Mirrors ogg_sync_* behavior:
+    scans for 'OggS', validates header + CRC, skips garbage."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._eof = False
+        self.bytes_skipped = 0
+
+    def write(self, data: bytes) -> None:
+        self._buf.extend(data)
+
+    def set_eof(self) -> None:
+        self._eof = True
+
+    def pageout(self):
+        """Return the next verified OggPage, or None if more data is needed.
+        Invalid bytes are skipped (counted in bytes_skipped)."""
+        buf = self._buf
+        while True:
+            idx = buf.find(b"OggS")
+            if idx < 0:
+                # keep last 3 bytes in case the capture spans a boundary
+                keep = min(len(buf), 3)
+                self.bytes_skipped += len(buf) - keep
+                del buf[: len(buf) - keep]
+                return None
+            if idx > 0:
+                self.bytes_skipped += idx
+                del buf[:idx]
+            if len(buf) < 27:
+                return None
+            (_, version, htype, gp, serialno, pageno, crc, nsegs
+             ) = struct.unpack_from("<4sBBqIIIB", buf, 0)
+            header_len = 27 + nsegs
+            if len(buf) < header_len:
+                return None
+            lacing = bytes(buf[27:header_len])
+            body_len = sum(lacing)
+            total = header_len + body_len
+            if len(buf) < total:
+                return None
+            page = bytes(buf[:total])
+            zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+            if version != 0 or ogg_crc(zeroed) != crc:
+                # bad page: drop one byte and rescan
+                self.bytes_skipped += 1
+                del buf[:1]
+                continue
+            del buf[:total]
+            return OggPage(
+                version=version,
+                continued=bool(htype & 0x01),
+                bos=bool(htype & 0x02),
+                eos=bool(htype & 0x04),
+                granulepos=gp,
+                serialno=serialno,
+                pageno=pageno,
+                lacing=lacing,
+                body=page[header_len:],
+            )
+
+
+@dataclass
+class OggPacket:
+    data: bytes
+    granulepos: int          # -1 unless this packet completes on a gp page
+    hole_before: bool = False  # a page-sequence gap preceded this packet
+    bos: bool = False
+    eos: bool = False
+
+
+@dataclass
+class OggStream:
+    """Pages (one serialno) -> packets, with hole flagging on pageno gaps
+    (matching the 0x400 lacing marker policy, src/ogg.cpp:1020-1033)."""
+    serialno: int
+    _partial: bytearray = field(default_factory=bytearray)
+    _have_partial: bool = False
+    _pageno: int = -1
+    _pending_hole: bool = False
+
+    def pagein(self, page: OggPage) -> list[OggPacket]:
+        assert page.serialno == self.serialno
+        out: list[OggPacket] = []
+        if self._pageno >= 0 and page.pageno != self._pageno + 1:
+            # lost page(s): drop any partial packet, flag a hole
+            self._partial.clear()
+            self._have_partial = False
+            self._pending_hole = True
+        elif self._have_partial and not page.continued:
+            # continuation expected but page starts fresh
+            self._partial.clear()
+            self._have_partial = False
+            self._pending_hole = True
+        self._pageno = page.pageno
+
+        # continuation data for a packet we never started (e.g. we resynced
+        # mid-packet): skip segments until one terminates
+        skipping = page.continued and not self._have_partial
+        if skipping:
+            self._pending_hole = True
+
+        pos = 0
+        completed_on_page = []
+        for lace in page.lacing:
+            seg = page.body[pos:pos + lace]
+            pos += lace
+            if skipping:
+                if lace < 255:
+                    skipping = False
+                continue
+            self._partial.extend(seg)
+            self._have_partial = True
+            if lace < 255:
+                completed_on_page.append(bytes(self._partial))
+                self._partial.clear()
+                self._have_partial = False
+        # a page ending mid-packet keeps _have_partial for the next page
+
+        for j, pkt in enumerate(completed_on_page):
+            is_last = j == len(completed_on_page) - 1
+            out.append(OggPacket(
+                data=pkt,
+                granulepos=page.granulepos if is_last else -1,
+                hole_before=self._pending_hole and j == 0,
+                bos=page.bos and j == 0,
+                eos=page.eos and is_last,
+            ))
+        if completed_on_page:
+            self._pending_hole = False
+        return out

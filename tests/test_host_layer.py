@@ -1,0 +1,67 @@
+"""Host container/packet layer tests: Ogg demux, packet parse, opusfile."""
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu.host import ogg, opusfile
+from esp32_opus_player_tpu.host import packet as pkt
+
+from conftest import FIXTURES, fixture_path
+
+
+def all_fixture_names(manifest):
+    return sorted(manifest.keys())
+
+
+def test_crc_matches_spec_vector():
+    # CRC of an empty page with zeroed crc field is deterministic;
+    # check a known property: table-driven == bitwise
+    data = b"OggS" + bytes(23)
+    crc = ogg.ogg_crc(data)
+    crc2 = 0
+    for b in data:
+        crc2 ^= b << 24
+        for _ in range(8):
+            crc2 = ((crc2 << 1) ^ 0x04C11DB7) if crc2 & 0x80000000 \
+                else (crc2 << 1)
+            crc2 &= 0xFFFFFFFF
+    assert crc == crc2
+
+
+def test_demux_all_fixtures(manifest):
+    for name, meta in manifest.items():
+        s = opusfile.open_file(fixture_path(name))
+        assert len(s.jobs) == meta["n_packets"], name
+        assert s.head.pre_skip == meta["pre_skip"], name
+        if meta["oracle_samples"]:
+            assert s.total_samples == meta["oracle_samples"], name
+
+
+def test_demux_resyncs_after_corruption(manifest):
+    name = "celt_fb_mono_20ms"
+    data = bytearray(fixture_path(name).read_bytes())
+    # corrupt one byte inside a mid-file page body
+    data[len(data) // 2] ^= 0xFF
+    s = opusfile.parse_stream(bytes(data))
+    meta = manifest[name]
+    # at least one page is dropped but the stream still parses
+    assert 0 < len(s.jobs) <= meta["n_packets"]
+    assert any(j.hole_before for j in s.jobs) or \
+        len(s.jobs) < meta["n_packets"]
+
+
+def test_packet_parse_roundtrip(manifest):
+    for name in manifest:
+        s = opusfile.open_file(fixture_path(name))
+        for j in s.jobs[:20]:
+            parsed = pkt.parse_packet(j.data)
+            assert sum(len(f) for f in parsed.frames) <= len(j.data)
+            assert parsed.frame_size * len(parsed.frames) == j.duration
+
+
+def test_toc_helpers():
+    assert pkt.get_mode(0x80) == pkt.Mode.CELT_ONLY
+    assert pkt.get_mode(0x60) == pkt.Mode.HYBRID
+    assert pkt.get_mode(0x00) == pkt.Mode.SILK_ONLY
+    assert pkt.get_samples_per_frame(0x80) == 120
+    assert pkt.get_samples_per_frame(0x00) == 480
+    assert pkt.get_nb_channels(0x04) == 2

@@ -63,12 +63,9 @@ class CELTDecoder:
         self.reset_state()
 
     def reset_state(self) -> None:
-        """OPUS_RESET_STATE (src/celt.cpp:2489-2507)."""
-        for dm in self.decode_mem:
-            dm[:] = 0
-        self.oldBandE[:] = 0
-        self.backgroundLogE[:] = 0
-        self.preemph_memD = [0, 0]
+        """OPUS_RESET_STATE (src/celt.cpp:2489-2507). NOTE: unlike upstream
+        libopus, the reference does NOT clear decode_mem, oldBandE,
+        backgroundLogE or preemph_memD here — only the fields below."""
         self.rng = 0
         self.error = 0
         self.postfilter_period = 0

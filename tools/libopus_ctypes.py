@@ -148,7 +148,8 @@ class Decoder:
             raise RuntimeError(f"opus_decoder_ctl(final_range) -> {ret}")
         return out.value
 
-    def __del__(self):
-        if getattr(self, "_st", None):
-            lib.opus_decoder_destroy(ctypes.c_void_p(self._st))
+    def __del__(self, _destroy=None):
+        destroy = getattr(lib, "opus_decoder_destroy", None) if lib else None
+        if getattr(self, "_st", None) and destroy is not None:
+            destroy(ctypes.c_void_p(self._st))
             self._st = None

@@ -79,9 +79,17 @@ class CELTDecoder:
         self.skip_plc = 1
 
     # ------------------------------------------------------------------
-    def decode_with_ec(self, dec: RangeDecoder, pcm, frame_size: int) -> int:
+    def decode_with_ec(self, dec: RangeDecoder, pcm, frame_size: int,
+                       defer_synthesis: bool = False):
         """celt_decode_with_ec (src/celt.cpp:2162). pcm: int16-range numpy
-        array of size frame_size * CC (interleaved). Returns frame_size."""
+        array of size frame_size * CC (interleaved). Returns frame_size.
+
+        defer_synthesis=True runs only the host symbol phase (everything
+        through anti-collapse + the energy/postfilter state bookkeeping)
+        and returns the dense-phase inputs for the batched device path
+        (ops/celt/jax_synthesis.py) instead of producing PCM. The device
+        then owns decode_mem and the deemphasis memory.
+        """
         CC = self.channels
         C = self.stream_channels
         start = self.start
@@ -198,10 +206,11 @@ class CELTDecoder:
 
         bands.unquant_fine_energy(dec, start, end, oldBandE, fine_quant, C)
 
-        for c in range(CC):
-            dm = self.decode_mem[c]
-            dm[:DECODE_BUFFER_SIZE - N + OVERLAP // 2] = \
-                dm[N:DECODE_BUFFER_SIZE + OVERLAP // 2].copy()
+        if not defer_synthesis:
+            for c in range(CC):
+                dm = self.decode_mem[c]
+                dm[:DECODE_BUFFER_SIZE - N + OVERLAP // 2] = \
+                    dm[N:DECODE_BUFFER_SIZE + OVERLAP // 2].copy()
 
         collapse_masks = np.zeros(C * NB_EBANDS, dtype=np.int64)
         X = np.zeros(C * N, dtype=np.int64)
@@ -228,31 +237,58 @@ class CELTDecoder:
         if silence:
             oldBandE[:] = MINUS_28DB
 
-        out_syn = [(self.decode_mem[c], DECODE_BUFFER_SIZE - N)
-                   for c in range(CC)]
-        synthesis.celt_synthesis(X, out_syn, oldBandE, start, effEnd, C, CC,
-                                 isTransient, LM, self.downsample, silence)
-
-        for c in range(CC):
+        synth_inputs = None
+        if defer_synthesis:
             self.postfilter_period = max(self.postfilter_period,
                                          synthesis.COMBFILTER_MINPERIOD)
             self.postfilter_period_old = max(self.postfilter_period_old,
                                              synthesis.COMBFILTER_MINPERIOD)
-            arr, off = out_syn[c]
-            synthesis.comb_filter(arr, off, off, self.postfilter_period_old,
-                                  self.postfilter_period, SHORT_MDCT_SIZE,
-                                  self.postfilter_gain_old,
-                                  self.postfilter_gain,
-                                  self.postfilter_tapset_old,
-                                  self.postfilter_tapset)
-            if LM != 0:
-                synthesis.comb_filter(arr, off + SHORT_MDCT_SIZE,
-                                      off + SHORT_MDCT_SIZE,
+            # silence zeroes the synthesis via bound=0: emulate with X=0
+            # and start=end=0 semantics handled by energies below
+            synth_inputs = dict(
+                X=X, bandE=oldBandE.copy(), start=start,
+                end=0 if silence else effEnd,
+                C=C, CC=CC, LM=LM, transient=bool(isTransient),
+                silence=silence,
+                comb1=(self.postfilter_period_old, self.postfilter_period,
+                       self.postfilter_gain_old, self.postfilter_gain,
+                       self.postfilter_tapset_old, self.postfilter_tapset),
+                comb2=(self.postfilter_period, postfilter_pitch,
+                       self.postfilter_gain, postfilter_gain,
+                       self.postfilter_tapset, postfilter_tapset),
+            )
+        else:
+            out_syn = [(self.decode_mem[c], DECODE_BUFFER_SIZE - N)
+                       for c in range(CC)]
+            synthesis.celt_synthesis(X, out_syn, oldBandE, start, effEnd,
+                                     C, CC, isTransient, LM,
+                                     self.downsample, silence)
+
+            for c in range(CC):
+                self.postfilter_period = max(
+                    self.postfilter_period, synthesis.COMBFILTER_MINPERIOD)
+                self.postfilter_period_old = max(
+                    self.postfilter_period_old,
+                    synthesis.COMBFILTER_MINPERIOD)
+                arr, off = out_syn[c]
+                synthesis.comb_filter(arr, off, off,
+                                      self.postfilter_period_old,
                                       self.postfilter_period,
-                                      postfilter_pitch, N - SHORT_MDCT_SIZE,
-                                      self.postfilter_gain, postfilter_gain,
-                                      self.postfilter_tapset,
-                                      postfilter_tapset)
+                                      SHORT_MDCT_SIZE,
+                                      self.postfilter_gain_old,
+                                      self.postfilter_gain,
+                                      self.postfilter_tapset_old,
+                                      self.postfilter_tapset)
+                if LM != 0:
+                    synthesis.comb_filter(arr, off + SHORT_MDCT_SIZE,
+                                          off + SHORT_MDCT_SIZE,
+                                          self.postfilter_period,
+                                          postfilter_pitch,
+                                          N - SHORT_MDCT_SIZE,
+                                          self.postfilter_gain,
+                                          postfilter_gain,
+                                          self.postfilter_tapset,
+                                          postfilter_tapset)
         self.postfilter_period_old = self.postfilter_period
         self.postfilter_gain_old = self.postfilter_gain
         self.postfilter_tapset_old = self.postfilter_tapset
@@ -290,11 +326,14 @@ class CELTDecoder:
                 oldLogE2[base + i] = MINUS_28DB
         self.rng = dec.rng
 
-        synthesis.deemphasis(out_syn, pcm, N, CC, self.downsample,
-                             self.preemph_memD, 0)
+        if not defer_synthesis:
+            synthesis.deemphasis(out_syn, pcm, N, CC, self.downsample,
+                                 self.preemph_memD, 0)
         self.loss_count = 0
         if dec.tell() > 8 * dec.storage:
             raise ValueError("overran the bit budget")
         if dec.error:
             self.error = 1
+        if defer_synthesis:
+            return synth_inputs
         return frame_size // self.downsample

@@ -1,7 +1,16 @@
 import json
+import os
 import pathlib
 
 import pytest
+
+# Tests run on the CPU backend with a virtual 8-device mesh so the
+# multi-chip sharding paths compile and execute without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8")
 
 ROOT = pathlib.Path(__file__).resolve().parent
 FIXTURES = ROOT / "fixtures"

@@ -6,11 +6,13 @@ import pytest
 
 # Tests run on the CPU backend with a virtual 8-device mesh so the
 # multi-chip sharding paths compile and execute without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8")
+# (JAX_PLATFORMS is pinned to the TPU plugin in the environment, so use
+# jax.config, which takes precedence.)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 ROOT = pathlib.Path(__file__).resolve().parent
 FIXTURES = ROOT / "fixtures"

@@ -150,13 +150,30 @@ class OpusDecoder:
         return pcm.reshape(nb, self.channels)
 
     def _decode_plc(self, frame_size: int):
-        """Packet-loss path (src/opus_decoder.cpp:280 data==NULL branch):
-        SILK PLC for SILK/hybrid modes; CELT PLC was removed from the
-        reference (src/celt.cpp:2232) so CELT-only loss yields silence."""
+        """Packet-loss path (src/opus_decoder.cpp:294-307, data==NULL).
+
+        compat_ref: the reference's opus_decode_frame has NO lost-packet
+        branch (the upstream PLC dispatch was pruned), so a NULL decode
+        runs the normal frame path over an EMPTY bitstream: the range
+        decoder yields the all-zeros symbol sequence. Works for SILK mode;
+        CELT/hybrid error out in the reference (storage<=1 check,
+        src/celt.cpp:2226) — we produce silence instead of failing.
+
+        RFC mode: proper SILK PLC (silk_Decode lostFlag=1: conceal via
+        attenuated LTP/LPC extrapolation, src/silk.cpp:2973); CELT loss
+        yields silence (the reference deleted celt_decode_lost).
+        """
         if frame_size is None:
-            frame_size = self.frame_size
+            frame_size = 960 if self.compat_ref else self.frame_size
         out = np.zeros(frame_size * self.channels, dtype=np.int64)
-        if self.prev_mode in (Mode.SILK_ONLY, Mode.HYBRID) and self.silk:
+        if self.compat_ref:
+            if self.mode != Mode.CELT_ONLY:
+                nb = 0
+                while nb < frame_size:
+                    ret = self.decode_frame(b"", out[nb * self.channels:],
+                                            frame_size - nb)
+                    nb += ret
+        elif self.prev_mode in (Mode.SILK_ONLY, Mode.HYBRID) and self.silk:
             decoded = 0
             while decoded < frame_size:
                 n = self.silk.decode(None, lost=1, first_frame=decoded == 0,

@@ -1,0 +1,58 @@
+"""Public API tests: file -> PCM/WAV, matching the oracle end to end
+(BASELINE config 1)."""
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu import (DecoderConfig, OpusFile, decode_file,
+                                   decode_to_wav)
+
+from conftest import fixture_path, golden_pcm
+
+
+def test_decode_file_matches_oracle(manifest, tmp_path):
+    name = "celt_fb_mono_20ms"
+    pcm = decode_file(fixture_path(name),
+                      DecoderConfig(channels=1, compat_ref=True))
+    gold = golden_pcm(name)
+    assert len(pcm) == manifest[name]["oracle_samples"]
+    assert np.array_equal(np.repeat(pcm, 2, axis=1), gold)
+
+
+def test_read_stereo_duplicates_mono():
+    f = OpusFile(fixture_path("silk_wb_mono_20ms"),
+                 DecoderConfig(channels=1, compat_ref=True))
+    pcm = f.read_stereo(1024)
+    assert pcm.shape == (1024, 2)
+    assert np.array_equal(pcm[:, 0], pcm[:, 1])
+
+
+def test_chunked_read_equals_bulk(manifest):
+    name = "hybrid_fb_stereo_20ms"
+    bulk = decode_file(fixture_path(name),
+                       DecoderConfig(channels=2, compat_ref=True))
+    f = OpusFile(fixture_path(name),
+                 DecoderConfig(channels=2, compat_ref=True))
+    chunks = []
+    while True:
+        c = f.read(777)   # odd chunk size on purpose
+        if len(c) == 0:
+            break
+        chunks.append(c)
+    assert np.array_equal(np.concatenate(chunks), bulk)
+
+
+def test_wav_roundtrip(tmp_path):
+    out = tmp_path / "out.wav"
+    n = decode_to_wav(fixture_path("silk_nb_mono_20ms"), out,
+                      DecoderConfig(channels=1, compat_ref=True))
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert len(data) == 44 + n * 2
+
+
+def test_gain_applied():
+    cfg = DecoderConfig(channels=1, compat_ref=True, gain_q8=-256)  # -1 dB
+    quiet = decode_file(fixture_path("celt_fb_mono_20ms"), cfg)
+    loud = decode_file(fixture_path("celt_fb_mono_20ms"),
+                       DecoderConfig(channels=1, compat_ref=True))
+    assert np.abs(quiet.astype(int)).sum() < np.abs(loud.astype(int)).sum()

@@ -223,3 +223,23 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_loss_golden(name="silk_wb_mono_20ms", ch=1, period=7):
+    """Golden PCM for the packet-loss path: every `period`-th packet decoded
+    as NULL through the reference multistream decoder (tests/oracle/ref_plc).
+    """
+    import struct
+    sys.path.insert(0, str(ROOT))
+    from esp32_opus_player_tpu.host import opusfile as _of
+    s = _of.open_file(FIXDIR / f"{name}.opus")
+    pkts = ROOT / "tests" / "golden" / f"{name}.pkts.tmp"
+    with open(pkts, "wb") as f:
+        f.write(struct.pack("<I", len(s.jobs)))
+        for j in s.jobs:
+            f.write(struct.pack("<I", len(j.data)) + j.data)
+    out = GOLDDIR / f"{name}.loss{period}.pcm"
+    subprocess.run([str(ORACLE.parent / "ref_plc"), str(pkts), str(out),
+                    str(ch), str(period)], check=True)
+    pkts.unlink()
+    print(f"loss golden: {out}")

@@ -1,0 +1,199 @@
+"""Batched SILK decode: host symbol phase per stream, device synthesis
+(LTP/LPC recurrences + polyphase resampler) over a streams axis.
+
+Host per frame: range-decode indices/pulses, dequantize parameters
+(gains/NLSF->LPC/pitch/LTP), expand the excitation (LCG signs), and emit
+fixed-shape per-frame tensors. Device (ops/silk/jax_core.py): rewhitening
+FIR, LTP+LPC recurrences, 8/12/16->48 kHz resampling. Device state per
+stream: outBuf (LTP memory), sLPC, resampler state, sMid delay.
+
+Round-1 scope: mono SILK-only streams, one (fs_khz, nb_subfr) bucket,
+no-loss path (losses fall back to the scalar decoder).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..host.range_decoder import RangeDecoder
+from ..ops.silk import decode as sd
+from ..ops.silk import macros as m
+from ..ops.silk import jax_core as jc
+from ..ops.silk.core import QUANT_LEVEL_ADJUST_Q10, _QUANT_OFFSETS
+from .silk_decoder import SilkDecoder, DecoderControl, MAX_LPC_ORDER
+
+I32 = np.int32
+
+
+def host_exc(ch, pulses):
+    """Excitation expansion (src/silk.cpp:1825-1836), host scalar."""
+    offset_q10 = int(_QUANT_OFFSETS[ch.ind_signalType >> 1]
+                     [ch.ind_quantOffsetType])
+    rand_seed = ch.ind_Seed
+    exc = [0] * ch.frame_length
+    for i in range(ch.frame_length):
+        rand_seed = m.silk_RAND(rand_seed)
+        e = m.s32(pulses[i] << 14)
+        if e > 0:
+            e -= QUANT_LEVEL_ADJUST_Q10 << 4
+        elif e < 0:
+            e += QUANT_LEVEL_ADJUST_Q10 << 4
+        e += offset_q10 << 4
+        if rand_seed < 0:
+            e = -e
+        exc[i] = e
+        rand_seed = m.ADD32_ovflw(rand_seed, pulses[i])
+        ch.exc_Q14[i] = e
+    return exc
+
+
+class BatchedSilkDecoder:
+    """Decode B mono SILK streams with batched device synthesis."""
+
+    def __init__(self, n_streams: int, fs_khz: int = 16,
+                 payload_ms: int = 20):
+        self.n = n_streams
+        self.fs_khz = fs_khz
+        self.payload_ms = payload_ms
+        self.hosts = [SilkDecoder() for _ in range(n_streams)]
+        for h in self.hosts:
+            h.set_raw_params(1, 1, payload_ms, fs_khz * 1000, 48000)
+        self.nb_subfr = 4 if payload_ms >= 20 else 2
+        self.frame = 5 * fs_khz * self.nb_subfr
+        self.ltp_mem = 20 * fs_khz
+        B = n_streams
+        self.outBuf = jnp.zeros((B, self.ltp_mem + self.frame), dtype=I32)
+        self.sLPC = jnp.zeros((B, MAX_LPC_ORDER), dtype=I32)
+        self.sIIR = jnp.zeros((B, 6), dtype=I32)
+        self.sFIR = jnp.zeros((B, 8), dtype=I32)
+        self.delay_buf = jnp.zeros((B, fs_khz), dtype=I32)
+        self.sMid = jnp.zeros((B, 2), dtype=I32)
+
+    # ------------------------------------------------------------------
+    def _host_frame(self, h: SilkDecoder, dec: RangeDecoder):
+        """Symbol phase of silk_Decode for one mono no-loss frame; returns
+        the device-frame param dict and updates host-side state."""
+        ch = h.channel_states[0]
+        ch.nFramesDecoded = 0   # newPacketFlag: one packet per call here
+        first = True
+        if first:
+            ms = self.payload_ms
+            ch.nFramesPerPacket = {10: 1, 20: 1, 40: 2, 60: 3}[ms]
+            ch.nb_subfr = 2 if ms == 10 else 4
+            h._set_fs(0, self.fs_khz, 48000)
+            for i in range(ch.nFramesPerPacket):
+                ch.VAD_flags[i] = dec.dec_bit_logp(1)
+            ch.LBRR_flag = dec.dec_bit_logp(1)
+            ch.LBRR_flags = [0, 0, 0]
+            if ch.LBRR_flag:
+                if ch.nFramesPerPacket == 1:
+                    ch.LBRR_flags[0] = 1
+                else:
+                    sym = dec.dec_icdf(
+                        sd.LBRR_FLAGS_ICDF_PTR[ch.nFramesPerPacket - 2],
+                        8) + 1
+                    for i in range(ch.nFramesPerPacket):
+                        ch.LBRR_flags[i] = (sym >> i) & 1
+            # skip LBRR payloads
+            for i in range(ch.nFramesPerPacket):
+                if ch.LBRR_flags[i]:
+                    cond = sd.CODE_CONDITIONALLY if (
+                        i > 0 and ch.LBRR_flags[i - 1]) \
+                        else sd.CODE_INDEPENDENTLY
+                    sd.decode_indices(dec, ch, i, 1, cond)
+                    sd.decode_pulses(dec, ch.ind_signalType,
+                                     ch.ind_quantOffsetType,
+                                     ch.frame_length)
+
+        frame_index = ch.nFramesDecoded
+        cond = sd.CODE_INDEPENDENTLY if frame_index <= 0 \
+            else sd.CODE_CONDITIONALLY
+        ctrl = DecoderControl()
+        sd.decode_indices(dec, ch, frame_index, 0, cond)
+        pulses = sd.decode_pulses(dec, ch.ind_signalType,
+                                  ch.ind_quantOffsetType, ch.frame_length)
+        h._decode_parameters(0, ctrl, cond)
+        exc = host_exc(ch, pulses)
+
+        nb = ch.nb_subfr
+        voiced = ch.ind_signalType == sd.TYPE_VOICED
+        interp = ch.ind_NLSFInterpCoef_Q2 < 4
+        p = dict(
+            A=np.zeros((2, MAX_LPC_ORDER), dtype=I32),
+            B=np.zeros((nb, 5), dtype=I32),
+            gains=np.zeros(nb, dtype=I32),
+            inv=np.zeros(nb, dtype=I32),
+            lag=np.zeros(nb, dtype=I32),
+            voiced=np.zeros(nb, dtype=bool),
+            rewhiten=np.zeros(nb, dtype=bool),
+            adj=np.zeros(nb, dtype=I32),
+            match=np.zeros(nb, dtype=bool),
+            exc=np.asarray(exc, dtype=I32),
+        )
+        for half in range(2):
+            p["A"][half, :ch.LPC_order] = ctrl.PredCoef_Q12[half]
+        for k in range(nb):
+            p["B"][k] = ctrl.LTPCoef_Q14[k * 5:(k + 1) * 5]
+            g = ctrl.Gains_Q16[k]
+            p["gains"][k] = g
+            inv = m.INVERSE32_varQ(g, 47)
+            p["voiced"][k] = voiced
+            p["lag"][k] = ctrl.pitchL[k] if voiced else 15
+            rw = voiced and (k == 0 or (k == 2 and interp))
+            p["rewhiten"][k] = rw
+            if rw and k == 0:
+                inv = m.LSHIFT32(m.SMULWB(inv, ctrl.LTP_scale_Q14), 2)
+            p["inv"][k] = inv
+            if g != ch.prev_gain_Q16:
+                p["adj"][k] = m.DIV32_varQ(ch.prev_gain_Q16, g, 16)
+                p["match"][k] = False
+            else:
+                p["adj"][k] = 1 << 16
+                p["match"][k] = True
+            ch.prev_gain_Q16 = g
+
+        # host state bookkeeping (normal path, src/silk.cpp:2013-2050)
+        from ..ops.silk import plc as sp
+        sp.plc(ch, ctrl, None, 0, 0)   # update-only: no frame access
+        ch.lossCnt = 0
+        ch.prevSignalType = ch.ind_signalType
+        ch.first_frame_after_reset = 0
+        ch.lagPrev = ctrl.pitchL[ch.nb_subfr - 1]
+        ch.nFramesDecoded += 1
+        return p
+
+    # ------------------------------------------------------------------
+    def decode_frames(self, packets):
+        """packets: list of B SILK frames (range-coder payloads).
+        Returns (B, frame*48//fs_khz) int16 PCM at 48 kHz."""
+        B = self.n
+        nb = self.nb_subfr
+        params = []
+        for h, pkt in zip(self.hosts, packets):
+            dec = RangeDecoder(pkt)
+            params.append(self._host_frame(h, dec))
+
+        def stack(key):
+            return jnp.asarray(np.stack([p[key] for p in params]))
+
+        xq, sLPC = jc.silk_core_frame(
+            self.outBuf, self.sLPC, stack("exc"), stack("A"), stack("B"),
+            stack("gains"), stack("inv"), stack("lag"), stack("voiced"),
+            stack("rewhiten"), stack("adj"), stack("match"),
+            fs_khz=self.fs_khz, nb_subfr=nb,
+            order=self.hosts[0].channel_states[0].LPC_order)
+        self.sLPC = sLPC
+        # outBuf history roll: keep last ltp_mem samples
+        hist = jnp.concatenate(
+            [self.outBuf[:, self.frame:self.ltp_mem], xq], axis=-1)
+        self.outBuf = jnp.concatenate(
+            [hist, jnp.zeros((B, self.frame), dtype=I32)], axis=-1)
+
+        # 2-sample sMid buffering then resample (src/silk.cpp:1710-1736)
+        resin = jnp.concatenate([self.sMid[:, 1:2], xq[:, :-1]], axis=-1)
+        self.sMid = xq[:, self.frame - 2:self.frame]
+        out48, self.sIIR, self.sFIR, self.delay_buf = jc.resample_to_48k(
+            self.sIIR, self.sFIR, self.delay_buf, resin,
+            fs_in_khz=self.fs_khz, in_len=self.frame)
+        return np.asarray(out48).astype(np.int16)

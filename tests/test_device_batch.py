@@ -1,0 +1,59 @@
+"""Batched device-path bit-exactness: the JAX synthesis kernels must equal
+the scalar fixed-point model sample-for-sample (BASELINE config 4 split).
+
+Runs on the CPU backend (conftest); int32 semantics are identical on TPU.
+"""
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu.host import opusfile
+from esp32_opus_player_tpu.host.packet import parse_packet
+from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+
+from conftest import fixture_path
+
+
+@pytest.mark.slow
+def test_batched_celt_matches_scalar():
+    from esp32_opus_player_tpu.models.batch_celt import BatchedCELTDecoder
+    s = opusfile.open_file(fixture_path("celt_fb_mono_20ms"))
+    sdec = OpusDecoder(1, compat_ref=True)
+    n_frames = 8
+    scalar = [sdec.decode(j.data) for j in s.jobs[:n_frames]]
+    B = 3
+    bdec = BatchedCELTDecoder(B, 1, compat_ref=True)
+    for j in range(n_frames):
+        pkt = parse_packet(s.jobs[j].data).frames[0]
+        pcm = bdec.decode_frames([pkt] * B)
+        for b in range(B):
+            assert np.array_equal(pcm[b, 0], scalar[j][:, 0]), \
+                f"frame {j} stream {b}"
+
+
+@pytest.mark.slow
+def test_batched_silk_matches_scalar():
+    from esp32_opus_player_tpu.models.batch_silk import BatchedSilkDecoder
+    s = opusfile.open_file(fixture_path("silk_wb_mono_20ms"))
+    sdec = OpusDecoder(1, compat_ref=True)
+    n_frames = 10
+    scalar = [sdec.decode(j.data) for j in s.jobs[:n_frames]]
+    B = 2
+    bdec = BatchedSilkDecoder(B, fs_khz=16, payload_ms=20)
+    for j in range(n_frames):
+        pkt = parse_packet(s.jobs[j].data).frames[0]
+        pcm = bdec.decode_frames([pkt] * B)
+        for b in range(B):
+            assert np.array_equal(pcm[b], scalar[j][:, 0]), \
+                f"frame {j} stream {b}"
+
+
+def test_multichip_dryrun_entry():
+    import sys
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import __graft_entry__ as g
+    import jax
+    if len(jax.devices()) >= 8:
+        g.dryrun_multichip(8)
+    else:
+        pytest.skip("needs 8 virtual devices")

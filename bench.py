@@ -78,18 +78,45 @@ def main():
     jax.block_until_ready(pcm)
     step = (time.time() - t0) / iters
     frame_seconds = 960 / 48000.0
-    streams_realtime = B * frame_seconds / step
-    print(f"# step={step * 1000:.2f} ms for B={B} "
-          f"({B * frame_seconds / step:.0f} realtime streams, device phase)",
+    device_streams = B * frame_seconds / step
+    print(f"# device step={step * 1000:.2f} ms for B={B} "
+          f"({device_streams:.0f} realtime streams, device phase)",
           file=sys.stderr)
 
+    # host entropy phase: native C++ engine, per-stream sequential work
+    import os
+    from esp32_opus_player_tpu.host import opusfile
+    from esp32_opus_player_tpu.host.packet import parse_packet
+    from esp32_opus_player_tpu.host.native import NativeCELTHost
+    s = opusfile.open_file("tests/fixtures/celt_fb_mono_20ms.opus")
+    pkts = [parse_packet(j.data).frames[0] for j in s.jobs]
+    host = NativeCELTHost(1)
+    for p in pkts[:10]:
+        host.decode_symbol_phase(p, 960)
+    t0 = time.time()
+    nfr = 0
+    for _ in range(5):
+        for p in pkts:
+            host.decode_symbol_phase(p, 960)
+            nfr += 1
+    host_frame = (time.time() - t0) / nfr
+    n_cores = len(os.sched_getaffinity(0))
+    host_streams = frame_seconds / host_frame * n_cores
+    print(f"# host symbol phase={host_frame * 1e6:.0f} us/frame "
+          f"({host_streams:.0f} realtime streams on {n_cores} core(s))",
+          file=sys.stderr)
+
+    # end-to-end: host and device pipeline in steady state overlap; the
+    # sustainable rate is min(host, device) on this machine
+    e2e = min(device_streams, host_streams)
     print(json.dumps({
-        "metric": "concurrent_realtime_48k_streams_per_chip"
-                  "_celt_synthesis",
-        "value": round(streams_realtime, 1),
+        "metric": "concurrent_realtime_48k_celt_streams_per_chip",
+        "value": round(e2e, 1),
         "unit": "streams",
-        "vs_baseline": round(streams_realtime / 1.0, 1),
+        "vs_baseline": round(e2e / 1.0, 1),
     }))
+    print(f"# note: host-bound on this {n_cores}-core container; device "
+          f"capacity is {device_streams:.0f} streams/chip", file=sys.stderr)
 
 
 if __name__ == "__main__":

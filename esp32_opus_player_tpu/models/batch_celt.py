@@ -93,28 +93,49 @@ def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
 class BatchedCELTDecoder:
     """Decode many CELT streams with batched device synthesis.
 
-    Host symbol phase runs per stream (Python now; the C++ entropy engine
-    replaces it); device synthesis runs once per (bucket, frame)."""
+    Host symbol phase: either the Python model (native=False) or the C++
+    entropy engine (host/native, ~100x faster, GIL-free so it scales over
+    host cores with threads); device synthesis runs once per
+    (bucket, frame)."""
 
     def __init__(self, n_streams: int, channels: int,
-                 compat_ref: bool = False):
-        from .celt_decoder import CELTDecoder
+                 compat_ref: bool = False, native: bool = False,
+                 host_threads: int = 0):
         self.n = n_streams
         self.channels = channels
-        self.hosts = [CELTDecoder(channels, compat_ref=compat_ref)
-                      for _ in range(n_streams)]
+        self.native = native
         self.state = make_state(n_streams, channels)
+        self._pool = None
+        if native:
+            from ..host.native import NativeCELTHost
+            self.hosts = [NativeCELTHost(channels)
+                          for _ in range(n_streams)]
+            if host_threads > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(host_threads)
+        else:
+            from .celt_decoder import CELTDecoder
+            self.hosts = [CELTDecoder(channels, compat_ref=compat_ref)
+                          for _ in range(n_streams)]
+
+    def host_phase(self, packets, frame_size: int = 960):
+        if self.native:
+            if self._pool is not None:
+                return list(self._pool.map(
+                    lambda hp: hp[0].decode_symbol_phase(hp[1], frame_size),
+                    zip(self.hosts, packets)))
+            return [h.decode_symbol_phase(p, frame_size)
+                    for h, p in zip(self.hosts, packets)]
+        from ..host.range_decoder import RangeDecoder
+        return [h.decode_with_ec(RangeDecoder(p), None, frame_size,
+                                 defer_synthesis=True)
+                for h, p in zip(self.hosts, packets)]
 
     def decode_frames(self, packets, frame_size: int = 960):
         """packets: list of n_streams byte strings (one CELT frame each).
         Returns pcm (n_streams, CC, frame_size) int16 numpy."""
-        from ..host.range_decoder import RangeDecoder
-        inputs = []
-        for h, pkt in zip(self.hosts, packets):
-            dec = RangeDecoder(pkt)
-            inputs.append(h.decode_with_ec(dec, None, frame_size,
-                                           defer_synthesis=True))
-        return self.synthesize(inputs, frame_size)
+        return self.synthesize(self.host_phase(packets, frame_size),
+                               frame_size)
 
     def synthesize(self, inputs, frame_size: int):
         """Run the device phase for a list of per-stream synth inputs

@@ -34,10 +34,11 @@ def make_state(n_streams: int, channels: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("LM", "C", "CC", "transient"))
+@functools.partial(jax.jit, static_argnames=("LM", "C", "CC", "transient",
+                                              "use_pallas"))
 def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
                     comb1, comb2, *, LM: int, C: int, CC: int,
-                    transient: bool):
+                    transient: bool, use_pallas: bool = False):
     """One batched CELT frame synthesis.
 
     decode_mem: (B, CC, 2048+120) int32; preemph: (B, CC) int32.
@@ -86,7 +87,11 @@ def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
         dm = dm.at[:, cc, :].set(buf)
 
     syn = dm[:, :, DECODE_BUFFER_SIZE - N:DECODE_BUFFER_SIZE]
-    pcm, preemph = js.deemphasis_batch(syn, preemph)
+    if use_pallas:
+        from ..ops.celt.pallas_kernels import deemphasis_pallas
+        pcm, preemph = deemphasis_pallas(syn, preemph)
+    else:
+        pcm, preemph = js.deemphasis_batch(syn, preemph)
     return pcm, dm, preemph
 
 

@@ -57,3 +57,19 @@ def test_multichip_dryrun_entry():
         g.dryrun_multichip(8)
     else:
         pytest.skip("needs 8 virtual devices")
+
+
+def test_pallas_deemphasis_matches_scan():
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.celt.jax_synthesis import \
+        deemphasis_batch
+    from esp32_opus_player_tpu.ops.celt.pallas_kernels import \
+        deemphasis_pallas
+    rng = np.random.default_rng(1)
+    syn = jnp.asarray(rng.integers(-30000000, 30000000, (16, 2, 960)),
+                      dtype=jnp.int32)
+    mem = jnp.asarray(rng.integers(-100000, 100000, (16, 2)),
+                      dtype=jnp.int32)
+    p1, m1 = deemphasis_batch(syn, mem)
+    p2, m2 = deemphasis_pallas(syn, mem, interpret=True)
+    assert jnp.array_equal(p1, p2) and jnp.array_equal(m1, m2)

@@ -126,11 +126,16 @@ class OpusDecoder:
         return audiosize
 
     def decode(self, data: bytes | None, pcm_out=None,
-               frame_size: int | None = None):
+               frame_size: int | None = None, decode_fec: bool = False):
         """opus_decode_native (src/opus_decoder.cpp:280) — returns int16
-        numpy array (n, channels). data=None triggers PLC."""
+        numpy array (n, channels). data=None triggers PLC; decode_fec=True
+        recovers the previous (lost) frame from this packet's in-band FEC
+        (SILK LBRR, silk_Decode lostFlag=2 — reachable in the reference's
+        silk layer at src/silk.cpp:1682 but never wired to its app)."""
         if data is None or len(data) == 0:
             return self._decode_plc(frame_size)
+        if decode_fec:
+            return self._decode_fec(data, frame_size)
         parsed = pkt.parse_packet(data)
         spf = parsed.frame_size
         count = len(parsed.frames)
@@ -148,6 +153,51 @@ class OpusDecoder:
         self.last_packet_duration = nb
         pcm = np.array(out[:nb * self.channels], dtype=np.int16)
         return pcm.reshape(nb, self.channels)
+
+    def _decode_fec(self, data: bytes, frame_size: int | None):
+        """Recover one lost frame from this packet's SILK LBRR data.
+        Falls back to PLC when the packet carries no usable FEC
+        (CELT-only mode, or LBRR flag clear)."""
+        parsed = pkt.parse_packet(data)
+        mode = parsed.mode
+        spf = parsed.frame_size
+        if frame_size is None:
+            frame_size = spf
+        if mode == Mode.CELT_ONLY:
+            return self._decode_plc(frame_size)
+        # configure SILK like a normal decode of this packet would
+        self.mode = mode
+        self.bandwidth = parsed.bandwidth
+        self.stream_channels = parsed.stream_channels
+        silk = self._get_silk()
+        if self.prev_mode == Mode.CELT_ONLY:
+            silk.init_decoder()
+        payload_ms = max(10, 1000 * spf // 48000)
+        if mode == Mode.SILK_ONLY:
+            if self.bandwidth == Bandwidth.NARROWBAND:
+                internal_rate = 8000
+            elif self.bandwidth == Bandwidth.MEDIUMBAND:
+                internal_rate = 12000
+            else:
+                internal_rate = 16000
+        else:
+            internal_rate = 16000
+        silk.set_raw_params(self.stream_channels, self.channels, payload_ms,
+                            internal_rate, 48000)
+        dec = RangeDecoder(parsed.frames[0])
+        out = np.zeros(frame_size * self.channels, dtype=np.int64)
+        decoded = 0
+        first = True
+        while decoded < frame_size:
+            n = silk.decode(dec, lost=2, first_frame=first,
+                            pcm=out[decoded * self.channels:])
+            first = False
+            decoded += n
+        self.prev_mode = mode
+        self.last_packet_duration = frame_size
+        self.final_range = dec.rng
+        return np.array(out[:frame_size * self.channels],
+                        dtype=np.int16).reshape(frame_size, self.channels)
 
     def _decode_plc(self, frame_size: int):
         """Packet-loss path (src/opus_decoder.cpp:294-307, data==NULL).

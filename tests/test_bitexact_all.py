@@ -22,6 +22,8 @@ FIXTURES = [
     ("celt_fb_stereo_20ms", 2, True),
     ("celt_nb_mono_20ms", 1, False),
     ("celt_fb_stereo_family1", 2, True),
+    ("celt_fb_mono_drums_20ms", 1, True),
+    ("celt_fb_stereo_drums_20ms", 2, True),
     ("silk_nb_mono_20ms", 1, True),
     ("silk_mb_mono_20ms", 1, True),
     ("silk_wb_mono_20ms", 1, True),

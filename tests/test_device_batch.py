@@ -16,7 +16,8 @@ from conftest import fixture_path
 @pytest.mark.slow
 def test_batched_celt_matches_scalar():
     from esp32_opus_player_tpu.models.batch_celt import BatchedCELTDecoder
-    s = opusfile.open_file(fixture_path("celt_fb_mono_20ms"))
+    # drums fixture: mixes transient and long-block buckets across frames
+    s = opusfile.open_file(fixture_path("celt_fb_mono_drums_20ms"))
     sdec = OpusDecoder(1, compat_ref=True)
     n_frames = 8
     scalar = [sdec.decode(j.data) for j in s.jobs[:n_frames]]

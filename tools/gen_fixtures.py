@@ -72,6 +72,15 @@ def synth(kind: str, seconds: float, channels: int, fs: int = 48000,
         # syllable-style energy envelope incl. brief near-silence
         env = np.clip(np.sin(2 * np.pi * 3.1 * t), 0.02, 1.0)
         x = 0.35 * x * env + 0.004 * rng.standard_normal(n)
+    elif kind == "drums":
+        # percussive: exponential-decay noise bursts + tonal bed -> many
+        # transient frames (anti-collapse, short MDCTs)
+        x = 0.05 * np.sin(2 * np.pi * 180 * t)
+        period = int(0.11 * fs)
+        for start in range(0, n - 2000, period):
+            ln = 1800
+            burst = rng.standard_normal(ln) * np.exp(-np.arange(ln) / 300.0)
+            x[start:start + ln] += 0.7 * burst
     elif kind == "noise":
         x = 0.25 * rng.standard_normal(n)
     else:
@@ -130,6 +139,10 @@ FIXTURES = [
           app=lo.OPUS_APPLICATION_VOIP)),
     ("hybrid_fb_mono_10ms", "music", 1, 1.5, 10,
      dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=36000)),
+    ("celt_fb_mono_drums_20ms", "drums", 1, 2.0, 20,
+     dict(mode=lo.MODE_CELT_ONLY, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=96000)),
+    ("celt_fb_stereo_drums_20ms", "drums", 2, 2.0, 20,
+     dict(mode=lo.MODE_CELT_ONLY, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=128000)),
     # mode transitions: SILK -> CELT -> hybrid segments in one stream
     ("modeswitch_stereo_20ms", "music", 2, 3.0, 20, dict(switch=True)),
     # mapping family 1 (multistream header path), 1 coupled stream

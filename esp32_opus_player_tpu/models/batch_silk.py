@@ -48,6 +48,101 @@ def host_exc(ch, pulses):
     return exc
 
 
+def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
+                    payload_ms: int):
+    """Symbol phase of silk_Decode for one mono no-loss frame; returns
+    the device-frame param dict and updates host-side state."""
+    ch = h.channel_states[0]
+    ch.nFramesDecoded = 0   # newPacketFlag: one packet per call here
+    first = True
+    if first:
+        ms = payload_ms
+        ch.nFramesPerPacket = {10: 1, 20: 1, 40: 2, 60: 3}[ms]
+        ch.nb_subfr = 2 if ms == 10 else 4
+        h._set_fs(0, fs_khz, 48000)
+        for i in range(ch.nFramesPerPacket):
+            ch.VAD_flags[i] = dec.dec_bit_logp(1)
+        ch.LBRR_flag = dec.dec_bit_logp(1)
+        ch.LBRR_flags = [0, 0, 0]
+        if ch.LBRR_flag:
+            if ch.nFramesPerPacket == 1:
+                ch.LBRR_flags[0] = 1
+            else:
+                sym = dec.dec_icdf(
+                    sd.LBRR_FLAGS_ICDF_PTR[ch.nFramesPerPacket - 2],
+                    8) + 1
+                for i in range(ch.nFramesPerPacket):
+                    ch.LBRR_flags[i] = (sym >> i) & 1
+        # skip LBRR payloads
+        for i in range(ch.nFramesPerPacket):
+            if ch.LBRR_flags[i]:
+                cond = sd.CODE_CONDITIONALLY if (
+                    i > 0 and ch.LBRR_flags[i - 1]) \
+                    else sd.CODE_INDEPENDENTLY
+                sd.decode_indices(dec, ch, i, 1, cond)
+                sd.decode_pulses(dec, ch.ind_signalType,
+                                 ch.ind_quantOffsetType,
+                                 ch.frame_length)
+
+    frame_index = ch.nFramesDecoded
+    cond = sd.CODE_INDEPENDENTLY if frame_index <= 0 \
+        else sd.CODE_CONDITIONALLY
+    ctrl = DecoderControl()
+    sd.decode_indices(dec, ch, frame_index, 0, cond)
+    pulses = sd.decode_pulses(dec, ch.ind_signalType,
+                              ch.ind_quantOffsetType, ch.frame_length)
+    h._decode_parameters(0, ctrl, cond)
+    exc = host_exc(ch, pulses)
+
+    nb = ch.nb_subfr
+    voiced = ch.ind_signalType == sd.TYPE_VOICED
+    interp = ch.ind_NLSFInterpCoef_Q2 < 4
+    p = dict(
+        A=np.zeros((2, MAX_LPC_ORDER), dtype=I32),
+        B=np.zeros((nb, 5), dtype=I32),
+        gains=np.zeros(nb, dtype=I32),
+        inv=np.zeros(nb, dtype=I32),
+        lag=np.zeros(nb, dtype=I32),
+        voiced=np.zeros(nb, dtype=bool),
+        rewhiten=np.zeros(nb, dtype=bool),
+        adj=np.zeros(nb, dtype=I32),
+        match=np.zeros(nb, dtype=bool),
+        exc=np.asarray(exc, dtype=I32),
+    )
+    for half in range(2):
+        p["A"][half, :ch.LPC_order] = ctrl.PredCoef_Q12[half]
+    for k in range(nb):
+        p["B"][k] = ctrl.LTPCoef_Q14[k * 5:(k + 1) * 5]
+        g = ctrl.Gains_Q16[k]
+        p["gains"][k] = g
+        inv = m.INVERSE32_varQ(g, 47)
+        p["voiced"][k] = voiced
+        p["lag"][k] = ctrl.pitchL[k] if voiced else 15
+        rw = voiced and (k == 0 or (k == 2 and interp))
+        p["rewhiten"][k] = rw
+        if rw and k == 0:
+            inv = m.LSHIFT32(m.SMULWB(inv, ctrl.LTP_scale_Q14), 2)
+        p["inv"][k] = inv
+        if g != ch.prev_gain_Q16:
+            p["adj"][k] = m.DIV32_varQ(ch.prev_gain_Q16, g, 16)
+            p["match"][k] = False
+        else:
+            p["adj"][k] = 1 << 16
+            p["match"][k] = True
+        ch.prev_gain_Q16 = g
+
+    # host state bookkeeping (normal path, src/silk.cpp:2013-2050)
+    from ..ops.silk import plc as sp
+    sp.plc(ch, ctrl, None, 0, 0)   # update-only: no frame access
+    ch.lossCnt = 0
+    ch.prevSignalType = ch.ind_signalType
+    ch.first_frame_after_reset = 0
+    ch.lagPrev = ctrl.pitchL[ch.nb_subfr - 1]
+    ch.nFramesDecoded += 1
+    return p
+
+
+
 class BatchedSilkDecoder:
     """Decode B mono SILK streams with batched device synthesis."""
 
@@ -72,96 +167,7 @@ class BatchedSilkDecoder:
 
     # ------------------------------------------------------------------
     def _host_frame(self, h: SilkDecoder, dec: RangeDecoder):
-        """Symbol phase of silk_Decode for one mono no-loss frame; returns
-        the device-frame param dict and updates host-side state."""
-        ch = h.channel_states[0]
-        ch.nFramesDecoded = 0   # newPacketFlag: one packet per call here
-        first = True
-        if first:
-            ms = self.payload_ms
-            ch.nFramesPerPacket = {10: 1, 20: 1, 40: 2, 60: 3}[ms]
-            ch.nb_subfr = 2 if ms == 10 else 4
-            h._set_fs(0, self.fs_khz, 48000)
-            for i in range(ch.nFramesPerPacket):
-                ch.VAD_flags[i] = dec.dec_bit_logp(1)
-            ch.LBRR_flag = dec.dec_bit_logp(1)
-            ch.LBRR_flags = [0, 0, 0]
-            if ch.LBRR_flag:
-                if ch.nFramesPerPacket == 1:
-                    ch.LBRR_flags[0] = 1
-                else:
-                    sym = dec.dec_icdf(
-                        sd.LBRR_FLAGS_ICDF_PTR[ch.nFramesPerPacket - 2],
-                        8) + 1
-                    for i in range(ch.nFramesPerPacket):
-                        ch.LBRR_flags[i] = (sym >> i) & 1
-            # skip LBRR payloads
-            for i in range(ch.nFramesPerPacket):
-                if ch.LBRR_flags[i]:
-                    cond = sd.CODE_CONDITIONALLY if (
-                        i > 0 and ch.LBRR_flags[i - 1]) \
-                        else sd.CODE_INDEPENDENTLY
-                    sd.decode_indices(dec, ch, i, 1, cond)
-                    sd.decode_pulses(dec, ch.ind_signalType,
-                                     ch.ind_quantOffsetType,
-                                     ch.frame_length)
-
-        frame_index = ch.nFramesDecoded
-        cond = sd.CODE_INDEPENDENTLY if frame_index <= 0 \
-            else sd.CODE_CONDITIONALLY
-        ctrl = DecoderControl()
-        sd.decode_indices(dec, ch, frame_index, 0, cond)
-        pulses = sd.decode_pulses(dec, ch.ind_signalType,
-                                  ch.ind_quantOffsetType, ch.frame_length)
-        h._decode_parameters(0, ctrl, cond)
-        exc = host_exc(ch, pulses)
-
-        nb = ch.nb_subfr
-        voiced = ch.ind_signalType == sd.TYPE_VOICED
-        interp = ch.ind_NLSFInterpCoef_Q2 < 4
-        p = dict(
-            A=np.zeros((2, MAX_LPC_ORDER), dtype=I32),
-            B=np.zeros((nb, 5), dtype=I32),
-            gains=np.zeros(nb, dtype=I32),
-            inv=np.zeros(nb, dtype=I32),
-            lag=np.zeros(nb, dtype=I32),
-            voiced=np.zeros(nb, dtype=bool),
-            rewhiten=np.zeros(nb, dtype=bool),
-            adj=np.zeros(nb, dtype=I32),
-            match=np.zeros(nb, dtype=bool),
-            exc=np.asarray(exc, dtype=I32),
-        )
-        for half in range(2):
-            p["A"][half, :ch.LPC_order] = ctrl.PredCoef_Q12[half]
-        for k in range(nb):
-            p["B"][k] = ctrl.LTPCoef_Q14[k * 5:(k + 1) * 5]
-            g = ctrl.Gains_Q16[k]
-            p["gains"][k] = g
-            inv = m.INVERSE32_varQ(g, 47)
-            p["voiced"][k] = voiced
-            p["lag"][k] = ctrl.pitchL[k] if voiced else 15
-            rw = voiced and (k == 0 or (k == 2 and interp))
-            p["rewhiten"][k] = rw
-            if rw and k == 0:
-                inv = m.LSHIFT32(m.SMULWB(inv, ctrl.LTP_scale_Q14), 2)
-            p["inv"][k] = inv
-            if g != ch.prev_gain_Q16:
-                p["adj"][k] = m.DIV32_varQ(ch.prev_gain_Q16, g, 16)
-                p["match"][k] = False
-            else:
-                p["adj"][k] = 1 << 16
-                p["match"][k] = True
-            ch.prev_gain_Q16 = g
-
-        # host state bookkeeping (normal path, src/silk.cpp:2013-2050)
-        from ..ops.silk import plc as sp
-        sp.plc(ch, ctrl, None, 0, 0)   # update-only: no frame access
-        ch.lossCnt = 0
-        ch.prevSignalType = ch.ind_signalType
-        ch.first_frame_after_reset = 0
-        ch.lagPrev = ctrl.pitchL[ch.nb_subfr - 1]
-        ch.nFramesDecoded += 1
-        return p
+        return silk_host_frame(h, dec, self.fs_khz, self.payload_ms)
 
     # ------------------------------------------------------------------
     def decode_frames(self, packets):

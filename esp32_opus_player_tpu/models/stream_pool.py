@@ -2,17 +2,19 @@
 
 Per frame step:
   1. host: per-stream container pull + packet parse + symbol phase
-     (native C++ engine for CELT) — embarrassingly parallel over host cores;
-  2. group the frames into static-shape device buckets
-     (LM, C, CC, transient) and pad each group to a power-of-two capacity
-     (bounds XLA recompiles);
-  3. device: gather the per-stream state rows, run the jitted batched
-     synthesis, scatter the state back (duplicate pad indices write
-     identical values, so the scatter is deterministic).
+     (native C++ engine for CELT, Python symbol walk for SILK) —
+     embarrassingly parallel over host cores;
+  2. group frames into static-shape device buckets — CELT by
+     (LM, C, CC, transient), SILK by internal rate — padded to a
+     power-of-two capacity (bounds XLA recompiles);
+  3. device: gather per-stream state rows, run the jitted batched
+     synthesis, scatter state back (duplicate pad indices write identical
+     values, so the scatter is deterministic).
 
-CELT-only streams take the batched native+device path; SILK/hybrid streams
-fall back to the scalar bit-exact decoder (batched SILK exists in
-models/batch_silk.py and is merged here in a later round).
+Stream classification happens at init: streams whose packets are uniformly
+CELT 20 ms or uniformly mono SILK 20 ms take the batched paths; everything
+else (hybrid, mode switches, multi-frame packets, stereo SILK) uses the
+scalar bit-exact decoder.
 """
 from __future__ import annotations
 
@@ -24,7 +26,12 @@ from ..host import opusfile
 from ..host.packet import Mode, parse_packet
 from . import batch_celt
 from .batch_celt import NB_EBANDS, celt_synth_step
+from .batch_silk import silk_host_frame
+from .silk_decoder import MAX_LPC_ORDER
+from ..ops.silk import jax_core as sjc
 from ..ops.celt.jax_synthesis import SHORT_MDCT_SIZE, I32
+
+_FS_OF_BW = {1101: 8, 1102: 12, 1103: 16, 1104: 16, 1105: 16}
 
 
 def _pow2_cap(n: int) -> int:
@@ -47,44 +54,94 @@ class StreamPool:
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
+        self.silk_buckets: dict[int, dict] = {}
         self._pool = None
+        if host_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(host_threads)
+
+        # classify each stream once
+        self.path = []
+        for s in self.streams:
+            kinds = set()
+            fss = set()
+            for j in s.jobs[:50]:
+                p0 = j.data[0]
+                mode = Mode.CELT_ONLY if p0 & 0x80 else (
+                    Mode.HYBRID if (p0 & 0x60) == 0x60 else Mode.SILK_ONLY)
+                from ..host.packet import (get_samples_per_frame,
+                                           get_nb_frames, get_bandwidth,
+                                           get_nb_channels)
+                kinds.add((mode, get_samples_per_frame(p0),
+                           get_nb_frames(j.data), get_nb_channels(p0)))
+                fss.add(_FS_OF_BW.get(int(get_bandwidth(p0)), 16))
+            if len(kinds) == 1:
+                mode, spf, nfr, sch = next(iter(kinds))
+                if mode == Mode.CELT_ONLY and spf == 960 and nfr == 1:
+                    self.path.append(("celt",))
+                    continue
+                if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
+                        and sch == 1 and channels == 1 and len(fss) == 1:
+                    self.path.append(("silk", next(iter(fss))))
+                    continue
+            self.path.append(("scalar",))
+
         if native:
             from ..host.native import NativeCELTHost
             self.celt_hosts = [NativeCELTHost(channels)
                                for _ in range(self.n)]
-            if host_threads > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                self._pool = ThreadPoolExecutor(host_threads)
         else:
             from .celt_decoder import CELTDecoder
             self.celt_hosts = [CELTDecoder(channels, compat_ref=compat_ref)
                                for _ in range(self.n)]
-        # scalar fallbacks for non-CELT packets
         from .opus_decoder import OpusDecoder
         self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
                        for _ in range(self.n)]
 
     # ------------------------------------------------------------------
+    def _silk_bucket(self, fs: int) -> dict:
+        if fs not in self.silk_buckets:
+            B = self.n
+            frame = 20 * fs
+            ltp = 20 * fs
+            self.silk_buckets[fs] = dict(
+                outBuf=jnp.zeros((B, ltp + frame), dtype=I32),
+                sLPC=jnp.zeros((B, MAX_LPC_ORDER), dtype=I32),
+                sIIR=jnp.zeros((B, 6), dtype=I32),
+                sFIR=jnp.zeros((B, 8), dtype=I32),
+                delay=jnp.zeros((B, fs), dtype=I32),
+                sMid=jnp.zeros((B, 2), dtype=I32),
+            )
+        return self.silk_buckets[fs]
+
     def _host_one(self, i: int):
         s = self.streams[i]
         if self.positions[i] >= len(s.jobs):
             return None
         job = s.jobs[self.positions[i]]
         self.positions[i] += 1
-        parsed = parse_packet(job.data)
-        if parsed.mode != Mode.CELT_ONLY or parsed.frame_size != 960 or \
-                len(parsed.frames) != 1:
-            # scalar fallback path (SILK/hybrid/multi-frame)
-            pcm = self.scalar[i].decode(job.data)
-            return ("scalar", i, pcm, job)
-        host = self.celt_hosts[i]
-        if self.native:
-            si = host.decode_symbol_phase(parsed.frames[0], 960)
-        else:
+        kind = self.path[i][0]
+        if kind == "celt":
+            parsed = parse_packet(job.data)
+            host = self.celt_hosts[i]
+            if self.native:
+                si = host.decode_symbol_phase(parsed.frames[0], 960)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                si = host.decode_with_ec(RangeDecoder(parsed.frames[0]),
+                                         None, 960, defer_synthesis=True)
+            return ("celt", i, si, job)
+        if kind == "silk":
             from ..host.range_decoder import RangeDecoder
-            si = host.decode_with_ec(RangeDecoder(parsed.frames[0]), None,
-                                     960, defer_synthesis=True)
-        return ("celt", i, si, job)
+            parsed = parse_packet(job.data)
+            fs = self.path[i][1]
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+            params = silk_host_frame(silk, RangeDecoder(parsed.frames[0]),
+                                     fs, 20)
+            return ("silk", i, (fs, params), job)
+        pcm = self.scalar[i].decode(job.data)
+        return ("scalar", i, pcm, job)
 
     def step(self) -> bool:
         """Decode one frame on every active stream. Returns False when all
@@ -97,18 +154,22 @@ class StreamPool:
         if not results:
             return False
 
-        # scalar results pass through
-        groups: dict[tuple, list] = {}
+        celt_groups: dict[tuple, list] = {}
+        silk_groups: dict[int, list] = {}
         for kind, i, payload, job in results:
             if kind == "scalar":
                 self.pcm_out[i].append(self._trim(payload, job))
+            elif kind == "silk":
+                fs, params = payload
+                silk_groups.setdefault(fs, []).append((i, params, job))
             else:
                 key = (payload["LM"], payload["C"], self.channels,
                        payload["transient"])
-                groups.setdefault(key, []).append((i, payload, job))
-
-        for (LM, C, CC, transient), items in groups.items():
-            self._device_group(items, LM, C, CC, transient)
+                celt_groups.setdefault(key, []).append((i, payload, job))
+        for (LM, C, CC, transient), items in celt_groups.items():
+            self._celt_group(items, LM, C, CC, transient)
+        for fs, items in silk_groups.items():
+            self._silk_group(items, fs)
         return True
 
     def _trim(self, pcm, job):
@@ -116,7 +177,8 @@ class StreamPool:
         hi = pcm.shape[0] - job.trim_end
         return pcm[lo:max(hi, lo)]
 
-    def _device_group(self, items, LM, C, CC, transient):
+    # ------------------------------------------------------------------
+    def _celt_group(self, items, LM, C, CC, transient):
         N = SHORT_MDCT_SIZE << LM
         n = len(items)
         cap = _pow2_cap(n)
@@ -149,8 +211,49 @@ class StreamPool:
         self.state["preemph"] = self.state["preemph"].at[jidx].set(pre2)
         out = np.asarray(pcm[:n]).astype(np.int16)
         for b, (i, _si, job) in enumerate(items):
-            frame = out[b].T  # (N, CC)
-            self.pcm_out[i].append(self._trim(frame, job))
+            self.pcm_out[i].append(self._trim(out[b].T, job))
+
+    # ------------------------------------------------------------------
+    def _silk_group(self, items, fs: int):
+        st = self._silk_bucket(fs)
+        nb = 4
+        frame = 20 * fs
+        ltp = 20 * fs
+        n = len(items)
+        cap = _pow2_cap(n)
+        idxs = np.array([it[0] for it in items]
+                        + [items[0][0]] * (cap - n), dtype=np.int32)
+
+        def stack(key, pad_shape=None):
+            rows = [items[min(b, n - 1)][1][key] for b in range(cap)]
+            return jnp.asarray(np.stack(rows))
+
+        jidx = jnp.asarray(idxs)
+        order = 16 if fs == 16 else 10
+        xq, sLPC = sjc.silk_core_frame(
+            st["outBuf"][jidx], st["sLPC"][jidx], stack("exc"), stack("A"),
+            stack("B"), stack("gains"), stack("inv"), stack("lag"),
+            stack("voiced"), stack("rewhiten"), stack("adj"),
+            stack("match"), fs_khz=fs, nb_subfr=nb, order=order)
+        hist = jnp.concatenate(
+            [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
+        new_outbuf = jnp.concatenate(
+            [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+        sMid = st["sMid"][jidx]
+        resin = jnp.concatenate([sMid[:, 1:2], xq[:, :-1]], axis=-1)
+        new_sMid = xq[:, frame - 2:frame]
+        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+            st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
+            fs_in_khz=fs, in_len=frame)
+        st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+        st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
+        st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
+        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+        st["delay"] = st["delay"].at[jidx].set(delay)
+        out = np.asarray(out48[:n]).astype(np.int16)
+        for b, (i, _p, job) in enumerate(items):
+            self.pcm_out[i].append(self._trim(out[b][:, None], job))
 
     def run(self):
         """Decode everything; returns a list of (n_i, channels) int16."""

@@ -12,9 +12,11 @@ from conftest import fixture_path
 
 @pytest.mark.slow
 def test_pool_matches_file_decode():
-    srcs = [str(fixture_path("celt_fb_mono_20ms")),
+    srcs = [str(fixture_path("celt_fb_mono_drums_20ms")),
             str(fixture_path("celt_nb_mono_20ms")),
-            str(fixture_path("silk_wb_mono_20ms"))]
+            str(fixture_path("silk_wb_mono_20ms")),
+            str(fixture_path("silk_nb_mono_20ms")),
+            str(fixture_path("hybrid_swb_mono_20ms"))]
     pool = StreamPool(srcs, channels=1, native=True, compat_ref=True)
     outs = pool.run()
     for i, src in enumerate(srcs):

@@ -255,6 +255,46 @@ class StreamPool:
         for b, (i, _p, job) in enumerate(items):
             self.pcm_out[i].append(self._trim(out[b][:, None], job))
 
+    def warmup(self):
+        """Pre-compile the device buckets this pool will hit (both CELT
+        transient variants + each SILK rate at full capacity), so the
+        first real frames run at steady-state speed."""
+        n_celt = sum(1 for p in self.path if p[0] == "celt")
+        if n_celt:
+            cap = _pow2_cap(n_celt)
+            from . import batch_celt as bc
+            st = bc.make_state(cap, self.channels)
+            z = jnp.zeros((cap, 1, 960), dtype=I32)
+            e = jnp.zeros((cap, 2, NB_EBANDS), dtype=I32)
+            v = jnp.zeros(cap, dtype=I32)
+            c = tuple(jnp.full(cap, 15, dtype=I32) for _ in range(6))
+            for tr in (False, True):
+                celt_synth_step(st["decode_mem"], st["preemph"], z, e, v,
+                                jnp.full(cap, 21, dtype=I32), c, c,
+                                LM=3, C=1, CC=self.channels, transient=tr)
+        for fs in {p[1] for p in self.path if p[0] == "silk"}:
+            cap = _pow2_cap(sum(1 for p in self.path
+                                if p[0] == "silk" and p[1] == fs))
+            st = self._silk_bucket(fs)
+            frame = 20 * fs
+            order = 16 if fs == 16 else 10
+            zl = jnp.zeros((cap, frame), dtype=I32)
+            sjc.silk_core_frame(
+                st["outBuf"][:cap], st["sLPC"][:cap], zl,
+                jnp.zeros((cap, 2, MAX_LPC_ORDER), dtype=I32),
+                jnp.zeros((cap, 4, 5), dtype=I32),
+                jnp.full((cap, 4), 65536, dtype=I32),
+                jnp.full((cap, 4), 1, dtype=I32),
+                jnp.full((cap, 4), 2 * fs, dtype=I32),
+                jnp.zeros((cap, 4), dtype=bool),
+                jnp.zeros((cap, 4), dtype=bool),
+                jnp.full((cap, 4), 65536, dtype=I32),
+                jnp.ones((cap, 4), dtype=bool),
+                fs_khz=fs, nb_subfr=4, order=order)
+            sjc.resample_to_48k(st["sIIR"][:cap], st["sFIR"][:cap],
+                                st["delay"][:cap], zl, fs_in_khz=fs,
+                                in_len=frame)
+
     def run(self):
         """Decode everything; returns a list of (n_i, channels) int16."""
         while self.step():

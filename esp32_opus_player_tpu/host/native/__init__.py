@@ -48,6 +48,9 @@ def load():
         ctypes.POINTER(CeltHostState),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.celt_host_decode_resume.restype = ctypes.c_int
+    lib.celt_host_decode_resume.argtypes = \
+        lib.celt_host_decode.argtypes + [ctypes.POINTER(ctypes.c_int32)]
     lib.celt_host_reset.argtypes = [ctypes.POINTER(CeltHostState)]
     _lib = lib
     return lib
@@ -80,18 +83,32 @@ class NativeCELTHost:
             self.st.oldLogE[i] = -(28 << 10)
             self.st.oldLogE2[i] = -(28 << 10)
 
-    def decode_symbol_phase(self, data: bytes, frame_size: int):
+    def decode_symbol_phase(self, data: bytes, frame_size: int,
+                            ec_state=None):
+        """ec_state: RangeDecoder.export_state() to resume mid-packet
+        (hybrid frames after the host SILK symbol phase)."""
         C = self.stream_channels
         N = frame_size
         X = np.zeros(C * N, dtype=np.int16)
         bandE = np.zeros(42, dtype=np.int16)
         params = np.zeros(18, dtype=np.int32)
-        ret = self.lib.celt_host_decode(
-            data, len(data), frame_size, self.channels, C, self.start,
-            self.end, self.disable_inv, ctypes.byref(self.st),
-            X.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            bandE.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            params.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if ec_state is None:
+            ret = self.lib.celt_host_decode(
+                data, len(data), frame_size, self.channels, C, self.start,
+                self.end, self.disable_inv, ctypes.byref(self.st),
+                X.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                bandE.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                params.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        else:
+            ec = (ctypes.c_int32 * 9)(*[int(v) - (1 << 32)
+                                        if int(v) >= 1 << 31 else int(v)
+                                        for v in ec_state])
+            ret = self.lib.celt_host_decode_resume(
+                data, len(data), frame_size, self.channels, C, self.start,
+                self.end, self.disable_inv, ctypes.byref(self.st),
+                X.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                bandE.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                params.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ec)
         if ret != 0:
             raise ValueError(f"celt_host_decode failed: {ret}")
         return dict(

@@ -1334,12 +1334,26 @@ struct CeltHostState {
 // out_params layout: [silence, isTransient, LM,
 //                     comb1: T0,T1,g0,g1,t0,t1, comb2: T0,T1,g0,g1,t0,t1,
 //                     end_effective, tell, rng]
-int celt_host_decode(const unsigned char* data, int len, int frame_size,
-                     int CC, int C, int start, int end, int disable_inv,
-                     CeltHostState* st, i16* X_out, i16* bandE_out,
-                     i32* out_params) {
+int celt_host_decode_impl(const unsigned char* data, int len,
+                          int frame_size, int CC, int C, int start, int end,
+                          int disable_inv, CeltHostState* st, i16* X_out,
+                          i16* bandE_out, i32* out_params,
+                          const i32* ec_in) {
     EcDec ec;
     ec.init(data, (u32)len);
+    if (ec_in) {
+        // resume a range decoder mid-packet (hybrid: SILK symbols already
+        // consumed on the host) — state layout matches RangeDecoder fields
+        ec.offs = (u32)ec_in[0];
+        ec.end_offs = (u32)ec_in[1];
+        ec.end_window = (u32)ec_in[2];
+        ec.nend_bits = ec_in[3];
+        ec.nbits_total = ec_in[4];
+        ec.val = (u32)ec_in[5];
+        ec.rng = (u32)ec_in[6];
+        ec.rem = ec_in[7];
+        ec.error = ec_in[8];
+    }
 
     int LM = 0;
     while (LM <= 3) {
@@ -1528,6 +1542,25 @@ int celt_host_decode(const unsigned char* data, int len, int frame_size,
     if (ec.tell() > 8 * len) return -2;
     if (ec.error) st->error = 1;
     return 0;
+}
+
+int celt_host_decode(const unsigned char* data, int len, int frame_size,
+                     int CC, int C, int start, int end, int disable_inv,
+                     CeltHostState* st, i16* X_out, i16* bandE_out,
+                     i32* out_params) {
+    return celt_host_decode_impl(data, len, frame_size, CC, C, start, end,
+                                 disable_inv, st, X_out, bandE_out,
+                                 out_params, nullptr);
+}
+
+int celt_host_decode_resume(const unsigned char* data, int len,
+                            int frame_size, int CC, int C, int start,
+                            int end, int disable_inv, CeltHostState* st,
+                            i16* X_out, i16* bandE_out, i32* out_params,
+                            const i32* ec_in) {
+    return celt_host_decode_impl(data, len, frame_size, CC, C, start, end,
+                                 disable_inv, st, X_out, bandE_out,
+                                 out_params, ec_in);
 }
 
 void celt_host_reset(CeltHostState* st) {

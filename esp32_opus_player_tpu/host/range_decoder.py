@@ -174,6 +174,14 @@ class RangeDecoder:
         ell = (ell << 3) + b
         return nbits - ell
 
+    def export_state(self):
+        """Serialize the coder state for handoff to the native engine
+        (hybrid frames: SILK symbols consumed here, CELT continues in C++).
+        Layout matches celt_host_decode_resume."""
+        return [self.offs, self.end_offs, self.end_window, self.nend_bits,
+                self.nbits_total, self.val & 0xFFFFFFFF,
+                self.rng & 0xFFFFFFFF, self.rem, self.error]
+
     @property
     def range_final(self) -> int:
         """OPUS_GET_FINAL_RANGE conformance value (rng after last symbol)."""

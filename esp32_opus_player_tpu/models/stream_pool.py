@@ -12,9 +12,11 @@ Per frame step:
      values, so the scatter is deterministic).
 
 Stream classification happens at init: streams whose packets are uniformly
-CELT 20 ms or uniformly mono SILK 20 ms take the batched paths; everything
-else (hybrid, mode switches, multi-frame packets, stereo SILK) uses the
-scalar bit-exact decoder.
+CELT 20 ms, mono SILK 20 ms, or mono hybrid 20 ms take the batched paths
+(hybrid runs the host SILK symbol walk, hands the shared range-coder state
+to the native CELT engine, then mixes both batched dense phases with the
+saturating sum); everything else (mode switches, multi-frame packets,
+stereo SILK) uses the scalar bit-exact decoder.
 """
 from __future__ import annotations
 
@@ -84,6 +86,10 @@ class StreamPool:
                         and sch == 1 and channels == 1 and len(fss) == 1:
                     self.path.append(("silk", next(iter(fss))))
                     continue
+                if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
+                        and sch == 1 and channels == 1:
+                    self.path.append(("hybrid",))
+                    continue
             self.path.append(("scalar",))
 
         if native:
@@ -140,6 +146,23 @@ class StreamPool:
             params = silk_host_frame(silk, RangeDecoder(parsed.frames[0]),
                                      fs, 20)
             return ("silk", i, (fs, params), job)
+        if kind == "hybrid":
+            # shared range coder: SILK symbols on the host, then hand the
+            # ec state to the native CELT engine (start band 17)
+            from ..host.range_decoder import RangeDecoder
+            parsed = parse_packet(job.data)
+            frame = parsed.frames[0]
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(1, 1, 20, 16000, 48000)
+            dec = RangeDecoder(frame)
+            sp = silk_host_frame(silk, dec, 16, 20)
+            if dec.tell() + 37 <= 8 * len(frame):
+                dec.dec_bit_logp(12)  # redundancy flag (payload skipped)
+            host = self.celt_hosts[i]
+            host.start = 17
+            csi = host.decode_symbol_phase(frame, 960,
+                                           ec_state=dec.export_state())
+            return ("hybrid", i, (sp, csi), job)
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)
 
@@ -156,20 +179,44 @@ class StreamPool:
 
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[int, list] = {}
+        hybrid = set()
         for kind, i, payload, job in results:
             if kind == "scalar":
                 self.pcm_out[i].append(self._trim(payload, job))
             elif kind == "silk":
                 fs, params = payload
                 silk_groups.setdefault(fs, []).append((i, params, job))
+            elif kind == "hybrid":
+                sp, csi = payload
+                hybrid.add(i)
+                silk_groups.setdefault(16, []).append((i, sp, job))
+                key = (csi["LM"], csi["C"], self.channels,
+                       csi["transient"])
+                celt_groups.setdefault(key, []).append((i, csi, job))
             else:
                 key = (payload["LM"], payload["C"], self.channels,
                        payload["transient"])
                 celt_groups.setdefault(key, []).append((i, payload, job))
+        celt_pcm: dict[int, np.ndarray] = {}
+        silk_pcm: dict[int, np.ndarray] = {}
+        jobs_of: dict[int, object] = {}
         for (LM, C, CC, transient), items in celt_groups.items():
-            self._celt_group(items, LM, C, CC, transient)
+            celt_pcm.update(self._celt_group(items, LM, C, CC, transient))
+            jobs_of.update({i: job for i, _p, job in items})
         for fs, items in silk_groups.items():
-            self._silk_group(items, fs)
+            silk_pcm.update(self._silk_group(items, fs))
+            jobs_of.update({i: job for i, _p, job in items})
+        for i in set(celt_pcm) | set(silk_pcm):
+            if i in hybrid:
+                # saturating SILK+CELT mix (src/opus_decoder.cpp:272)
+                mixed = np.clip(celt_pcm[i].astype(np.int32)
+                                + silk_pcm[i].astype(np.int32),
+                                -32768, 32767).astype(np.int16)
+                self.pcm_out[i].append(self._trim(mixed, jobs_of[i]))
+            elif i in celt_pcm:
+                self.pcm_out[i].append(self._trim(celt_pcm[i], jobs_of[i]))
+            else:
+                self.pcm_out[i].append(self._trim(silk_pcm[i], jobs_of[i]))
         return True
 
     def _trim(self, pcm, job):
@@ -191,7 +238,10 @@ class StreamPool:
         comb1 = np.zeros((6, cap), dtype=np.int32)
         comb2 = np.zeros((6, cap), dtype=np.int32)
         for b in range(cap):
-            si = items[min(b, n - 1)][1]
+            # pad rows duplicate item 0 entirely (same inputs AND same
+            # state row), so the duplicate-index scatter writes identical
+            # values and stays deterministic
+            si = items[b][1] if b < n else items[0][1]
             X[b] = np.asarray(si["X"][:C * N], dtype=np.int32).reshape(C, N)
             bandE[b] = np.asarray(si["bandE"],
                                   dtype=np.int32).reshape(2, NB_EBANDS)
@@ -210,8 +260,7 @@ class StreamPool:
         self.state["decode_mem"] = self.state["decode_mem"].at[jidx].set(dm2)
         self.state["preemph"] = self.state["preemph"].at[jidx].set(pre2)
         out = np.asarray(pcm[:n]).astype(np.int16)
-        for b, (i, _si, job) in enumerate(items):
-            self.pcm_out[i].append(self._trim(out[b].T, job))
+        return {items[b][0]: out[b].T for b in range(n)}
 
     # ------------------------------------------------------------------
     def _silk_group(self, items, fs: int):
@@ -224,8 +273,9 @@ class StreamPool:
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
 
-        def stack(key, pad_shape=None):
-            rows = [items[min(b, n - 1)][1][key] for b in range(cap)]
+        def stack(key):
+            rows = [(items[b][1] if b < n else items[0][1])[key]
+                    for b in range(cap)]
             return jnp.asarray(np.stack(rows))
 
         jidx = jnp.asarray(idxs)
@@ -252,8 +302,7 @@ class StreamPool:
         st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
         st["delay"] = st["delay"].at[jidx].set(delay)
         out = np.asarray(out48[:n]).astype(np.int16)
-        for b, (i, _p, job) in enumerate(items):
-            self.pcm_out[i].append(self._trim(out[b][:, None], job))
+        return {items[b][0]: out[b][:, None] for b in range(n)}
 
     def warmup(self):
         """Pre-compile the device buckets this pool will hit (both CELT

@@ -1,4 +1,4 @@
-"""Heterogeneous stream pool (BASELINE config 4 shape): batched device
+"""Heterogeneous stream pool (BASELINE configs 3+4 shape): batched device
 synthesis with per-frame bucket grouping and state gather/scatter must
 equal per-stream file decoding bit-exactly."""
 import numpy as np

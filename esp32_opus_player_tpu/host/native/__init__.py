@@ -120,3 +120,76 @@ class NativeCELTHost:
             comb2=tuple(int(v) for v in params[9:15]),
             tell=int(params[16]), rng=int(params[17]) & 0xFFFFFFFF,
         )
+
+
+class SilkHostState(ctypes.Structure):
+    _fields_ = [
+        ("fs_kHz", ctypes.c_int32), ("nb_subfr", ctypes.c_int32),
+        ("frame_length", ctypes.c_int32), ("subfr_length", ctypes.c_int32),
+        ("LPC_order", ctypes.c_int32),
+        ("prevNLSF_Q15", ctypes.c_int32 * 16),
+        ("LastGainIndex", ctypes.c_int32),
+        ("prev_gain_Q16", ctypes.c_int32),
+        ("ec_prevSignalType", ctypes.c_int32),
+        ("ec_prevLagIndex", ctypes.c_int32),
+        ("first_frame_after_reset", ctypes.c_int32),
+        ("lagPrev", ctypes.c_int32), ("prevSignalType", ctypes.c_int32),
+        ("nFramesPerPacket", ctypes.c_int32),
+        ("VAD_flags", ctypes.c_int32 * 3), ("LBRR_flag", ctypes.c_int32),
+        ("LBRR_flags", ctypes.c_int32 * 3),
+    ]
+
+
+def _bind_silk(lib):
+    if getattr(lib, "_silk_bound", False):
+        return
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    lib.silk_host_frame_c.restype = ctypes.c_int
+    lib.silk_host_frame_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
+    lib.silk_host_reset.argtypes = [ctypes.POINTER(SilkHostState)]
+    lib._silk_bound = True
+
+
+class NativeSilkHost:
+    """Per-stream native SILK symbol phase; drop-in producer of the same
+    params dict as models/batch_silk.py::silk_host_frame. Mono no-loss
+    20 ms frames; hybrid=True also consumes the redundancy flag and
+    returns the ec state for the CELT engine."""
+
+    def __init__(self):
+        self.lib = load()
+        _bind_silk(self.lib)
+        self.st = SilkHostState()
+        self.lib.silk_host_reset(ctypes.byref(self.st))
+
+    def frame(self, data: bytes, fs_khz: int, payload_ms: int = 20,
+              hybrid: bool = False):
+        frame_len = payload_ms * fs_khz
+        exc = np.zeros(frame_len, dtype=np.int32)
+        A = np.zeros((2, 16), dtype=np.int32)
+        B = np.zeros((4, 5), dtype=np.int32)
+        gains = np.zeros(4, dtype=np.int32)
+        inv = np.zeros(4, dtype=np.int32)
+        lag = np.zeros(4, dtype=np.int32)
+        flags = np.zeros(12, dtype=np.int32)
+        adj = np.zeros(4, dtype=np.int32)
+        ec = np.zeros(9, dtype=np.int32)
+        misc = np.zeros(4, dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_frame_c(
+            data, len(data), fs_khz, payload_ms, int(hybrid),
+            ctypes.byref(self.st), p(exc), p(A), p(B), p(gains), p(inv),
+            p(lag), p(flags), p(adj), p(ec), p(misc))
+        if ret != 0:
+            raise ValueError(f"silk_host_frame_c failed: {ret}")
+        return dict(A=A, B=B, gains=gains, inv=inv, lag=lag,
+                    voiced=flags[0:4].astype(bool),
+                    rewhiten=flags[4:8].astype(bool),
+                    match=flags[8:12].astype(bool), adj=adj, exc=exc,
+                    ec_state=[int(v) & 0xFFFFFFFF for v in ec])

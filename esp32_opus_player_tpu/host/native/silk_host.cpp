@@ -1,0 +1,751 @@
+// Native host entropy engine: the SILK symbol phase for one mono no-loss
+// frame — indices, shell-coded excitation, gain/NLSF/pitch/LTP dequant,
+// NLSF->LPC conversion and excitation expansion — producing the same
+// per-frame device tensors as models/batch_silk.py::silk_host_frame.
+//
+// C++ re-expression of the framework's Python host phase
+// (ops/silk/{decode,nlsf,macros}.py, models/silk_decoder.py), itself
+// verified bit-exact against the reference (reference src/silk.cpp).
+// Optionally consumes the hybrid redundancy flag and exports the range
+// coder state so the CELT engine can resume on the same packet.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+#include "ec_dec.h"
+#include "silk_tables.h"
+
+namespace {
+
+typedef int32_t i32;
+typedef int16_t i16;
+typedef int64_t i64;
+typedef uint32_t u32;
+using opus_ec::EcDec;
+
+constexpr int MAX_LPC_ORDER = 16;
+constexpr int MAX_NB_SUBFR = 4;
+constexpr int LTP_ORDER = 5;
+constexpr int TYPE_VOICED = 2;
+constexpr int SHELL_FRAME = 16;
+constexpr int SILK_MAX_PULSES = 16;
+constexpr int N_RATE_LEVELS = 10;
+constexpr int NLSF_QMA = 4;  // NLSF_QUANT_MAX_AMPLITUDE
+constexpr i32 I32MAX = 2147483647;
+constexpr i32 I32MIN = (i32)0x80000000;
+
+// ---------------------------------------------------------------- macros
+static inline i32 SMULWB(i32 a, i32 b) { return (i32)(((i64)a * (i16)b) >> 16); }
+static inline i32 SMLAWB(i32 a, i32 b, i32 c) { return (i32)(a + (((i64)b * (i16)c) >> 16)); }
+static inline i32 SMULBB(i32 a, i32 b) { return (i32)(i16)a * (i32)(i16)b; }
+static inline i32 SMLABB(i32 a, i32 b, i32 c) { return a + SMULBB(b, c); }
+static inline i32 SMULWW(i32 a, i32 b) { return (i32)(((i64)a * b) >> 16); }
+static inline i32 SMLAWW(i32 a, i32 b, i32 c) { return (i32)(a + (((i64)b * c) >> 16)); }
+static inline i32 SMMUL(i32 a, i32 b) { return (i32)(((i64)a * b) >> 32); }
+static inline i32 RSHIFT_ROUND(i32 a, int s) {
+    return s == 1 ? (a >> 1) + (a & 1) : ((a >> (s - 1)) + 1) >> 1;
+}
+static inline i64 RSHIFT_ROUND64(i64 a, int s) {
+    return s == 1 ? (a >> 1) + (a & 1) : ((a >> (s - 1)) + 1) >> 1;
+}
+static inline i32 SAT16(i32 x) { return x > 32767 ? 32767 : x < -32768 ? -32768 : x; }
+static inline i32 LSHIFT32(i32 a, int s) { return (i32)((u32)a << s); }
+static inline i32 LIMIT(i32 a, i32 lo, i32 hi) { return a < lo ? lo : a > hi ? hi : a; }
+static inline int CLZ32(i32 x) { return x ? __builtin_clz((u32)x) : 32; }
+static inline i32 silk_abs(i32 a) { return a > 0 ? a : -a; }
+static inline i32 LSHIFT_SAT32(i32 a, int s) {
+    return LSHIFT32(LIMIT(a, I32MIN >> s, I32MAX >> s), s);
+}
+static inline i32 ADD_SAT16_(i32 a, i32 b) { return (i16)SAT16(a + b); }
+static inline i32 silk_RAND(i32 seed) {
+    return (i32)(907633515u + (u32)seed * 196314165u);
+}
+static inline i32 ADD32_ovflw(i32 a, i32 b) { return (i32)((u32)a + (u32)b); }
+static inline i32 SUB32_ovflw(i32 a, i32 b) { return (i32)((u32)a - (u32)b); }
+
+static i32 DIV32_varQ(i32 a32, i32 b32, int qres) {
+    int a_headrm = CLZ32(silk_abs(a32)) - 1;
+    i32 a_nrm = LSHIFT32(a32, a_headrm);
+    int b_headrm = CLZ32(silk_abs(b32)) - 1;
+    i32 b_nrm = LSHIFT32(b32, b_headrm);
+    i32 b_inv = (I32MAX >> 2) / (b_nrm >> 16);
+    i32 result = SMULWB(a_nrm, b_inv);
+    a_nrm = SUB32_ovflw(a_nrm, (i32)((u32)SMMUL(b_nrm, result) << 3));
+    result = SMLAWB(result, a_nrm, b_inv);
+    int lshift = 29 + a_headrm - b_headrm - qres;
+    if (lshift < 0) return LSHIFT_SAT32(result, -lshift);
+    if (lshift < 32) return result >> lshift;
+    return 0;
+}
+
+static i32 INVERSE32_varQ(i32 b32, int qres) {
+    int b_headrm = CLZ32(silk_abs(b32)) - 1;
+    i32 b_nrm = LSHIFT32(b32, b_headrm);
+    i32 b_inv = (I32MAX >> 2) / (b_nrm >> 16);
+    i32 result = LSHIFT32(b_inv, 16);
+    i32 err_q32 = LSHIFT32((1 << 29) - SMULWB(b_nrm, b_inv), 3);
+    result = SMLAWW(result, err_q32, b_inv);
+    int lshift = 61 - b_headrm - qres;
+    if (lshift <= 0) return LSHIFT_SAT32(result, -lshift);
+    if (lshift < 32) return result >> lshift;
+    return 0;
+}
+
+static i32 log2lin(i32 in_log_q7) {
+    if (in_log_q7 < 0) return 0;
+    if (in_log_q7 >= 3967) return I32MAX;
+    i32 out = LSHIFT32(1, in_log_q7 >> 7);
+    i32 frac = in_log_q7 & 0x7F;
+    if (in_log_q7 < 2048)
+        out = out + ((out * SMLAWB(frac, SMULBB(frac, 128 - frac), -174)) >> 7);
+    else
+        out = out + (out >> 7) * SMLAWB(frac, SMULBB(frac, 128 - frac), -174);
+    return out;
+}
+
+// ---------------------------------------------------------------- NLSF
+struct NlsfCb {
+    int nVectors, order;
+    i32 quantStepSize_Q16;
+    const unsigned char* cb1;
+    const short* wght;
+    const unsigned char* cb1_icdf;
+    const unsigned char* pred;
+    const unsigned char* ec_sel;
+    const unsigned char* ec_icdf;
+    const short* delta_min;
+};
+
+static const NlsfCb CB_NB_MB = {32, 10, 11796, silk_NLSF_CB1_NB_MB_Q8,
+                                silk_NLSF_CB1_Wght_Q9, silk_NLSF_CB1_iCDF_NB_MB,
+                                silk_NLSF_PRED_NB_MB_Q8, silk_NLSF_CB2_SELECT_NB_MB,
+                                silk_NLSF_CB2_iCDF_NB_MB,
+                                silk_NLSF_DELTA_MIN_NB_MB_Q15};
+static const NlsfCb CB_WB = {32, 16, 9830, silk_NLSF_CB1_WB_Q8,
+                             silk_NLSF_CB1_WB_Wght_Q9, silk_NLSF_CB1_iCDF_WB,
+                             silk_NLSF_PRED_WB_Q8, silk_NLSF_CB2_SELECT_WB,
+                             silk_NLSF_CB2_iCDF_WB, silk_NLSF_DELTA_MIN_WB_Q15};
+
+static void nlsf_unpack(const NlsfCb& cb, int idx, int* ec_ix, int* pred_q8) {
+    const unsigned char* sel = cb.ec_sel + idx * cb.order / 2;
+    for (int i = 0; i < cb.order; i += 2) {
+        int entry = *sel++;
+        ec_ix[i] = ((entry >> 1) & 7) * (2 * NLSF_QMA + 1);
+        pred_q8[i] = cb.pred[i + (entry & 1) * (cb.order - 1)];
+        ec_ix[i + 1] = ((entry >> 5) & 7) * (2 * NLSF_QMA + 1);
+        pred_q8[i + 1] = cb.pred[i + ((entry >> 4) & 1) * (cb.order - 1) + 1];
+    }
+}
+
+static void nlsf_stabilize(i32* nlsf, const short* dmin, int L) {
+    for (int loops = 0; loops < 20; loops++) {
+        i32 min_diff = nlsf[0] - dmin[0];
+        int I = 0;
+        for (int i = 1; i < L; i++) {
+            i32 d = nlsf[i] - (nlsf[i - 1] + dmin[i]);
+            if (d < min_diff) { min_diff = d; I = i; }
+        }
+        i32 d = (1 << 15) - (nlsf[L - 1] + dmin[L]);
+        if (d < min_diff) { min_diff = d; I = L; }
+        if (min_diff >= 0) return;
+        if (I == 0) nlsf[0] = dmin[0];
+        else if (I == L) nlsf[L - 1] = (1 << 15) - dmin[L];
+        else {
+            i32 min_c = 0;
+            for (int k = 0; k < I; k++) min_c += dmin[k];
+            min_c += dmin[I] >> 1;
+            i32 max_c = 1 << 15;
+            for (int k = L; k > I; k--) max_c -= dmin[k];
+            max_c -= dmin[I] >> 1;
+            i32 c = (i16)LIMIT(RSHIFT_ROUND(nlsf[I - 1] + nlsf[I], 1),
+                               min_c, max_c);
+            nlsf[I - 1] = c - (dmin[I] >> 1);
+            nlsf[I] = nlsf[I - 1] + dmin[I];
+        }
+    }
+    std::sort(nlsf, nlsf + L);
+    nlsf[0] = std::max(nlsf[0], (i32)dmin[0]);
+    for (int i = 1; i < L; i++)
+        nlsf[i] = std::max(nlsf[i], (i32)ADD_SAT16_(nlsf[i - 1], dmin[i]));
+    nlsf[L - 1] = std::min(nlsf[L - 1], (i32)((1 << 15) - dmin[L]));
+    for (int i = L - 2; i >= 0; i--)
+        nlsf[i] = std::min(nlsf[i], nlsf[i + 1] - dmin[i + 1]);
+}
+
+static void nlsf_decode(EcDec& ec, const NlsfCb& cb, const int* idxs,
+                        i32* nlsf_q15) {
+    int ec_ix[MAX_LPC_ORDER], pred_q8[MAX_LPC_ORDER];
+    nlsf_unpack(cb, idxs[0], ec_ix, pred_q8);
+    i32 res_q10[MAX_LPC_ORDER];
+    i32 out_q10 = 0;
+    for (int i = cb.order - 1; i >= 0; i--) {
+        i32 pred_q10 = SMULBB(out_q10, pred_q8[i]) >> 8;
+        out_q10 = LSHIFT32(idxs[i + 1], 10);
+        if (out_q10 > 0) out_q10 -= 102;       // NLSF_QUANT_LEVEL_ADJ Q10
+        else if (out_q10 < 0) out_q10 += 102;
+        out_q10 = SMLAWB(pred_q10, out_q10, cb.quantStepSize_Q16);
+        res_q10[i] = out_q10;
+    }
+    int base = idxs[0] * cb.order;
+    for (int i = 0; i < cb.order; i++) {
+        i32 tmp = LSHIFT32(res_q10[i], 14) / cb.wght[base + i]
+                  + ((i32)cb.cb1[base + i] << 7);
+        nlsf_q15[i] = LIMIT(tmp, 0, 32767);
+    }
+    nlsf_stabilize(nlsf_q15, cb.delta_min, cb.order);
+}
+
+static void bwexpander_32(i32* ar, int d, i32 chirp_q16) {
+    i32 cm1 = chirp_q16 - 65536;
+    for (int i = 0; i < d - 1; i++) {
+        ar[i] = SMULWW(chirp_q16, ar[i]);
+        chirp_q16 += RSHIFT_ROUND(chirp_q16 * cm1, 16);
+    }
+    ar[d - 1] = SMULWW(chirp_q16, ar[d - 1]);
+}
+
+static void bwexpander16(i32* ar, int d, i32 chirp_q16) {
+    i32 cm1 = chirp_q16 - 65536;
+    for (int i = 0; i < d - 1; i++) {
+        ar[i] = (i16)RSHIFT_ROUND(chirp_q16 * ar[i], 16);
+        chirp_q16 += RSHIFT_ROUND(chirp_q16 * cm1, 16);
+    }
+    ar[d - 1] = (i16)RSHIFT_ROUND(chirp_q16 * ar[d - 1], 16);
+}
+
+static void lpc_fit(i32* a_qin, i32* a_qout, int qout, int qin, int d) {
+    int it;
+    i32 maxabs = 0;
+    for (it = 0; it < 10; it++) {
+        maxabs = 0;
+        int idx = 0;
+        for (int k = 0; k < d; k++) {
+            i32 v = silk_abs(a_qin[k]);
+            if (v > maxabs) { maxabs = v; idx = k; }
+        }
+        maxabs = RSHIFT_ROUND(maxabs, qin - qout);
+        if (maxabs > 32767) {
+            maxabs = std::min(maxabs, (i32)163838);
+            i32 chirp = 65470 - (LSHIFT32(maxabs - 32767, 14)
+                                 / ((maxabs * (idx + 1)) >> 2));
+            bwexpander_32(a_qin, d, chirp);
+        } else break;
+    }
+    if (it == 10) {
+        for (int k = 0; k < d; k++) {
+            a_qout[k] = SAT16(RSHIFT_ROUND(a_qin[k], qin - qout));
+            a_qin[k] = LSHIFT32(a_qout[k], qin - qout);
+        }
+    } else {
+        for (int k = 0; k < d; k++)
+            a_qout[k] = (i16)RSHIFT_ROUND(a_qin[k], qin - qout);
+    }
+}
+
+static i32 mul32_frac_q(i32 a, i32 b, int q) {
+    return (i32)RSHIFT_ROUND64((i64)a * b, q);
+}
+
+static i32 SUB_SAT32(i32 a, i32 b) {
+    i64 r = (i64)a - b;
+    return r > I32MAX ? I32MAX : r < I32MIN ? I32MIN : (i32)r;
+}
+
+static int lpc_inverse_pred_gain(const i32* a_q12, int order) {
+    constexpr i32 A_LIMIT = 16773022;
+    i32 A[MAX_LPC_ORDER];
+    i32 dc = 0;
+    for (int k = 0; k < order; k++) {
+        dc += a_q12[k];
+        A[k] = LSHIFT32(a_q12[k], 12);
+    }
+    if (dc >= 4096) return 0;
+    i32 invGain = 1 << 30;
+    for (int k = order - 1; k > 0; k--) {
+        if (A[k] > A_LIMIT || A[k] < -A_LIMIT) return 0;
+        i32 rc = -LSHIFT32(A[k], 7);
+        i32 rc_mult1 = (1 << 30) - SMMUL(rc, rc);
+        invGain = LSHIFT32(SMMUL(invGain, rc_mult1), 2);
+        if (invGain < 107374) return 0;
+        int mult2q = 32 - CLZ32(silk_abs(rc_mult1));
+        i32 rc_mult2 = INVERSE32_varQ(rc_mult1, mult2q + 30);
+        for (int n = 0; n < (k + 1) >> 1; n++) {
+            i32 t1 = A[n], t2 = A[k - n - 1];
+            i64 v = RSHIFT_ROUND64(
+                (i64)SUB_SAT32(t1, mul32_frac_q(t2, rc, 31)) * rc_mult2,
+                mult2q);
+            if (v > I32MAX || v < I32MIN) return 0;
+            A[n] = (i32)v;
+            v = RSHIFT_ROUND64(
+                (i64)SUB_SAT32(t2, mul32_frac_q(t1, rc, 31)) * rc_mult2,
+                mult2q);
+            if (v > I32MAX || v < I32MIN) return 0;
+            A[k - n - 1] = (i32)v;
+        }
+    }
+    if (A[0] > A_LIMIT || A[0] < -A_LIMIT) return 0;
+    i32 rc = -LSHIFT32(A[0], 7);
+    i32 rc_mult1 = (1 << 30) - SMMUL(rc, rc);
+    invGain = LSHIFT32(SMMUL(invGain, rc_mult1), 2);
+    if (invGain < 107374) return 0;
+    return invGain;
+}
+
+static const unsigned char ORD16[16] = {0, 15, 8, 7, 4, 11, 12, 3, 2, 13, 10, 5, 6, 9, 14, 1};
+static const unsigned char ORD10[10] = {0, 9, 6, 3, 4, 5, 8, 1, 2, 7};
+
+static void nlsf2a_find_poly(i32* out, const i32* cLSF, int off, int dd) {
+    out[0] = 1 << 16;
+    out[1] = -cLSF[off];
+    for (int k = 1; k < dd; k++) {
+        i32 ftmp = cLSF[off + 2 * k];
+        out[k + 1] = (i32)(LSHIFT32(out[k - 1], 1)
+                           - (i32)RSHIFT_ROUND64((i64)ftmp * out[k], 16));
+        for (int n = k; n > 1; n--)
+            out[n] = (i32)(out[n] + out[n - 2]
+                           - (i32)RSHIFT_ROUND64((i64)ftmp * out[n - 1], 16));
+        out[1] -= ftmp;
+    }
+}
+
+static void nlsf2a(const i32* nlsf_q15, int d, i32* a_q12) {
+    const unsigned char* ordering = d == 16 ? ORD16 : ORD10;
+    i32 cos_lsf[MAX_LPC_ORDER];
+    for (int k = 0; k < d; k++) {
+        int f_int = nlsf_q15[k] >> 8;
+        int f_frac = nlsf_q15[k] - (f_int << 8);
+        i32 cos_val = silk_LSFCosTab_FIX_Q12[f_int];
+        i32 delta = silk_LSFCosTab_FIX_Q12[f_int + 1] - cos_val;
+        cos_lsf[ordering[k]] = RSHIFT_ROUND(LSHIFT32(cos_val, 8)
+                                            + delta * f_frac, 4);
+    }
+    int dd = d >> 1;
+    i32 P[MAX_LPC_ORDER / 2 + 1], Q[MAX_LPC_ORDER / 2 + 1];
+    nlsf2a_find_poly(P, cos_lsf, 0, dd);
+    nlsf2a_find_poly(Q, cos_lsf, 1, dd);
+    i32 a32[MAX_LPC_ORDER];
+    for (int k = 0; k < dd; k++) {
+        i32 Ptmp = P[k + 1] + P[k];
+        i32 Qtmp = Q[k + 1] - Q[k];
+        a32[k] = -Qtmp - Ptmp;
+        a32[d - k - 1] = Qtmp - Ptmp;
+    }
+    lpc_fit(a32, a_q12, 12, 17, d);
+    for (int i = 0; lpc_inverse_pred_gain(a_q12, d) == 0 && i < 16; i++) {
+        bwexpander_32(a32, d, 65536 - LSHIFT32(2, i));
+        for (int k = 0; k < d; k++)
+            a_q12[k] = (i16)RSHIFT_ROUND(a32[k], 5);
+    }
+}
+
+// ---------------------------------------------------------------- decode
+}  // namespace
+
+extern "C" {
+
+struct SilkHostState {
+    i32 fs_kHz, nb_subfr, frame_length, subfr_length, LPC_order;
+    i32 prevNLSF_Q15[MAX_LPC_ORDER];
+    i32 LastGainIndex, prev_gain_Q16;
+    i32 ec_prevSignalType, ec_prevLagIndex;
+    i32 first_frame_after_reset, lagPrev, prevSignalType;
+    i32 nFramesPerPacket;
+    i32 VAD_flags[3], LBRR_flag, LBRR_flags[3];
+};
+
+void silk_host_reset(SilkHostState* st) {
+    memset(st, 0, sizeof *st);
+    st->first_frame_after_reset = 1;
+    st->prev_gain_Q16 = 65536;
+}
+
+}  // extern "C"
+
+namespace {
+
+struct Indices {
+    int signalType, quantOffsetType;
+    int GainsIndices[MAX_NB_SUBFR];
+    int NLSFIndices[MAX_LPC_ORDER + 1];
+    int NLSFInterpCoef_Q2;
+    int lagIndex, contourIndex, PERIndex;
+    int LTPIndex[MAX_NB_SUBFR];
+    int LTP_scaleIndex, Seed;
+};
+
+static void set_fs(SilkHostState* st, int fs_khz, int nb_subfr) {
+    st->subfr_length = 5 * fs_khz;
+    int frame_length = nb_subfr * st->subfr_length;
+    if (st->fs_kHz != fs_khz || frame_length != st->frame_length) {
+        if (st->fs_kHz != fs_khz) {
+            st->LPC_order = (fs_khz == 8 || fs_khz == 12) ? 10 : 16;
+            st->first_frame_after_reset = 1;
+            st->lagPrev = 100;
+            st->LastGainIndex = 10;
+            st->prevSignalType = 0;
+        }
+        st->fs_kHz = fs_khz;
+        st->frame_length = frame_length;
+    }
+    st->nb_subfr = nb_subfr;
+}
+
+static void decode_indices(EcDec& ec, SilkHostState* st, Indices& ind,
+                           int frame_index, int decode_lbrr, int cond) {
+    const NlsfCb& cb = st->LPC_order == 16 ? CB_WB : CB_NB_MB;
+    int ix;
+    if (decode_lbrr || st->VAD_flags[frame_index])
+        ix = ec.icdf(silk_type_offset_VAD_iCDF, 8) + 2;
+    else
+        ix = ec.icdf(silk_type_offset_no_VAD_iCDF, 8);
+    ind.signalType = ix >> 1;
+    ind.quantOffsetType = ix & 1;
+
+    if (cond == 2) {  // CODE_CONDITIONALLY
+        ind.GainsIndices[0] = ec.icdf(silk_delta_gain_iCDF, 8);
+    } else {
+        ind.GainsIndices[0] =
+            ec.icdf(silk_gain_iCDF + ind.signalType * 8, 8) << 3;
+        ind.GainsIndices[0] += ec.icdf(silk_uniform8_iCDF, 8);
+    }
+    for (int i = 1; i < st->nb_subfr; i++)
+        ind.GainsIndices[i] = ec.icdf(silk_delta_gain_iCDF, 8);
+
+    ind.NLSFIndices[0] = ec.icdf(
+        cb.cb1_icdf + (ind.signalType >> 1) * cb.nVectors, 8);
+    int ec_ix[MAX_LPC_ORDER], pred_q8[MAX_LPC_ORDER];
+    nlsf_unpack(cb, ind.NLSFIndices[0], ec_ix, pred_q8);
+    for (int i = 0; i < cb.order; i++) {
+        int v = ec.icdf(cb.ec_icdf + ec_ix[i], 8);
+        if (v == 0) v -= ec.icdf(silk_NLSF_EXT_iCDF, 8);
+        else if (v == 2 * NLSF_QMA) v += ec.icdf(silk_NLSF_EXT_iCDF, 8);
+        ind.NLSFIndices[i + 1] = v - NLSF_QMA;
+    }
+
+    if (st->nb_subfr == MAX_NB_SUBFR)
+        ind.NLSFInterpCoef_Q2 = ec.icdf(silk_NLSF_interpolation_factor_iCDF, 8);
+    else
+        ind.NLSFInterpCoef_Q2 = 4;
+
+    if (ind.signalType == TYPE_VOICED) {
+        int decode_abs = 1;
+        if (cond == 2 && st->ec_prevSignalType == TYPE_VOICED) {
+            int delta = ec.icdf(silk_pitch_delta_iCDF, 8);
+            if (delta > 0) {
+                ind.lagIndex = (i16)(st->ec_prevLagIndex + delta - 9);
+                decode_abs = 0;
+            }
+        }
+        if (decode_abs) {
+            const unsigned char* low_icdf =
+                st->fs_kHz == 16 ? silk_uniform8_iCDF
+                : st->fs_kHz == 12 ? silk_uniform6_iCDF : silk_uniform4_iCDF;
+            int lag = ec.icdf(silk_pitch_lag_iCDF, 8) * (st->fs_kHz >> 1);
+            lag += ec.icdf(low_icdf, 8);
+            ind.lagIndex = (i16)lag;
+        }
+        st->ec_prevLagIndex = ind.lagIndex;
+        const unsigned char* contour =
+            st->fs_kHz == 8
+                ? (st->nb_subfr == 4 ? silk_pitch_contour_NB_iCDF
+                                     : silk_pitch_contour_10_ms_NB_iCDF)
+                : (st->nb_subfr == 4 ? silk_pitch_contour_iCDF
+                                     : silk_pitch_contour_10_ms_iCDF);
+        ind.contourIndex = ec.icdf(contour, 8);
+        ind.PERIndex = ec.icdf(silk_LTP_per_index_iCDF, 8);
+        const unsigned char* gain_icdfs[3] = {
+            silk_LTP_gain_iCDF_0, silk_LTP_gain_iCDF_1, silk_LTP_gain_iCDF_2};
+        for (int k = 0; k < st->nb_subfr; k++)
+            ind.LTPIndex[k] = ec.icdf(gain_icdfs[ind.PERIndex], 8);
+        if (cond == 0)
+            ind.LTP_scaleIndex = ec.icdf(silk_LTPscale_iCDF, 8);
+        else
+            ind.LTP_scaleIndex = 0;
+    } else {
+        ind.lagIndex = 0;
+        ind.contourIndex = 0;
+        ind.PERIndex = 0;
+        ind.LTP_scaleIndex = 0;
+    }
+    st->ec_prevSignalType = ind.signalType;
+    ind.Seed = ec.icdf(silk_uniform4_iCDF, 8);
+}
+
+static void decode_split(EcDec& ec, int* c1, int* c2, int p,
+                         const unsigned char* table) {
+    if (p > 0) {
+        *c1 = ec.icdf(table + silk_shell_code_table_offsets[p], 8);
+        *c2 = p - *c1;
+    } else {
+        *c1 = 0;
+        *c2 = 0;
+    }
+}
+
+static void shell_decoder(EcDec& ec, int* p0, int p4) {
+    int p3[2], p2[4], p1[8];
+    decode_split(ec, &p3[0], &p3[1], p4, silk_shell_code_table3);
+    decode_split(ec, &p2[0], &p2[1], p3[0], silk_shell_code_table2);
+    decode_split(ec, &p1[0], &p1[1], p2[0], silk_shell_code_table1);
+    decode_split(ec, &p0[0], &p0[1], p1[0], silk_shell_code_table0);
+    decode_split(ec, &p0[2], &p0[3], p1[1], silk_shell_code_table0);
+    decode_split(ec, &p1[2], &p1[3], p2[1], silk_shell_code_table1);
+    decode_split(ec, &p0[4], &p0[5], p1[2], silk_shell_code_table0);
+    decode_split(ec, &p0[6], &p0[7], p1[3], silk_shell_code_table0);
+    decode_split(ec, &p2[2], &p2[3], p3[1], silk_shell_code_table2);
+    decode_split(ec, &p1[4], &p1[5], p2[2], silk_shell_code_table1);
+    decode_split(ec, &p0[8], &p0[9], p1[4], silk_shell_code_table0);
+    decode_split(ec, &p0[10], &p0[11], p1[5], silk_shell_code_table0);
+    decode_split(ec, &p1[6], &p1[7], p2[3], silk_shell_code_table1);
+    decode_split(ec, &p0[12], &p0[13], p1[6], silk_shell_code_table0);
+    decode_split(ec, &p0[14], &p0[15], p1[7], silk_shell_code_table0);
+}
+
+static void decode_pulses(EcDec& ec, int* pulses, int signal_type,
+                          int quant_offset_type, int frame_length) {
+    int rate_level = ec.icdf(
+        silk_rate_levels_iCDF + (signal_type >> 1) * 9, 8);
+    int niter = frame_length >> 4;
+    if (niter * SHELL_FRAME < frame_length) niter++;
+    int sum_pulses[20], n_lshifts[20];
+    for (int i = 0; i < niter; i++) {
+        n_lshifts[i] = 0;
+        sum_pulses[i] = ec.icdf(
+            silk_pulses_per_block_iCDF + rate_level * 18, 8);
+        while (sum_pulses[i] == SILK_MAX_PULSES + 1) {
+            n_lshifts[i]++;
+            sum_pulses[i] = ec.icdf(
+                silk_pulses_per_block_iCDF + (N_RATE_LEVELS - 1) * 18
+                + (n_lshifts[i] == 10 ? 1 : 0), 8);
+        }
+    }
+    for (int i = 0; i < niter; i++) {
+        if (sum_pulses[i] > 0)
+            shell_decoder(ec, pulses + i * SHELL_FRAME, sum_pulses[i]);
+        else
+            memset(pulses + i * SHELL_FRAME, 0, SHELL_FRAME * sizeof(int));
+    }
+    for (int i = 0; i < niter; i++) {
+        if (n_lshifts[i] > 0) {
+            int nls = n_lshifts[i];
+            for (int k = 0; k < SHELL_FRAME; k++) {
+                int q = pulses[i * SHELL_FRAME + k];
+                for (int j = 0; j < nls; j++)
+                    q = (q << 1) + ec.icdf(silk_lsb_iCDF, 8);
+                pulses[i * SHELL_FRAME + k] = q;
+            }
+            sum_pulses[i] |= nls << 5;
+        }
+    }
+    // signs
+    int base = 7 * (quant_offset_type + (signal_type << 1));
+    int n_blocks = (frame_length + SHELL_FRAME / 2) >> 4;
+    for (int i = 0; i < n_blocks; i++) {
+        int p = sum_pulses[i];
+        if (p > 0) {
+            unsigned char icdf2[2] = {
+                silk_sign_iCDF[base + std::min(p & 0x1F, 6)], 0};
+            for (int j = 0; j < SHELL_FRAME; j++) {
+                if (pulses[i * SHELL_FRAME + j] > 0)
+                    pulses[i * SHELL_FRAME + j] *=
+                        2 * ec.icdf(icdf2, 8) - 1;
+            }
+        }
+    }
+}
+
+static void gains_dequant(i32* gains_q16, const int* ind, i32* prev_ind,
+                          int conditional, int nb_subfr) {
+    for (int k = 0; k < nb_subfr; k++) {
+        if (k == 0 && !conditional) {
+            *prev_ind = std::max((i32)ind[k], *prev_ind - 16);
+        } else {
+            int ind_tmp = ind[k] - 4;           // MIN_DELTA_GAIN_QUANT
+            i32 dst = 2 * 36 - 64 + *prev_ind;  // double step threshold
+            if (ind_tmp > dst) *prev_ind += (ind_tmp << 1) - dst;
+            else *prev_ind += ind_tmp;
+        }
+        *prev_ind = LIMIT(*prev_ind, 0, 63);
+        gains_q16[k] = log2lin(
+            std::min(SMULWB(1907825, *prev_ind) + 2090, (i32)3967));
+    }
+}
+
+static void decode_pitch(int lag_index, int contour_index, i32* pitch_lags,
+                         int fs_khz, int nb_subfr) {
+    const signed char* cb;
+    int cbk_size;
+    if (fs_khz == 8) {
+        if (nb_subfr == 4) { cb = (const signed char*)silk_CB_lags_stage2; cbk_size = 11; }
+        else { cb = (const signed char*)silk_CB_lags_stage2_10_ms; cbk_size = 3; }
+    } else {
+        if (nb_subfr == 4) { cb = (const signed char*)silk_CB_lags_stage3; cbk_size = 34; }
+        else { cb = (const signed char*)silk_CB_lags_stage3_10_ms; cbk_size = 12; }
+    }
+    int min_lag = 2 * fs_khz;
+    int max_lag = 18 * fs_khz;
+    int lag = min_lag + lag_index;
+    for (int k = 0; k < nb_subfr; k++)
+        pitch_lags[k] = LIMIT(lag + cb[k * cbk_size + contour_index],
+                              min_lag, max_lag);
+}
+
+}  // namespace
+
+extern "C" {
+
+// One mono no-loss SILK frame: consumes the packet's SILK symbols
+// (header flags on first frame), emits the device tensors for
+// ops/silk/jax_core.py::silk_core_frame, and (optionally, hybrid=1) reads
+// the hybrid redundancy flag and exports the ec state for the CELT engine.
+//
+// Outputs: exc[frame], A[2*16], B[4*5], gains[4], inv[4], lag[4],
+// flags[12] (voiced[4], rewhiten[4], match[4]), adj[4], ec_out[9],
+// misc[4] = {signalType, interp<4, seed, lagPrev}.
+int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
+                      int payload_ms, int hybrid, SilkHostState* st,
+                      i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
+                      i32* inv_out, i32* lag_out, i32* flags_out,
+                      i32* adj_out, i32* ec_out, i32* misc_out) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+
+    int n_frames = payload_ms <= 20 ? 1 : payload_ms / 20;
+    int nb_subfr = payload_ms == 10 ? 2 : 4;
+    if (n_frames != 1) return -3;   // multi-frame packets: scalar fallback
+    st->nFramesPerPacket = 1;
+    set_fs(st, fs_khz, nb_subfr);
+
+    // header: VAD + LBRR flags (first frame of each packet)
+    for (int i = 0; i < st->nFramesPerPacket; i++)
+        st->VAD_flags[i] = ec.bit_logp(1);
+    st->LBRR_flag = ec.bit_logp(1);
+    memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
+    if (st->LBRR_flag) st->LBRR_flags[0] = 1;
+    // skip LBRR payload (normal decode path)
+    Indices ind;
+    if (st->LBRR_flags[0]) {
+        int pulses_tmp[MAX_NB_SUBFR * 5 * 16 / 16 * 16 + 16];
+        decode_indices(ec, st, ind, 0, 1, 0);
+        decode_pulses(ec, pulses_tmp, ind.signalType, ind.quantOffsetType,
+                      st->frame_length);
+    }
+
+    decode_indices(ec, st, ind, 0, 0, 0);  // CODE_INDEPENDENTLY
+    int pulses[320 + 16];
+    decode_pulses(ec, pulses, ind.signalType, ind.quantOffsetType,
+                  st->frame_length);
+
+    // ---- parameters ----
+    i32 gains_q16[MAX_NB_SUBFR];
+    gains_dequant(gains_q16, ind.GainsIndices, &st->LastGainIndex,
+                  0, st->nb_subfr);
+
+    const NlsfCb& cb = st->LPC_order == 16 ? CB_WB : CB_NB_MB;
+    i32 nlsf[MAX_LPC_ORDER];
+    nlsf_decode(ec, cb, ind.NLSFIndices, nlsf);
+    // NOTE: nlsf_decode does not consume ec symbols; indices already read
+    i32 pred1[MAX_LPC_ORDER], pred0[MAX_LPC_ORDER];
+    nlsf2a(nlsf, st->LPC_order, pred1);
+    if (st->first_frame_after_reset) ind.NLSFInterpCoef_Q2 = 4;
+    if (ind.NLSFInterpCoef_Q2 < 4) {
+        i32 nlsf0[MAX_LPC_ORDER];
+        for (int i = 0; i < st->LPC_order; i++)
+            nlsf0[i] = (i16)(st->prevNLSF_Q15[i]
+                             + ((ind.NLSFInterpCoef_Q2
+                                 * (nlsf[i] - st->prevNLSF_Q15[i])) >> 2));
+        nlsf2a(nlsf0, st->LPC_order, pred0);
+    } else {
+        memcpy(pred0, pred1, st->LPC_order * sizeof(i32));
+    }
+    for (int i = 0; i < st->LPC_order; i++) st->prevNLSF_Q15[i] = nlsf[i];
+
+    i32 pitchL[MAX_NB_SUBFR] = {0, 0, 0, 0};
+    i32 ltp_coef[MAX_NB_SUBFR * LTP_ORDER] = {0};
+    i32 ltp_scale_q14 = 0;
+    int per_index = ind.PERIndex;
+    if (ind.signalType == TYPE_VOICED) {
+        decode_pitch(ind.lagIndex, ind.contourIndex, pitchL, st->fs_kHz,
+                     st->nb_subfr);
+        const signed char* vq[3] = {
+            (const signed char*)silk_LTP_gain_vq_0,
+            (const signed char*)silk_LTP_gain_vq_1,
+            (const signed char*)silk_LTP_gain_vq_2};
+        for (int k = 0; k < st->nb_subfr; k++)
+            for (int i = 0; i < LTP_ORDER; i++)
+                ltp_coef[k * LTP_ORDER + i] =
+                    (i32)vq[per_index][ind.LTPIndex[k] * LTP_ORDER + i] << 7;
+        ltp_scale_q14 = silk_LTPScales_table_Q14[ind.LTP_scaleIndex];
+    }
+
+    // ---- excitation expansion ----
+    i32 offset_q10 = silk_Quantization_Offsets_Q10[
+        (ind.signalType >> 1) * 2 + ind.quantOffsetType];
+    i32 seed = ind.Seed;
+    for (int i = 0; i < st->frame_length; i++) {
+        seed = silk_RAND(seed);
+        i32 e = LSHIFT32(pulses[i], 14);
+        if (e > 0) e -= 80 << 4;
+        else if (e < 0) e += 80 << 4;
+        e += offset_q10 << 4;
+        if (seed < 0) e = -e;
+        exc_out[i] = e;
+        seed = ADD32_ovflw(seed, pulses[i]);
+    }
+
+    // ---- device param assembly (matches batch_silk.silk_host_frame) ----
+    int voiced = ind.signalType == TYPE_VOICED;
+    int interp = ind.NLSFInterpCoef_Q2 < 4;
+    memset(A_out, 0, 2 * MAX_LPC_ORDER * sizeof(i32));
+    for (int i = 0; i < st->LPC_order; i++) {
+        A_out[i] = pred0[i];
+        A_out[MAX_LPC_ORDER + i] = pred1[i];
+    }
+    for (int k = 0; k < st->nb_subfr; k++) {
+        for (int i = 0; i < LTP_ORDER; i++)
+            B_out[k * LTP_ORDER + i] = ltp_coef[k * LTP_ORDER + i];
+        i32 g = gains_q16[k];
+        gains_out[k] = g;
+        i32 inv = INVERSE32_varQ(g, 47);
+        flags_out[k] = voiced;
+        lag_out[k] = voiced ? pitchL[k] : 15;
+        int rw = voiced && (k == 0 || (k == 2 && interp));
+        flags_out[4 + k] = rw;
+        if (rw && k == 0)
+            inv = LSHIFT32(SMULWB(inv, ltp_scale_q14), 2);
+        inv_out[k] = inv;
+        if (g != st->prev_gain_Q16) {
+            adj_out[k] = DIV32_varQ(st->prev_gain_Q16, g, 16);
+            flags_out[8 + k] = 0;
+        } else {
+            adj_out[k] = 1 << 16;
+            flags_out[8 + k] = 1;
+        }
+        st->prev_gain_Q16 = g;
+    }
+
+    st->prevSignalType = ind.signalType;
+    st->first_frame_after_reset = 0;
+    st->lagPrev = voiced ? pitchL[st->nb_subfr - 1] : 0;
+
+    if (hybrid) {
+        if (ec.tell() + 37 <= 8 * len) ec.bit_logp(12);
+    }
+    ec_out[0] = (i32)ec.offs;
+    ec_out[1] = (i32)ec.end_offs;
+    ec_out[2] = (i32)ec.end_window;
+    ec_out[3] = ec.nend_bits;
+    ec_out[4] = ec.nbits_total;
+    ec_out[5] = (i32)ec.val;
+    ec_out[6] = (i32)ec.rng;
+    ec_out[7] = ec.rem;
+    ec_out[8] = ec.error;
+    misc_out[0] = ind.signalType;
+    misc_out[1] = interp;
+    misc_out[2] = ind.Seed;
+    misc_out[3] = st->lagPrev;
+    return 0;
+}
+
+}  // extern "C"

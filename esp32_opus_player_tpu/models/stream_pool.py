@@ -103,6 +103,11 @@ class StreamPool:
         from .opus_decoder import OpusDecoder
         self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
                        for _ in range(self.n)]
+        if native:
+            from ..host.native import NativeSilkHost
+            self.silk_hosts = [NativeSilkHost() for _ in range(self.n)]
+        else:
+            self.silk_hosts = None
 
     # ------------------------------------------------------------------
     def _silk_bucket(self, fs: int) -> dict:
@@ -138,30 +143,37 @@ class StreamPool:
                                          None, 960, defer_synthesis=True)
             return ("celt", i, si, job)
         if kind == "silk":
-            from ..host.range_decoder import RangeDecoder
             parsed = parse_packet(job.data)
             fs = self.path[i][1]
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
-            params = silk_host_frame(silk, RangeDecoder(parsed.frames[0]),
-                                     fs, 20)
+            if self.silk_hosts is not None:
+                params = self.silk_hosts[i].frame(parsed.frames[0], fs)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                params = silk_host_frame(
+                    silk, RangeDecoder(parsed.frames[0]), fs, 20)
             return ("silk", i, (fs, params), job)
         if kind == "hybrid":
-            # shared range coder: SILK symbols on the host, then hand the
-            # ec state to the native CELT engine (start band 17)
-            from ..host.range_decoder import RangeDecoder
+            # shared range coder: SILK symbols first, then the CELT engine
+            # resumes the same coder state (start band 17)
             parsed = parse_packet(job.data)
             frame = parsed.frames[0]
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(1, 1, 20, 16000, 48000)
-            dec = RangeDecoder(frame)
-            sp = silk_host_frame(silk, dec, 16, 20)
-            if dec.tell() + 37 <= 8 * len(frame):
-                dec.dec_bit_logp(12)  # redundancy flag (payload skipped)
+            if self.silk_hosts is not None:
+                sp = self.silk_hosts[i].frame(frame, 16, hybrid=True)
+                ec_state = sp["ec_state"]
+            else:
+                from ..host.range_decoder import RangeDecoder
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, 16000, 48000)
+                dec = RangeDecoder(frame)
+                sp = silk_host_frame(silk, dec, 16, 20)
+                if dec.tell() + 37 <= 8 * len(frame):
+                    dec.dec_bit_logp(12)  # redundancy flag
+                ec_state = dec.export_state()
             host = self.celt_hosts[i]
             host.start = 17
-            csi = host.decode_symbol_phase(frame, 960,
-                                           ec_state=dec.export_state())
+            csi = host.decode_symbol_phase(frame, 960, ec_state=ec_state)
             return ("hybrid", i, (sp, csi), job)
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)

@@ -36,3 +36,27 @@ def test_native_celt_host_matches_python(name, ch):
         assert si_py["comb1"] == si_nat["comb1"], j
         assert si_py["comb2"] == si_nat["comb2"], j
         assert py.rng == si_nat["rng"], j
+
+
+@pytest.mark.parametrize("name,fs", [
+    ("silk_wb_mono_20ms", 16),
+    ("silk_nb_mono_20ms", 8),
+    ("silk_mb_mono_20ms", 12),
+])
+def test_native_silk_host_matches_python(name, fs):
+    native = pytest.importorskip("esp32_opus_player_tpu.host.native")
+    from esp32_opus_player_tpu.models.silk_decoder import SilkDecoder
+    from esp32_opus_player_tpu.models.batch_silk import silk_host_frame
+    s = opusfile.open_file(fixture_path(name))
+    py = SilkDecoder()
+    py.set_raw_params(1, 1, 20, fs * 1000, 48000)
+    nat = native.NativeSilkHost()
+    for j, job in enumerate(s.jobs[:40]):
+        pkt = parse_packet(job.data).frames[0]
+        pp = silk_host_frame(py, RangeDecoder(pkt), fs, 20)
+        pn = nat.frame(pkt, fs)
+        for key in ("A", "B", "gains", "inv", "lag", "voiced", "rewhiten",
+                    "match", "adj", "exc"):
+            assert np.array_equal(
+                np.asarray(pp[key]).astype(np.int64),
+                np.asarray(pn[key]).astype(np.int64)), (j, key)

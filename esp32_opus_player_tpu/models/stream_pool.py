@@ -356,6 +356,24 @@ class StreamPool:
                                 st["delay"][:cap], zl, fs_in_khz=fs,
                                 in_len=frame)
 
+    def final_ranges(self):
+        """Per-stream range-coder state after the last decoded packet — the
+        OPUS_GET_FINAL_RANGE conformance probe (reference
+        src/opus_decoder.cpp:375), exported for stream-health monitoring."""
+        out = []
+        for i in range(self.n):
+            kind = self.path[i][0]
+            if kind == "celt" and self.native:
+                out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
+            elif kind in ("silk", "hybrid") and self.native:
+                if kind == "hybrid":
+                    out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
+                else:
+                    out.append(None)  # silk-only: rng lives in ec per frame
+            else:
+                out.append(self.scalar[i].final_range)
+        return out
+
     def run(self):
         """Decode everything; returns a list of (n_i, channels) int16."""
         while self.step():

@@ -11,6 +11,15 @@ from conftest import fixture_path
 
 
 @pytest.mark.slow
+def test_pool_stereo_celt():
+    srcs = [str(fixture_path("celt_fb_stereo_20ms"))]
+    pool = StreamPool(srcs, channels=2, native=True, compat_ref=True)
+    outs = pool.run()
+    ref = decode_file(srcs[0], DecoderConfig(channels=2, compat_ref=True))
+    assert np.array_equal(outs[0], ref)
+
+
+@pytest.mark.slow
 def test_pool_matches_file_decode():
     srcs = [str(fixture_path("celt_fb_mono_drums_20ms")),
             str(fixture_path("celt_nb_mono_20ms")),

@@ -57,6 +57,9 @@ class StreamPool:
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
         self.silk_buckets: dict[int, dict] = {}
+        self._stats = dict(steps=0, frames=0, bytes_in=0, samples_out=0,
+                           frames_celt=0, frames_silk=0, frames_hybrid=0,
+                           frames_scalar=0, buckets={})
         self._pool = None
         if host_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -188,6 +191,11 @@ class StreamPool:
         results = [r for r in results if r is not None]
         if not results:
             return False
+        self._stats["steps"] += 1
+        self._stats["frames"] += len(results)
+        for kind, _i, _p, job in results:
+            self._stats["bytes_in"] += len(job.data)
+            self._stats[f"frames_{kind}"] += 1
 
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[int, list] = {}
@@ -234,13 +242,17 @@ class StreamPool:
     def _trim(self, pcm, job):
         lo = job.discard_front
         hi = pcm.shape[0] - job.trim_end
-        return pcm[lo:max(hi, lo)]
+        out = pcm[lo:max(hi, lo)]
+        self._stats["samples_out"] += out.shape[0]
+        return out
 
     # ------------------------------------------------------------------
     def _celt_group(self, items, LM, C, CC, transient):
         N = SHORT_MDCT_SIZE << LM
         n = len(items)
         cap = _pow2_cap(n)
+        bk = ("celt", LM, C, CC, transient, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
         X = np.zeros((cap, C, N), dtype=np.int32)
@@ -282,6 +294,8 @@ class StreamPool:
         ltp = 20 * fs
         n = len(items)
         cap = _pow2_cap(n)
+        bk = ("silk", fs, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
 
@@ -373,6 +387,39 @@ class StreamPool:
             else:
                 out.append(self.scalar[i].final_range)
         return out
+
+    def stats(self) -> dict:
+        """Decode statistics: frame/byte/sample counters per path kind plus
+        a (bucket-key -> launches) histogram of the device buckets hit —
+        the observability surface for a farm deployment (the reference has
+        only per-frame serial logging, src/Audio.cpp)."""
+        active = sum(1 for i in range(self.n)
+                     if self.positions[i] < len(self.streams[i].jobs))
+        out = dict(self._stats, buckets=dict(self._stats["buckets"]),
+                   streams=self.n, active_streams=active)
+        return out
+
+    def drain(self):
+        """Return the PCM decoded since the last drain (list of
+        (n_i, channels) int16 per stream) and clear the buffers — the
+        serving-style consumption API (bounded memory on endless streams)."""
+        out = [np.concatenate(p) if p else
+               np.zeros((0, self.channels), dtype=np.int16)
+               for p in self.pcm_out]
+        self.pcm_out = [[] for _ in range(self.n)]
+        return out
+
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the complete decode state (device pytrees, native host
+        structs, scalar decoders, cursors) for preemptible-safe resume."""
+        from ..utils import checkpoint
+        checkpoint.save(self, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a snapshot taken by save_checkpoint onto this pool
+        (must be constructed over the same sources)."""
+        from ..utils import checkpoint
+        checkpoint.load(self, path)
 
     def run(self):
         """Decode everything; returns a list of (n_i, channels) int16."""

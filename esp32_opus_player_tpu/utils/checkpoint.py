@@ -1,0 +1,100 @@
+"""Checkpoint/resume for StreamPool (SURVEY.md §6 aux subsystems).
+
+The pool's full decode state is explicit — device pytrees (CELT decode_mem/
+preemph, per-rate SILK buckets), native host ctypes structs, scalar Python
+decoders, and per-stream cursor positions — so a checkpoint is a plain
+snapshot of all of it. The device state is a pytree of numpy-convertible
+arrays, so orbax works too; this module is the dependency-free path
+(pickle + numpy) used by ``StreamPool.save_checkpoint`` / ``load_checkpoint``.
+
+Reference parity: the ESP32 player has no checkpointing (a reboot restarts
+the stream); a 10k-stream farm needs preemptible-safe resume, so this is a
+TPU-native addition, not a ported feature.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import pickle
+
+import numpy as np
+
+CKPT_VERSION = 1
+
+
+def _stream_digest(stream) -> tuple:
+    """Cheap identity check so a checkpoint is only restored onto the same
+    set of sources (n_jobs + hash of the first packet)."""
+    first = stream.jobs[0].data if stream.jobs else b""
+    return (len(stream.jobs), hashlib.sha1(first).hexdigest())
+
+
+def snapshot(pool) -> dict:
+    """Capture the pool's complete decode state as a picklable dict."""
+    ck = dict(
+        version=CKPT_VERSION,
+        n=pool.n,
+        channels=pool.channels,
+        native=pool.native,
+        digests=[_stream_digest(s) for s in pool.streams],
+        positions=list(pool.positions),
+        path=list(pool.path),
+        pcm_out=[[np.asarray(a) for a in per] for per in pool.pcm_out],
+        device_state={k: np.asarray(v) for k, v in pool.state.items()},
+        silk_buckets={fs: {k: np.asarray(v) for k, v in st.items()}
+                      for fs, st in pool.silk_buckets.items()},
+        stats=dict(pool._stats, buckets=dict(pool._stats["buckets"])),
+    )
+    if pool.native:
+        ck["celt_hosts"] = [bytes(h.st) for h in pool.celt_hosts]
+        ck["celt_hosts_start"] = [h.start for h in pool.celt_hosts]
+        ck["silk_hosts"] = [bytes(h.st) for h in pool.silk_hosts]
+    else:
+        ck["celt_hosts"] = [pickle.dumps(h) for h in pool.celt_hosts]
+    # scalar decoders are pure-Python state (numpy + ints) — picklable
+    ck["scalar"] = [pickle.dumps(d) for d in pool.scalar]
+    return ck
+
+
+def restore(pool, ck: dict) -> None:
+    """Load a snapshot into a freshly constructed pool over the SAME
+    sources (validated by per-stream digests)."""
+    import jax.numpy as jnp
+
+    if ck["version"] != CKPT_VERSION:
+        raise ValueError(f"checkpoint version {ck['version']} != "
+                         f"{CKPT_VERSION}")
+    if ck["n"] != pool.n or ck["channels"] != pool.channels \
+            or ck["native"] != pool.native:
+        raise ValueError("checkpoint pool shape mismatch")
+    digests = [_stream_digest(s) for s in pool.streams]
+    if digests != ck["digests"]:
+        raise ValueError("checkpoint sources differ from this pool's")
+
+    pool.positions = list(ck["positions"])
+    pool.path = list(ck["path"])
+    pool.pcm_out = [[np.asarray(a) for a in per] for per in ck["pcm_out"]]
+    pool.state = {k: jnp.asarray(v) for k, v in ck["device_state"].items()}
+    pool.silk_buckets = {fs: {k: jnp.asarray(v) for k, v in st.items()}
+                         for fs, st in ck["silk_buckets"].items()}
+    pool._stats = dict(ck["stats"], buckets=dict(ck["stats"]["buckets"]))
+    if pool.native:
+        for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
+                                 ck["celt_hosts_start"]):
+            ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
+            h.start = start
+        for h, raw in zip(pool.silk_hosts, ck["silk_hosts"]):
+            ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
+    else:
+        pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
+    pool.scalar = [pickle.loads(b) for b in ck["scalar"]]
+
+
+def save(pool, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(snapshot(pool), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load(pool, path: str) -> None:
+    with open(path, "rb") as f:
+        restore(pool, pickle.load(f))

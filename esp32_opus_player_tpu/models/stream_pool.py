@@ -11,6 +11,12 @@ Per frame step:
      synthesis, scatter state back (duplicate pad indices write identical
      values, so the scatter is deterministic).
 
+Packet loss (BASELINE config 5): step(lost=...) conceals the marked
+streams' frames without leaving the batched path — SILK loss decodes the
+normal frame over an empty bitstream (the reference's pruned-PLC
+semantics), CELT loss is silence with state untouched, hybrid loss
+advances SILK and mutes the frame (the reference's CELT stage errors).
+
 Stream classification happens at init: streams whose packets are uniformly
 CELT 20 ms, mono SILK 20 ms, or mono hybrid 20 ms take the batched paths
 (hybrid runs the host SILK symbol walk, hands the shared range-coder state
@@ -59,7 +65,7 @@ class StreamPool:
         self.silk_buckets: dict[int, dict] = {}
         self._stats = dict(steps=0, frames=0, bytes_in=0, samples_out=0,
                            frames_celt=0, frames_silk=0, frames_hybrid=0,
-                           frames_scalar=0, buckets={})
+                           frames_scalar=0, frames_lost=0, buckets={})
         self._pool = None
         if host_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -128,13 +134,15 @@ class StreamPool:
             )
         return self.silk_buckets[fs]
 
-    def _host_one(self, i: int):
+    def _host_one(self, i: int, lost: bool = False):
         s = self.streams[i]
         if self.positions[i] >= len(s.jobs):
             return None
         job = s.jobs[self.positions[i]]
         self.positions[i] += 1
         kind = self.path[i][0]
+        if lost:
+            return self._host_one_lost(i, kind, job)
         if kind == "celt":
             parsed = parse_packet(job.data)
             host = self.celt_hosts[i]
@@ -162,10 +170,15 @@ class StreamPool:
             # resumes the same coder state (start band 17)
             parsed = parse_packet(job.data)
             frame = parsed.frames[0]
+            host = self.celt_hosts[i]
+            host.start = 17
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(frame, 16, hybrid=True)
-                ec_state = sp["ec_state"]
+                csi = host.decode_symbol_phase(frame, 960,
+                                               ec_state=sp["ec_state"])
             else:
+                # python path: the live RangeDecoder carries straight
+                # from the SILK symbol walk into the CELT one
                 from ..host.range_decoder import RangeDecoder
                 silk = self.scalar[i]._get_silk()
                 silk.set_raw_params(1, 1, 20, 16000, 48000)
@@ -173,36 +186,89 @@ class StreamPool:
                 sp = silk_host_frame(silk, dec, 16, 20)
                 if dec.tell() + 37 <= 8 * len(frame):
                     dec.dec_bit_logp(12)  # redundancy flag
-                ec_state = dec.export_state()
-            host = self.celt_hosts[i]
-            host.start = 17
-            csi = host.decode_symbol_phase(frame, 960, ec_state=ec_state)
+                csi = host.decode_with_ec(dec, None, 960,
+                                          defer_synthesis=True)
             return ("hybrid", i, (sp, csi), job)
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)
 
-    def step(self) -> bool:
+    def _host_one_lost(self, i: int, kind: str, job):
+        """Packet i was lost in transit. compat semantics per path
+        (mirrors OpusDecoder._decode_plc, src/opus_decoder.cpp:294):
+        SILK decodes the normal frame path over an EMPTY bitstream;
+        CELT loss is silence with decoder state untouched; hybrid loss
+        advances the SILK state over the empty bitstream, then the CELT
+        stage errors (reference storage check, src/celt.cpp:2226) — the
+        pool substitutes silence for the error return."""
+        if kind == "celt":
+            return ("celt_lost", i, None, job)
+        if kind == "silk":
+            fs = self.path[i][1]
+            if self.silk_hosts is not None:
+                params = self.silk_hosts[i].frame(b"", fs)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                params = silk_host_frame(silk, RangeDecoder(b""), fs, 20)
+            return ("silk", i, (fs, params), job)
+        if kind == "hybrid":
+            if self.silk_hosts is not None:
+                sp = self.silk_hosts[i].frame(b"", 16, hybrid=True)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, 16000, 48000)
+                sp = silk_host_frame(silk, RangeDecoder(b""), 16, 20)
+            return ("silk_mute", i, (16, sp), job)
+        try:
+            pcm = self.scalar[i].decode(None)
+        except ValueError:
+            pcm = np.zeros((960, self.channels), dtype=np.int16)
+        return ("scalar", i, pcm, job)
+
+    def step(self, lost=None) -> bool:
         """Decode one frame on every active stream. Returns False when all
-        streams are exhausted."""
+        streams are exhausted. lost: optional set of stream indices whose
+        next packet was lost in transit (BASELINE config 5 — the packet is
+        consumed from the source but concealed, not decoded)."""
+        lost = lost or ()
         if self._pool is not None:
-            results = list(self._pool.map(self._host_one, range(self.n)))
+            results = list(self._pool.map(
+                lambda i: self._host_one(i, i in lost), range(self.n)))
         else:
-            results = [self._host_one(i) for i in range(self.n)]
+            results = [self._host_one(i, i in lost) for i in range(self.n)]
         results = [r for r in results if r is not None]
         if not results:
             return False
         self._stats["steps"] += 1
         self._stats["frames"] += len(results)
-        for kind, _i, _p, job in results:
-            self._stats["bytes_in"] += len(job.data)
-            self._stats[f"frames_{kind}"] += 1
+        _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid"}
+        for kind, i, _p, job in results:
+            if i in lost:
+                self._stats["frames_lost"] += 1
+            else:
+                self._stats["bytes_in"] += len(job.data)
+            self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
 
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[int, list] = {}
         hybrid = set()
+        mute = set()
         for kind, i, payload, job in results:
             if kind == "scalar":
                 self.pcm_out[i].append(self._trim(payload, job))
+            elif kind == "celt_lost":
+                # CELT loss: silence, state untouched (mirrors the scalar
+                # compat path — _decode_plc skips CELT entirely)
+                z = np.zeros((960, self.channels), dtype=np.int16)
+                self.pcm_out[i].append(self._trim(z, job))
+            elif kind == "silk_mute":
+                # hybrid loss: SILK state advances over the empty
+                # bitstream, output is silence (CELT stage errors)
+                mute.add(i)
+                fs, params = payload
+                silk_groups.setdefault(fs, []).append((i, params, job))
             elif kind == "silk":
                 fs, params = payload
                 silk_groups.setdefault(fs, []).append((i, params, job))
@@ -227,7 +293,10 @@ class StreamPool:
             silk_pcm.update(self._silk_group(items, fs))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
-            if i in hybrid:
+            if i in mute:
+                self.pcm_out[i].append(self._trim(
+                    np.zeros_like(silk_pcm[i]), jobs_of[i]))
+            elif i in hybrid:
                 # saturating SILK+CELT mix (src/opus_decoder.cpp:272)
                 mixed = np.clip(celt_pcm[i].astype(np.int32)
                                 + silk_pcm[i].astype(np.int32),
@@ -421,10 +490,18 @@ class StreamPool:
         from ..utils import checkpoint
         checkpoint.load(self, path)
 
-    def run(self):
-        """Decode everything; returns a list of (n_i, channels) int16."""
-        while self.step():
-            pass
+    def run(self, loss=None):
+        """Decode everything; returns a list of (n_i, channels) int16.
+        loss: optional callable (stream_idx, packet_idx) -> bool marking
+        packets lost in transit (concealed, not decoded)."""
+        while True:
+            lost = set()
+            if loss is not None:
+                lost = {i for i in range(self.n)
+                        if self.positions[i] < len(self.streams[i].jobs)
+                        and loss(i, self.positions[i])}
+            if not self.step(lost):
+                break
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

@@ -149,6 +149,11 @@ def _bind_silk(lib):
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(SilkHostState),
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
+    lib.silk_host_frame_fec_c.restype = ctypes.c_int
+    lib.silk_host_frame_fec_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
     lib.silk_host_reset.argtypes = [ctypes.POINTER(SilkHostState)]
     lib._silk_bound = True
 
@@ -193,3 +198,34 @@ class NativeSilkHost:
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     ec_state=[int(v) & 0xFFFFFFFF for v in ec])
+
+    def fec_frame(self, data: bytes, fs_khz: int, payload_ms: int = 20):
+        """In-band FEC: decode this packet's LBRR copy of the previous
+        (lost) frame. Returns the device param dict, or None when the
+        packet carries no usable LBRR."""
+        frame_len = payload_ms * fs_khz
+        exc = np.zeros(frame_len, dtype=np.int32)
+        A = np.zeros((2, 16), dtype=np.int32)
+        B = np.zeros((4, 5), dtype=np.int32)
+        gains = np.zeros(4, dtype=np.int32)
+        inv = np.zeros(4, dtype=np.int32)
+        lag = np.zeros(4, dtype=np.int32)
+        flags = np.zeros(12, dtype=np.int32)
+        adj = np.zeros(4, dtype=np.int32)
+        misc = np.zeros(4, dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_frame_fec_c(
+            data, len(data), fs_khz, payload_ms, ctypes.byref(self.st),
+            p(exc), p(A), p(B), p(gains), p(inv), p(lag), p(flags), p(adj),
+            p(misc))
+        if ret == -4:
+            return None
+        if ret != 0:
+            raise ValueError(f"silk_host_frame_fec_c failed: {ret}")
+        return dict(A=A, B=B, gains=gains, inv=inv, lag=lag,
+                    voiced=flags[0:4].astype(bool),
+                    rewhiten=flags[4:8].astype(bool),
+                    match=flags[8:12].astype(bool), adj=adj, exc=exc)

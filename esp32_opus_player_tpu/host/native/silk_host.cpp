@@ -591,48 +591,15 @@ static void decode_pitch(int lag_index, int contour_index, i32* pitch_lags,
                               min_lag, max_lag);
 }
 
-}  // namespace
-
-extern "C" {
-
-// One mono no-loss SILK frame: consumes the packet's SILK symbols
-// (header flags on first frame), emits the device tensors for
-// ops/silk/jax_core.py::silk_core_frame, and (optionally, hybrid=1) reads
-// the hybrid redundancy flag and exports the ec state for the CELT engine.
-//
-// Outputs: exc[frame], A[2*16], B[4*5], gains[4], inv[4], lag[4],
-// flags[12] (voiced[4], rewhiten[4], match[4]), adj[4], ec_out[9],
-// misc[4] = {signalType, interp<4, seed, lagPrev}.
-int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
-                      int payload_ms, int hybrid, SilkHostState* st,
-                      i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
-                      i32* inv_out, i32* lag_out, i32* flags_out,
-                      i32* adj_out, i32* ec_out, i32* misc_out) {
-    EcDec ec;
-    ec.init(data, (u32)len);
-
-    int n_frames = payload_ms <= 20 ? 1 : payload_ms / 20;
-    int nb_subfr = payload_ms == 10 ? 2 : 4;
-    if (n_frames != 1) return -3;   // multi-frame packets: scalar fallback
-    st->nFramesPerPacket = 1;
-    set_fs(st, fs_khz, nb_subfr);
-
-    // header: VAD + LBRR flags (first frame of each packet)
-    for (int i = 0; i < st->nFramesPerPacket; i++)
-        st->VAD_flags[i] = ec.bit_logp(1);
-    st->LBRR_flag = ec.bit_logp(1);
-    memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
-    if (st->LBRR_flag) st->LBRR_flags[0] = 1;
-    // skip LBRR payload (normal decode path)
+// Decode one SILK frame's symbols (normal or LBRR) into the device
+// tensors — the shared back half of the normal and FEC entry points.
+// cond is always CODE_INDEPENDENTLY here (single-frame packets).
+static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
+                           i32* exc_out, i32* A_out, i32* B_out,
+                           i32* gains_out, i32* inv_out, i32* lag_out,
+                           i32* flags_out, i32* adj_out, i32* misc_out) {
     Indices ind;
-    if (st->LBRR_flags[0]) {
-        int pulses_tmp[MAX_NB_SUBFR * 5 * 16 / 16 * 16 + 16];
-        decode_indices(ec, st, ind, 0, 1, 0);
-        decode_pulses(ec, pulses_tmp, ind.signalType, ind.quantOffsetType,
-                      st->frame_length);
-    }
-
-    decode_indices(ec, st, ind, 0, 0, 0);  // CODE_INDEPENDENTLY
+    decode_indices(ec, st, ind, 0, decode_lbrr, 0);
     int pulses[320 + 16];
     decode_pulses(ec, pulses, ind.signalType, ind.quantOffsetType,
                   st->frame_length);
@@ -729,6 +696,59 @@ int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
     st->first_frame_after_reset = 0;
     st->lagPrev = voiced ? pitchL[st->nb_subfr - 1] : 0;
 
+    misc_out[0] = ind.signalType;
+    misc_out[1] = interp;
+    misc_out[2] = ind.Seed;
+    misc_out[3] = st->lagPrev;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One mono no-loss SILK frame: consumes the packet's SILK symbols
+// (header flags on first frame), emits the device tensors for
+// ops/silk/jax_core.py::silk_core_frame, and (optionally, hybrid=1) reads
+// the hybrid redundancy flag and exports the ec state for the CELT engine.
+//
+// Outputs: exc[frame], A[2*16], B[4*5], gains[4], inv[4], lag[4],
+// flags[12] (voiced[4], rewhiten[4], match[4]), adj[4], ec_out[9],
+// misc[4] = {signalType, interp<4, seed, lagPrev}.
+int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
+                      int payload_ms, int hybrid, SilkHostState* st,
+                      i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
+                      i32* inv_out, i32* lag_out, i32* flags_out,
+                      i32* adj_out, i32* ec_out, i32* misc_out) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+
+    int n_frames = payload_ms <= 20 ? 1 : payload_ms / 20;
+    int nb_subfr = payload_ms == 10 ? 2 : 4;
+    if (n_frames != 1) return -3;   // multi-frame packets: scalar fallback
+    st->nFramesPerPacket = 1;
+    set_fs(st, fs_khz, nb_subfr);
+
+    // header: VAD + LBRR flags (first frame of each packet)
+    for (int i = 0; i < st->nFramesPerPacket; i++)
+        st->VAD_flags[i] = ec.bit_logp(1);
+    st->LBRR_flag = ec.bit_logp(1);
+    memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
+    if (st->LBRR_flag) st->LBRR_flags[0] = 1;
+    // skip LBRR payload (normal decode path)
+    if (st->LBRR_flags[0]) {
+        Indices ind;
+        int pulses_tmp[320 + 16];
+        decode_indices(ec, st, ind, 0, 1, 0);
+        decode_pulses(ec, pulses_tmp, ind.signalType, ind.quantOffsetType,
+                      st->frame_length);
+    }
+
+    int ret = frame_to_params(ec, st, 0, exc_out, A_out, B_out, gains_out,
+                              inv_out, lag_out, flags_out, adj_out,
+                              misc_out);
+    if (ret != 0) return ret;
+
     if (hybrid) {
         if (ec.tell() + 37 <= 8 * len) ec.bit_logp(12);
     }
@@ -741,11 +761,37 @@ int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
     ec_out[6] = (i32)ec.rng;
     ec_out[7] = ec.rem;
     ec_out[8] = ec.error;
-    misc_out[0] = ind.signalType;
-    misc_out[1] = interp;
-    misc_out[2] = ind.Seed;
-    misc_out[3] = st->lagPrev;
     return 0;
+}
+
+// In-band FEC: decode the LBRR copy of this packet's (lost) predecessor
+// frame (silk_Decode lostFlag=2, reference src/silk.cpp:1682). Returns
+// -4 when the packet carries no LBRR for frame 0 — the caller falls back
+// to the loss path. State mutations match a scalar decode_fec call, so a
+// subsequent normal decode of the SAME packet continues bit-exactly.
+int silk_host_frame_fec_c(const unsigned char* data, int len, int fs_khz,
+                          int payload_ms, SilkHostState* st,
+                          i32* exc_out, i32* A_out, i32* B_out,
+                          i32* gains_out, i32* inv_out, i32* lag_out,
+                          i32* flags_out, i32* adj_out, i32* misc_out) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+
+    int n_frames = payload_ms <= 20 ? 1 : payload_ms / 20;
+    int nb_subfr = payload_ms == 10 ? 2 : 4;
+    if (n_frames != 1) return -3;
+    st->nFramesPerPacket = 1;
+    set_fs(st, fs_khz, nb_subfr);
+
+    for (int i = 0; i < st->nFramesPerPacket; i++)
+        st->VAD_flags[i] = ec.bit_logp(1);
+    st->LBRR_flag = ec.bit_logp(1);
+    memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
+    if (st->LBRR_flag) st->LBRR_flags[0] = 1;
+    if (!st->LBRR_flags[0]) return -4;  // no usable FEC in this packet
+
+    return frame_to_params(ec, st, 1, exc_out, A_out, B_out, gains_out,
+                           inv_out, lag_out, flags_out, adj_out, misc_out);
 }
 
 }  // extern "C"

@@ -93,7 +93,13 @@ def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
                               ch.ind_quantOffsetType, ch.frame_length)
     h._decode_parameters(0, ctrl, cond)
     exc = host_exc(ch, pulses)
+    p = _assemble_params(ch, ctrl, exc)
+    _finish_frame(ch, ctrl)
+    return p
 
+
+def _assemble_params(ch, ctrl, exc):
+    """Device-frame tensor assembly shared by the normal and FEC paths."""
     nb = ch.nb_subfr
     voiced = ch.ind_signalType == sd.TYPE_VOICED
     interp = ch.ind_NLSFInterpCoef_Q2 < 4
@@ -130,8 +136,12 @@ def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
             p["adj"][k] = 1 << 16
             p["match"][k] = True
         ch.prev_gain_Q16 = g
+    return p
 
-    # host state bookkeeping (normal path, src/silk.cpp:2013-2050)
+
+def _finish_frame(ch, ctrl):
+    """Host state bookkeeping after a decoded (normal or LBRR) frame
+    (src/silk.cpp:2013-2050)."""
     from ..ops.silk import plc as sp
     sp.plc(ch, ctrl, None, 0, 0)   # update-only: no frame access
     ch.lossCnt = 0
@@ -139,6 +149,43 @@ def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
     ch.first_frame_after_reset = 0
     ch.lagPrev = ctrl.pitchL[ch.nb_subfr - 1]
     ch.nFramesDecoded += 1
+
+
+def silk_host_frame_fec(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
+                        payload_ms: int):
+    """In-band FEC symbol phase: decode this packet's LBRR copy of the
+    previous (lost) frame (silk_Decode lostFlag=2, reference
+    src/silk.cpp:1682). Returns the device-frame param dict, or None when
+    the packet carries no LBRR for frame 0 (caller falls back to the loss
+    path). State mutations match a scalar decode_fec call, so a subsequent
+    normal decode of the SAME packet continues bit-exactly."""
+    ch = h.channel_states[0]
+    ch.nFramesDecoded = 0
+    ch.nFramesPerPacket = {10: 1, 20: 1, 40: 2, 60: 3}[payload_ms]
+    ch.nb_subfr = 2 if payload_ms == 10 else 4
+    h._set_fs(0, fs_khz, 48000)
+    for i in range(ch.nFramesPerPacket):
+        ch.VAD_flags[i] = dec.dec_bit_logp(1)
+    ch.LBRR_flag = dec.dec_bit_logp(1)
+    ch.LBRR_flags = [0, 0, 0]
+    if ch.LBRR_flag:
+        if ch.nFramesPerPacket == 1:
+            ch.LBRR_flags[0] = 1
+        else:
+            sym = dec.dec_icdf(
+                sd.LBRR_FLAGS_ICDF_PTR[ch.nFramesPerPacket - 2], 8) + 1
+            for i in range(ch.nFramesPerPacket):
+                ch.LBRR_flags[i] = (sym >> i) & 1
+    if not ch.LBRR_flags[0]:
+        return None
+    ctrl = DecoderControl()
+    sd.decode_indices(dec, ch, 0, 1, sd.CODE_INDEPENDENTLY)
+    pulses = sd.decode_pulses(dec, ch.ind_signalType,
+                              ch.ind_quantOffsetType, ch.frame_length)
+    h._decode_parameters(0, ctrl, sd.CODE_INDEPENDENTLY)
+    exc = host_exc(ch, pulses)
+    p = _assemble_params(ch, ctrl, exc)
+    _finish_frame(ch, ctrl)
     return p
 
 

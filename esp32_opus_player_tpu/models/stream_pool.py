@@ -65,7 +65,8 @@ class StreamPool:
         self.silk_buckets: dict[int, dict] = {}
         self._stats = dict(steps=0, frames=0, bytes_in=0, samples_out=0,
                            frames_celt=0, frames_silk=0, frames_hybrid=0,
-                           frames_scalar=0, frames_lost=0, buckets={})
+                           frames_scalar=0, frames_lost=0, frames_fec=0,
+                           buckets={})
         self._pool = None
         if host_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -134,7 +135,7 @@ class StreamPool:
             )
         return self.silk_buckets[fs]
 
-    def _host_one(self, i: int, lost: bool = False):
+    def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
         if self.positions[i] >= len(s.jobs):
             return None
@@ -142,7 +143,7 @@ class StreamPool:
         self.positions[i] += 1
         kind = self.path[i][0]
         if lost:
-            return self._host_one_lost(i, kind, job)
+            return self._host_one_lost(i, kind, job, use_fec)
         if kind == "celt":
             parsed = parse_packet(job.data)
             host = self.celt_hosts[i]
@@ -192,14 +193,37 @@ class StreamPool:
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)
 
-    def _host_one_lost(self, i: int, kind: str, job):
+    def _host_one_lost(self, i: int, kind: str, job, use_fec: bool = False):
         """Packet i was lost in transit. compat semantics per path
         (mirrors OpusDecoder._decode_plc, src/opus_decoder.cpp:294):
         SILK decodes the normal frame path over an EMPTY bitstream;
         CELT loss is silence with decoder state untouched; hybrid loss
         advances the SILK state over the empty bitstream, then the CELT
         stage errors (reference storage check, src/celt.cpp:2226) — the
-        pool substitutes silence for the error return."""
+        pool substitutes silence for the error return.
+
+        use_fec: reconstruct the lost frame from the NEXT packet's in-band
+        SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
+        same state evolution as a scalar decode_fec + decode sequence."""
+        if use_fec and kind in ("silk", "hybrid") \
+                and self.positions[i] < len(self.streams[i].jobs):
+            fs = self.path[i][1] if kind == "silk" else 16
+            nxt = parse_packet(
+                self.streams[i].jobs[self.positions[i]].data).frames[0]
+            if self.silk_hosts is not None:
+                params = self.silk_hosts[i].fec_frame(nxt, fs)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                from .batch_silk import silk_host_frame_fec
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                params = silk_host_frame_fec(silk, RangeDecoder(nxt),
+                                             fs, 20)
+            if params is not None:
+                # FEC output is SILK-only for hybrid too (the redundant
+                # frame carries no CELT layer) — not muted, not mixed
+                return ("silk_fec", i, (fs, params), job)
+            # no usable LBRR: fall through to the loss path
         if kind == "celt":
             return ("celt_lost", i, None, job)
         if kind == "silk":
@@ -227,17 +251,22 @@ class StreamPool:
             pcm = np.zeros((960, self.channels), dtype=np.int16)
         return ("scalar", i, pcm, job)
 
-    def step(self, lost=None) -> bool:
+    def step(self, lost=None, fec=None) -> bool:
         """Decode one frame on every active stream. Returns False when all
         streams are exhausted. lost: optional set of stream indices whose
         next packet was lost in transit (BASELINE config 5 — the packet is
-        consumed from the source but concealed, not decoded)."""
+        consumed from the source but concealed, not decoded). fec: subset
+        of lost for which the NEXT packet's in-band SILK LBRR should
+        reconstruct the lost frame when present."""
         lost = lost or ()
+        fec = fec or ()
         if self._pool is not None:
             results = list(self._pool.map(
-                lambda i: self._host_one(i, i in lost), range(self.n)))
+                lambda i: self._host_one(i, i in lost, i in fec),
+                range(self.n)))
         else:
-            results = [self._host_one(i, i in lost) for i in range(self.n)]
+            results = [self._host_one(i, i in lost, i in fec)
+                       for i in range(self.n)]
         results = [r for r in results if r is not None]
         if not results:
             return False
@@ -249,7 +278,11 @@ class StreamPool:
                 self._stats["frames_lost"] += 1
             else:
                 self._stats["bytes_in"] += len(job.data)
-            self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
+            if kind == "silk_fec":
+                self._stats["frames_fec"] += 1
+                self._stats[f"frames_{self.path[i][0]}"] += 1
+            else:
+                self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
 
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[int, list] = {}
@@ -269,7 +302,7 @@ class StreamPool:
                 mute.add(i)
                 fs, params = payload
                 silk_groups.setdefault(fs, []).append((i, params, job))
-            elif kind == "silk":
+            elif kind in ("silk", "silk_fec"):
                 fs, params = payload
                 silk_groups.setdefault(fs, []).append((i, params, job))
             elif kind == "hybrid":
@@ -490,17 +523,25 @@ class StreamPool:
         from ..utils import checkpoint
         checkpoint.load(self, path)
 
-    def run(self, loss=None):
+    def run(self, loss=None, fec=False):
         """Decode everything; returns a list of (n_i, channels) int16.
         loss: optional callable (stream_idx, packet_idx) -> bool marking
-        packets lost in transit (concealed, not decoded)."""
+        packets lost in transit (concealed, not decoded). fec=True
+        reconstructs lost SILK/hybrid frames from the next packet's
+        in-band LBRR when that packet arrived (was not itself lost)."""
         while True:
             lost = set()
+            fec_set = set()
             if loss is not None:
-                lost = {i for i in range(self.n)
-                        if self.positions[i] < len(self.streams[i].jobs)
-                        and loss(i, self.positions[i])}
-            if not self.step(lost):
+                for i in range(self.n):
+                    k = self.positions[i]
+                    if k >= len(self.streams[i].jobs) or not loss(i, k):
+                        continue
+                    lost.add(i)
+                    if fec and k + 1 < len(self.streams[i].jobs) \
+                            and not loss(i, k + 1):
+                        fec_set.add(i)
+            if not self.step(lost, fec_set):
                 break
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)

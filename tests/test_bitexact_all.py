@@ -31,6 +31,7 @@ FIXTURES = [
     ("silk_wb_fec_mono_20ms", 1, True),
     ("hybrid_fb_stereo_20ms", 2, True),
     ("hybrid_swb_mono_20ms", 1, False),
+    ("hybrid_swb_fec_mono_20ms", 1, False),
     ("modeswitch_stereo_20ms", 2, False),
 ]
 

@@ -139,6 +139,9 @@ FIXTURES = [
           app=lo.OPUS_APPLICATION_VOIP)),
     ("hybrid_fb_mono_10ms", "music", 1, 1.5, 10,
      dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=36000)),
+    ("hybrid_swb_fec_mono_20ms", "voice", 1, 2.0, 20,
+     dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_SUPERWIDEBAND, br=28000,
+          app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
     ("celt_fb_mono_drums_20ms", "drums", 1, 2.0, 20,
      dict(mode=lo.MODE_CELT_ONLY, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=96000)),
     ("celt_fb_stereo_drums_20ms", "drums", 2, 2.0, 20,

@@ -1,0 +1,63 @@
+"""PoolFarm (BASELINE config 5 shape): streams partitioned across all
+devices of the (virtual 8-device CPU) mesh must decode bit-identically to
+a single-device pool, including loss+FEC schedules routed by global
+stream index, mid-flight stream admission, and shard checkpoints."""
+import numpy as np
+import pytest
+
+import jax
+
+from esp32_opus_player_tpu.models.stream_pool import StreamPool
+from esp32_opus_player_tpu.parallel.farm import PoolFarm
+
+from conftest import fixture_path
+
+NAMES = ["celt_fb_mono_20ms", "silk_wb_mono_20ms", "hybrid_swb_mono_20ms",
+         "silk_wb_fec_mono_20ms", "silk_nb_mono_20ms",
+         "hybrid_swb_fec_mono_20ms", "celt_fb_mono_drums_20ms",
+         "silk_mb_mono_20ms", "silk_wb_mono_20ms", "celt_fb_mono_20ms"]
+SRCS = [str(fixture_path(n)) for n in NAMES]
+
+
+@pytest.mark.slow
+def test_farm_matches_single_pool():
+    farm = PoolFarm(SRCS, channels=1)
+    assert len({str(p.state["decode_mem"].devices()) for p in farm.pools
+                }) > 1, "shards not spread over devices"
+    outs = farm.run()
+    ref = StreamPool(SRCS, channels=1).run()
+    for i in range(len(SRCS)):
+        assert np.array_equal(outs[i], ref[i]), NAMES[i]
+    st = farm.stats()
+    assert st["shards"] == len(jax.devices())
+    assert st["active_streams"] == 0
+    assert st["frames"] == sum(s["frames"] for s in st["per_shard"])
+
+
+@pytest.mark.slow
+def test_farm_loss_fec_global_indexing():
+    lossfn = lambda g, k: k > 0 and (k + g) % 6 == 0
+    farm = PoolFarm(SRCS, channels=1)
+    outs = farm.run(loss=lossfn, fec=True)
+    ref = StreamPool(SRCS, channels=1).run(
+        loss=lossfn, fec=True)
+    for i in range(len(SRCS)):
+        assert np.array_equal(outs[i], ref[i]), NAMES[i]
+    assert farm.stats()["frames_fec"] > 0
+
+
+@pytest.mark.slow
+def test_farm_add_stream_midflight():
+    farm = PoolFarm(SRCS[:4], channels=1)
+    for _ in range(10):
+        farm.step()
+    g = farm.add_stream(SRCS[4])
+    assert g == 4
+    outs = farm.run()
+    # pre-existing streams unaffected by admission
+    ref = StreamPool(SRCS[:4], channels=1).run()
+    for i in range(4):
+        assert np.array_equal(outs[i], ref[i]), NAMES[i]
+    # the admitted stream decodes from scratch, completely
+    ref4 = StreamPool([SRCS[4]], channels=1).run()[0]
+    assert np.array_equal(outs[4], ref4)

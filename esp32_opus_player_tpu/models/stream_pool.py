@@ -51,14 +51,25 @@ def _pow2_cap(n: int) -> int:
 
 class StreamPool:
     def __init__(self, sources, channels: int = 1, native: bool = True,
-                 compat_ref: bool = True, host_threads: int = 0):
-        """sources: list of paths/bytes of Ogg/Opus streams."""
+                 compat_ref: bool = True, host_threads: int = 0,
+                 fixed_buckets: bool = False):
+        """sources: list of paths/bytes of Ogg/Opus streams.
+
+        fixed_buckets=True pads every device bucket to its pool-lifetime
+        capacity (pow2 of the number of streams that can ever hit it)
+        instead of the current frame's count — the per-step split between
+        transient/non-transient CELT buckets then never changes a traced
+        shape, so steady-state serving never recompiles (at the cost of
+        launching full-capacity kernels; the device phase is ~1000x ahead
+        of the host phase, so the waste is invisible end to end)."""
         self.streams = [opusfile.parse_stream(
             s if isinstance(s, (bytes, bytearray)) else open(s, "rb").read())
             for s in sources]
         self.n = len(self.streams)
         self.channels = channels
         self.native = native
+        self.compat_ref = compat_ref
+        self.fixed_buckets = fixed_buckets
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
@@ -77,6 +88,7 @@ class StreamPool:
         for s in self.streams:
             kinds = set()
             fss = set()
+            bws = set()
             for j in s.jobs[:50]:
                 p0 = j.data[0]
                 mode = Mode.CELT_ONLY if p0 & 0x80 else (
@@ -86,10 +98,18 @@ class StreamPool:
                                            get_nb_channels)
                 kinds.add((mode, get_samples_per_frame(p0),
                            get_nb_frames(j.data), get_nb_channels(p0)))
-                fss.add(_FS_OF_BW.get(int(get_bandwidth(p0)), 16))
+                bw = int(get_bandwidth(p0))
+                fss.add(_FS_OF_BW.get(bw, 16))
+                bws.add(bw)
+            # the native CELT engine reproduces the reference's
+            # end-band-ignored quirk (src/celt.cpp:2199); in RFC mode
+            # that only coincides with correct decoding at fullband
+            # (end band 21), so non-FB CELT/hybrid streams go scalar
+            fb_only_ok = compat_ref or bws == {1105}  # FULLBAND
             if len(kinds) == 1:
                 mode, spf, nfr, sch = next(iter(kinds))
-                if mode == Mode.CELT_ONLY and spf == 960 and nfr == 1:
+                if mode == Mode.CELT_ONLY and spf == 960 and nfr == 1 \
+                        and fb_only_ok:
                     self.path.append(("celt",))
                     continue
                 if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
@@ -97,7 +117,7 @@ class StreamPool:
                     self.path.append(("silk", next(iter(fss))))
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
-                        and sch == 1 and channels == 1:
+                        and sch == 1 and channels == 1 and fb_only_ok:
                     self.path.append(("hybrid",))
                     continue
             self.path.append(("scalar",))
@@ -118,6 +138,19 @@ class StreamPool:
             self.silk_hosts = [NativeSilkHost() for _ in range(self.n)]
         else:
             self.silk_hosts = None
+
+        # pool-lifetime bucket capacities (pow2 of the number of streams
+        # that can ever hit each bucket); used always by warmup(), and as
+        # the launch size too when fixed_buckets=True
+        n_celt = sum(1 for p in self.path if p[0] in ("celt", "hybrid"))
+        self._cap_celt = _pow2_cap(max(n_celt, 1))
+        self._cap_silk = {}
+        for fs in {p[1] for p in self.path if p[0] == "silk"} | {16}:
+            cnt = sum(1 for p in self.path
+                      if (p[0] == "silk" and p[1] == fs)
+                      or (p[0] == "hybrid" and fs == 16))
+            if cnt:
+                self._cap_silk[fs] = _pow2_cap(cnt)
 
     # ------------------------------------------------------------------
     def _silk_bucket(self, fs: int) -> dict:
@@ -205,6 +238,11 @@ class StreamPool:
         use_fec: reconstruct the lost frame from the NEXT packet's in-band
         SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
         same state evolution as a scalar decode_fec + decode sequence."""
+        if not self.compat_ref and kind != "scalar":
+            raise NotImplementedError(
+                "batched loss/FEC implements the reference (compat_ref) "
+                "loss semantics; RFC-mode PLC stays on the scalar path — "
+                "decode lossy RFC streams via OpusDecoder")
         if use_fec and kind in ("silk", "hybrid") \
                 and self.positions[i] < len(self.streams[i].jobs):
             fs = self.path[i][1] if kind == "silk" else 16
@@ -352,7 +390,7 @@ class StreamPool:
     def _celt_group(self, items, LM, C, CC, transient):
         N = SHORT_MDCT_SIZE << LM
         n = len(items)
-        cap = _pow2_cap(n)
+        cap = self._cap_celt if self.fixed_buckets else _pow2_cap(n)
         bk = ("celt", LM, C, CC, transient, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
@@ -395,7 +433,7 @@ class StreamPool:
         frame = 20 * fs
         ltp = 20 * fs
         n = len(items)
-        cap = _pow2_cap(n)
+        cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
         bk = ("silk", fs, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
@@ -436,9 +474,8 @@ class StreamPool:
         """Pre-compile the device buckets this pool will hit (both CELT
         transient variants + each SILK rate at full capacity), so the
         first real frames run at steady-state speed."""
-        n_celt = sum(1 for p in self.path if p[0] == "celt")
-        if n_celt:
-            cap = _pow2_cap(n_celt)
+        if any(p[0] in ("celt", "hybrid") for p in self.path):
+            cap = self._cap_celt
             from . import batch_celt as bc
             st = bc.make_state(cap, self.channels)
             z = jnp.zeros((cap, 1, 960), dtype=I32)
@@ -449,9 +486,7 @@ class StreamPool:
                 celt_synth_step(st["decode_mem"], st["preemph"], z, e, v,
                                 jnp.full(cap, 21, dtype=I32), c, c,
                                 LM=3, C=1, CC=self.channels, transient=tr)
-        for fs in {p[1] for p in self.path if p[0] == "silk"}:
-            cap = _pow2_cap(sum(1 for p in self.path
-                                if p[0] == "silk" and p[1] == fs))
+        for fs, cap in self._cap_silk.items():
             st = self._silk_bucket(fs)
             frame = 20 * fs
             order = 16 if fs == 16 else 10

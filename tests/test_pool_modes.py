@@ -1,0 +1,57 @@
+"""Pool bucket/mode policies: fixed-capacity serving buckets must be
+bit-identical to dynamically sized ones while pinning every bucket to one
+compiled shape; RFC-mode pools must route streams the compat-quirked
+native engine cannot decode correctly (non-fullband CELT/hybrid) to the
+scalar path, and refuse batched loss concealment (compat-only semantics)."""
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu import DecoderConfig, decode_file
+from esp32_opus_player_tpu.models.stream_pool import StreamPool
+
+from conftest import fixture_path
+
+MIXED = ["celt_fb_mono_20ms", "silk_wb_mono_20ms", "hybrid_swb_mono_20ms",
+         "silk_nb_mono_20ms", "celt_fb_mono_drums_20ms"]
+
+
+@pytest.mark.slow
+def test_fixed_buckets_bitexact_and_single_shape():
+    srcs = [str(fixture_path(n)) for n in MIXED]
+    ref = StreamPool(srcs, channels=1).run()
+    pool = StreamPool(srcs, channels=1, fixed_buckets=True)
+    outs = pool.run()
+    for a, b in zip(outs, ref):
+        assert np.array_equal(a, b)
+    # every bucket family launched exactly one capacity
+    caps = {}
+    for key in pool.stats()["buckets"]:
+        fam = key[:-1]  # strip cap
+        caps.setdefault(fam[0:2], set()).add(key[-1])
+    for fam, sizes in caps.items():
+        assert len(sizes) == 1, (fam, sizes)
+
+
+@pytest.mark.slow
+def test_rfc_pool_routes_and_matches():
+    names = ["celt_fb_mono_20ms",    # fullband: stays batched in RFC mode
+             "celt_nb_mono_20ms",    # non-FB: compat quirk -> scalar
+             "hybrid_swb_mono_20ms",  # non-FB hybrid -> scalar
+             "silk_wb_mono_20ms"]    # SILK: mode-independent, batched
+    srcs = [str(fixture_path(n)) for n in names]
+    pool = StreamPool(srcs, channels=1, compat_ref=False)
+    assert pool.path[0][0] == "celt"
+    assert pool.path[1][0] == "scalar"
+    assert pool.path[2][0] == "scalar"
+    assert pool.path[3][0] == "silk"
+    outs = pool.run()
+    for i, src in enumerate(srcs):
+        ref = decode_file(src, DecoderConfig(channels=1, compat_ref=False))
+        assert np.array_equal(outs[i], ref), names[i]
+
+
+def test_rfc_pool_rejects_batched_loss():
+    srcs = [str(fixture_path("silk_wb_mono_20ms"))]
+    pool = StreamPool(srcs, channels=1, compat_ref=False)
+    with pytest.raises(NotImplementedError):
+        pool.step(lost={0})

@@ -154,6 +154,11 @@ def _bind_silk(lib):
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(SilkHostState),
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
+    lib.silk_host_packet_c.restype = ctypes.c_int
+    lib.silk_host_packet_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
     lib.silk_host_reset.argtypes = [ctypes.POINTER(SilkHostState)]
     lib._silk_bound = True
 
@@ -198,6 +203,39 @@ class NativeSilkHost:
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     ec_state=[int(v) & 0xFFFFFFFF for v in ec])
+
+    def packet(self, data: bytes, fs_khz: int, payload_ms: int = 20):
+        """One mono SILK packet of 1-3 20 ms frames (20/40/60 ms payload).
+        Returns a list of per-frame device param dicts."""
+        if payload_ms == 20:
+            return [self.frame(data, fs_khz)]
+        n = payload_ms // 20
+        fl = 20 * fs_khz
+        exc = np.zeros(n * fl, dtype=np.int32)
+        A = np.zeros((n, 2, 16), dtype=np.int32)
+        B = np.zeros((n, 4, 5), dtype=np.int32)
+        gains = np.zeros((n, 4), dtype=np.int32)
+        inv = np.zeros((n, 4), dtype=np.int32)
+        lag = np.zeros((n, 4), dtype=np.int32)
+        flags = np.zeros((n, 12), dtype=np.int32)
+        adj = np.zeros((n, 4), dtype=np.int32)
+        misc = np.zeros((n, 4), dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_packet_c(
+            data, len(data), fs_khz, payload_ms, ctypes.byref(self.st),
+            p(exc), p(A), p(B), p(gains), p(inv), p(lag), p(flags), p(adj),
+            p(misc))
+        if ret != 0:
+            raise ValueError(f"silk_host_packet_c failed: {ret}")
+        return [dict(A=A[f], B=B[f], gains=gains[f], inv=inv[f],
+                     lag=lag[f], voiced=flags[f, 0:4].astype(bool),
+                     rewhiten=flags[f, 4:8].astype(bool),
+                     match=flags[f, 8:12].astype(bool), adj=adj[f],
+                     exc=exc[f * fl:(f + 1) * fl])
+                for f in range(n)]
 
     def fec_frame(self, data: bytes, fs_khz: int, payload_ms: int = 20):
         """In-band FEC: decode this packet's LBRR copy of the previous

@@ -592,14 +592,16 @@ static void decode_pitch(int lag_index, int contour_index, i32* pitch_lags,
 }
 
 // Decode one SILK frame's symbols (normal or LBRR) into the device
-// tensors — the shared back half of the normal and FEC entry points.
-// cond is always CODE_INDEPENDENTLY here (single-frame packets).
+// tensors — the shared back half of the normal/packet/FEC entry points.
+// cond: 0 = CODE_INDEPENDENTLY (first frame), 2 = CODE_CONDITIONALLY
+// (frames 1-2 of 40/60 ms packets).
 static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
+                           int frame_index, int cond,
                            i32* exc_out, i32* A_out, i32* B_out,
                            i32* gains_out, i32* inv_out, i32* lag_out,
                            i32* flags_out, i32* adj_out, i32* misc_out) {
     Indices ind;
-    decode_indices(ec, st, ind, 0, decode_lbrr, 0);
+    decode_indices(ec, st, ind, frame_index, decode_lbrr, cond);
     int pulses[320 + 16];
     decode_pulses(ec, pulses, ind.signalType, ind.quantOffsetType,
                   st->frame_length);
@@ -607,7 +609,7 @@ static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
     // ---- parameters ----
     i32 gains_q16[MAX_NB_SUBFR];
     gains_dequant(gains_q16, ind.GainsIndices, &st->LastGainIndex,
-                  0, st->nb_subfr);
+                  cond == 2, st->nb_subfr);
 
     const NlsfCb& cb = st->LPC_order == 16 ? CB_WB : CB_NB_MB;
     i32 nlsf[MAX_LPC_ORDER];
@@ -744,9 +746,9 @@ int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
                       st->frame_length);
     }
 
-    int ret = frame_to_params(ec, st, 0, exc_out, A_out, B_out, gains_out,
-                              inv_out, lag_out, flags_out, adj_out,
-                              misc_out);
+    int ret = frame_to_params(ec, st, 0, 0, 0, exc_out, A_out, B_out,
+                              gains_out, inv_out, lag_out, flags_out,
+                              adj_out, misc_out);
     if (ret != 0) return ret;
 
     if (hybrid) {
@@ -790,8 +792,68 @@ int silk_host_frame_fec_c(const unsigned char* data, int len, int fs_khz,
     if (st->LBRR_flag) st->LBRR_flags[0] = 1;
     if (!st->LBRR_flags[0]) return -4;  // no usable FEC in this packet
 
-    return frame_to_params(ec, st, 1, exc_out, A_out, B_out, gains_out,
-                           inv_out, lag_out, flags_out, adj_out, misc_out);
+    return frame_to_params(ec, st, 1, 0, 0, exc_out, A_out, B_out,
+                           gains_out, inv_out, lag_out, flags_out, adj_out,
+                           misc_out);
+}
+
+// One mono no-loss SILK packet of n_frames = payload_ms/20 frames
+// (silk_Decode :1481 with nFramesPerPacket 1-3): header flags once,
+// LBRR payloads skipped, then each frame decoded with the right
+// conditional coding. Output arrays hold n_frames consecutive frames'
+// tensors (exc: n*frame_length, A: n*2*16, B: n*4*5, 4-vectors: n*4,
+// flags: n*12, misc: n*4).
+int silk_host_packet_c(const unsigned char* data, int len, int fs_khz,
+                       int payload_ms, SilkHostState* st,
+                       i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
+                       i32* inv_out, i32* lag_out, i32* flags_out,
+                       i32* adj_out, i32* misc_out) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+
+    if (payload_ms % 20 != 0 || payload_ms < 20 || payload_ms > 60)
+        return -3;
+    int n_frames = payload_ms / 20;
+    st->nFramesPerPacket = n_frames;
+    set_fs(st, fs_khz, 4);
+
+    for (int i = 0; i < n_frames; i++)
+        st->VAD_flags[i] = ec.bit_logp(1);
+    st->LBRR_flag = ec.bit_logp(1);
+    memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
+    if (st->LBRR_flag) {
+        if (n_frames == 1) {
+            st->LBRR_flags[0] = 1;
+        } else {
+            int sym = ec.icdf(n_frames == 2 ? silk_LBRR_flags_2_iCDF
+                                            : silk_LBRR_flags_3_iCDF, 8) + 1;
+            for (int i = 0; i < n_frames; i++)
+                st->LBRR_flags[i] = (sym >> i) & 1;
+        }
+    }
+    // skip LBRR payloads (normal decode path, src/silk.cpp:1590)
+    for (int i = 0; i < n_frames; i++) {
+        if (st->LBRR_flags[i]) {
+            int cond = (i > 0 && st->LBRR_flags[i - 1]) ? 2 : 0;
+            Indices ind;
+            int pulses_tmp[320 + 16];
+            decode_indices(ec, st, ind, i, 1, cond);
+            decode_pulses(ec, pulses_tmp, ind.signalType,
+                          ind.quantOffsetType, st->frame_length);
+        }
+    }
+
+    int fl = st->frame_length;
+    for (int f = 0; f < n_frames; f++) {
+        int cond = f == 0 ? 0 : 2;
+        int ret = frame_to_params(
+            ec, st, 0, f, cond, exc_out + f * fl,
+            A_out + f * 2 * MAX_LPC_ORDER, B_out + f * MAX_NB_SUBFR * 5,
+            gains_out + f * 4, inv_out + f * 4, lag_out + f * 4,
+            flags_out + f * 12, adj_out + f * 4, misc_out + f * 4);
+        if (ret != 0) return ret;
+    }
+    return 0;
 }
 
 }  // extern "C"

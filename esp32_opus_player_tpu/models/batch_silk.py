@@ -151,6 +151,57 @@ def _finish_frame(ch, ctrl):
     ch.nFramesDecoded += 1
 
 
+def silk_host_packet(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
+                     payload_ms: int):
+    """Symbol phase for one mono no-loss SILK packet of 1-3 20 ms frames
+    (40/60 ms packets, silk_Decode :1481 with nFramesPerPacket 2/3):
+    header VAD+LBRR flags once, LBRR payloads skipped, then each frame
+    decoded with the right conditional coding. Returns a list of
+    device-frame param dicts (one per 20 ms frame)."""
+    ch = h.channel_states[0]
+    ch.nFramesDecoded = 0
+    n_frames = {10: 1, 20: 1, 40: 2, 60: 3}[payload_ms]
+    ch.nFramesPerPacket = n_frames
+    ch.nb_subfr = 2 if payload_ms == 10 else 4
+    h._set_fs(0, fs_khz, 48000)
+    for i in range(n_frames):
+        ch.VAD_flags[i] = dec.dec_bit_logp(1)
+    ch.LBRR_flag = dec.dec_bit_logp(1)
+    ch.LBRR_flags = [0, 0, 0]
+    if ch.LBRR_flag:
+        if n_frames == 1:
+            ch.LBRR_flags[0] = 1
+        else:
+            sym = dec.dec_icdf(
+                sd.LBRR_FLAGS_ICDF_PTR[n_frames - 2], 8) + 1
+            for i in range(n_frames):
+                ch.LBRR_flags[i] = (sym >> i) & 1
+    # skip LBRR payloads (normal decode path, src/silk.cpp:1590)
+    for i in range(n_frames):
+        if ch.LBRR_flags[i]:
+            cond = sd.CODE_CONDITIONALLY if (
+                i > 0 and ch.LBRR_flags[i - 1]) \
+                else sd.CODE_INDEPENDENTLY
+            sd.decode_indices(dec, ch, i, 1, cond)
+            sd.decode_pulses(dec, ch.ind_signalType,
+                             ch.ind_quantOffsetType, ch.frame_length)
+
+    out = []
+    for fidx in range(n_frames):
+        cond = sd.CODE_INDEPENDENTLY if fidx == 0 \
+            else sd.CODE_CONDITIONALLY
+        ctrl = DecoderControl()
+        sd.decode_indices(dec, ch, fidx, 0, cond)
+        pulses = sd.decode_pulses(dec, ch.ind_signalType,
+                                  ch.ind_quantOffsetType, ch.frame_length)
+        h._decode_parameters(0, ctrl, cond)
+        exc = host_exc(ch, pulses)
+        p = _assemble_params(ch, ctrl, exc)
+        _finish_frame(ch, ctrl)
+        out.append(p)
+    return out
+
+
 def silk_host_frame_fec(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
                         payload_ms: int):
     """In-band FEC symbol phase: decode this packet's LBRR copy of the

@@ -112,9 +112,17 @@ class StreamPool:
                         and fb_only_ok:
                     self.path.append(("celt",))
                     continue
-                if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
-                        and sch == 1 and channels == 1 and len(fss) == 1:
-                    self.path.append(("silk", next(iter(fss))))
+                # SILK: compat mode is 20 ms-only (the reference hard-
+                # codes audiosize 960, src/opus_decoder.cpp:161 — longer
+                # payloads mis-decode, kept scalar for garbage parity);
+                # RFC mode batches 20/40/60 ms payloads (1-3 internal
+                # frames) and code-3 multi-frame packets.
+                silk_ok = (spf == 960 and nfr == 1) if compat_ref else (
+                    spf in (960, 1920, 2880) and spf * nfr <= 5760)
+                if mode == Mode.SILK_ONLY and silk_ok and sch == 1 \
+                        and channels == 1 and len(fss) == 1:
+                    self.path.append(("silk", next(iter(fss)),
+                                      (spf // 960) * nfr, spf // 48))
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 1 and channels == 1 and fb_only_ok:
@@ -188,17 +196,23 @@ class StreamPool:
                                          None, 960, defer_synthesis=True)
             return ("celt", i, si, job)
         if kind == "silk":
+            # each parsed frame is its own SILK payload (code-3 packets
+            # carry several); a 40/60 ms payload holds 2/3 internal
+            # frames — every one becomes a device frame
             parsed = parse_packet(job.data)
-            fs = self.path[i][1]
-            if self.silk_hosts is not None:
-                params = self.silk_hosts[i].frame(parsed.frames[0], fs)
-            else:
-                from ..host.range_decoder import RangeDecoder
-                silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
-                params = silk_host_frame(
-                    silk, RangeDecoder(parsed.frames[0]), fs, 20)
-            return ("silk", i, (fs, params), job)
+            fs, payload_ms = self.path[i][1], self.path[i][3]
+            plist = []
+            for fr in parsed.frames:
+                if self.silk_hosts is not None:
+                    plist += self.silk_hosts[i].packet(fr, fs, payload_ms)
+                else:
+                    from ..host.range_decoder import RangeDecoder
+                    from .batch_silk import silk_host_packet
+                    silk = self.scalar[i]._get_silk()
+                    silk.set_raw_params(1, 1, payload_ms, fs * 1000, 48000)
+                    plist += silk_host_packet(silk, RangeDecoder(fr),
+                                              fs, payload_ms)
+            return ("silk", i, (fs, plist), job)
         if kind == "hybrid":
             # shared range coder: SILK symbols first, then the CELT engine
             # resumes the same coder state (start band 17)
@@ -244,6 +258,7 @@ class StreamPool:
                 "loss semantics; RFC-mode PLC stays on the scalar path — "
                 "decode lossy RFC streams via OpusDecoder")
         if use_fec and kind in ("silk", "hybrid") \
+                and (kind == "hybrid" or self.path[i][2] == 1) \
                 and self.positions[i] < len(self.streams[i].jobs):
             fs = self.path[i][1] if kind == "silk" else 16
             nxt = parse_packet(
@@ -260,11 +275,14 @@ class StreamPool:
             if params is not None:
                 # FEC output is SILK-only for hybrid too (the redundant
                 # frame carries no CELT layer) — not muted, not mixed
-                return ("silk_fec", i, (fs, params), job)
+                return ("silk_fec", i, (fs, [params]), job)
             # no usable LBRR: fall through to the loss path
         if kind == "celt":
             return ("celt_lost", i, None, job)
         if kind == "silk":
+            # a lost packet decodes as ONE empty 20 ms frame regardless of
+            # the stream's packet duration (the reference hard-codes
+            # audiosize 960 in the NULL path, src/opus_decoder.cpp:161)
             fs = self.path[i][1]
             if self.silk_hosts is not None:
                 params = self.silk_hosts[i].frame(b"", fs)
@@ -273,7 +291,7 @@ class StreamPool:
                 silk = self.scalar[i]._get_silk()
                 silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
                 params = silk_host_frame(silk, RangeDecoder(b""), fs, 20)
-            return ("silk", i, (fs, params), job)
+            return ("silk", i, (fs, [params]), job)
         if kind == "hybrid":
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(b"", 16, hybrid=True)
@@ -282,7 +300,7 @@ class StreamPool:
                 silk = self.scalar[i]._get_silk()
                 silk.set_raw_params(1, 1, 20, 16000, 48000)
                 sp = silk_host_frame(silk, RangeDecoder(b""), 16, 20)
-            return ("silk_mute", i, (16, sp), job)
+            return ("silk_mute", i, (16, [sp]), job)
         try:
             pcm = self.scalar[i].decode(None)
         except ValueError:
@@ -338,15 +356,17 @@ class StreamPool:
                 # hybrid loss: SILK state advances over the empty
                 # bitstream, output is silence (CELT stage errors)
                 mute.add(i)
-                fs, params = payload
-                silk_groups.setdefault(fs, []).append((i, params, job))
+                fs, plist = payload
+                silk_groups.setdefault((fs, len(plist)), []).append(
+                    (i, plist, job))
             elif kind in ("silk", "silk_fec"):
-                fs, params = payload
-                silk_groups.setdefault(fs, []).append((i, params, job))
+                fs, plist = payload
+                silk_groups.setdefault((fs, len(plist)), []).append(
+                    (i, plist, job))
             elif kind == "hybrid":
                 sp, csi = payload
                 hybrid.add(i)
-                silk_groups.setdefault(16, []).append((i, sp, job))
+                silk_groups.setdefault((16, 1), []).append((i, [sp], job))
                 key = (csi["LM"], csi["C"], self.channels,
                        csi["transient"])
                 celt_groups.setdefault(key, []).append((i, csi, job))
@@ -360,8 +380,8 @@ class StreamPool:
         for (LM, C, CC, transient), items in celt_groups.items():
             celt_pcm.update(self._celt_group(items, LM, C, CC, transient))
             jobs_of.update({i: job for i, _p, job in items})
-        for fs, items in silk_groups.items():
-            silk_pcm.update(self._silk_group(items, fs))
+        for (fs, nfr), items in silk_groups.items():
+            silk_pcm.update(self._silk_group(items, fs, nfr))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
             if i in mute:
@@ -427,47 +447,54 @@ class StreamPool:
         return {items[b][0]: out[b].T for b in range(n)}
 
     # ------------------------------------------------------------------
-    def _silk_group(self, items, fs: int):
+    def _silk_group(self, items, fs: int, nfr: int = 1):
+        """items: (stream_idx, [per-20ms-frame params] * nfr, job). Multi-
+        frame packets (40/60 ms) run nfr sequential launches of the SAME
+        compiled core — state scatters back between subframes, so no new
+        shapes are traced."""
         st = self._silk_bucket(fs)
         nb = 4
         frame = 20 * fs
         ltp = 20 * fs
         n = len(items)
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk", fs, cap)
+        bk = ("silk", fs, nfr, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
-
-        def stack(key):
-            rows = [(items[b][1] if b < n else items[0][1])[key]
-                    for b in range(cap)]
-            return jnp.asarray(np.stack(rows))
-
         jidx = jnp.asarray(idxs)
         order = 16 if fs == 16 else 10
-        xq, sLPC = sjc.silk_core_frame(
-            st["outBuf"][jidx], st["sLPC"][jidx], stack("exc"), stack("A"),
-            stack("B"), stack("gains"), stack("inv"), stack("lag"),
-            stack("voiced"), stack("rewhiten"), stack("adj"),
-            stack("match"), fs_khz=fs, nb_subfr=nb, order=order)
-        hist = jnp.concatenate(
-            [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
-        new_outbuf = jnp.concatenate(
-            [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
-        sMid = st["sMid"][jidx]
-        resin = jnp.concatenate([sMid[:, 1:2], xq[:, :-1]], axis=-1)
-        new_sMid = xq[:, frame - 2:frame]
-        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
-            st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
-            fs_in_khz=fs, in_len=frame)
-        st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
-        st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
-        st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
-        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
-        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
-        st["delay"] = st["delay"].at[jidx].set(delay)
-        out = np.asarray(out48[:n]).astype(np.int16)
+        outs = []
+        for j in range(nfr):
+            def stack(key):
+                rows = [(items[b][1] if b < n else items[0][1])[j][key]
+                        for b in range(cap)]
+                return jnp.asarray(np.stack(rows))
+
+            xq, sLPC = sjc.silk_core_frame(
+                st["outBuf"][jidx], st["sLPC"][jidx], stack("exc"),
+                stack("A"), stack("B"), stack("gains"), stack("inv"),
+                stack("lag"), stack("voiced"), stack("rewhiten"),
+                stack("adj"), stack("match"), fs_khz=fs, nb_subfr=nb,
+                order=order)
+            hist = jnp.concatenate(
+                [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
+            new_outbuf = jnp.concatenate(
+                [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+            sMid = st["sMid"][jidx]
+            resin = jnp.concatenate([sMid[:, 1:2], xq[:, :-1]], axis=-1)
+            new_sMid = xq[:, frame - 2:frame]
+            out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+                st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx],
+                resin, fs_in_khz=fs, in_len=frame)
+            st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+            st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
+            st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
+            st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+            st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+            st["delay"] = st["delay"].at[jidx].set(delay)
+            outs.append(np.asarray(out48[:n]).astype(np.int16))
+        out = np.concatenate(outs, axis=-1)
         return {items[b][0]: out[b][:, None] for b in range(n)}
 
     def warmup(self):

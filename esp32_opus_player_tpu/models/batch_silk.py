@@ -202,6 +202,81 @@ def silk_host_packet(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
     return out
 
 
+def silk_host_stereo_packet(h: SilkDecoder, dec: RangeDecoder,
+                            fs_khz: int):
+    """Symbol phase for one STEREO no-loss 20 ms SILK packet
+    (silk_Decode :1481 with nChannelsInternal=2): per-channel VAD/LBRR
+    headers, LBRR payload skip (with the stereo-pred symbols inside),
+    stereo predictor + mid-only flag, then the mid frame and (when
+    present) the side frame. Returns a dict with the device tensors —
+    the MS->LR unmix and resampling run on device
+    (ops/silk/jax_stereo.py). Caller owns set_raw_params(2,2,20,...)."""
+    cs0, cs1 = h.channel_states[0], h.channel_states[1]
+    cs0.nFramesDecoded = 0
+    cs1.nFramesDecoded = 0
+    if 2 > h.nChannelsInternal:          # mono->stereo transition (:289)
+        cs1.reset()
+    for n, ch in enumerate((cs0, cs1)):
+        ch.nFramesPerPacket = 1
+        ch.nb_subfr = 4
+        h._set_fs(n, fs_khz, 48000)
+    h.nChannelsAPI = 2
+    h.nChannelsInternal = 2
+
+    for ch in (cs0, cs1):
+        ch.VAD_flags[0] = dec.dec_bit_logp(1)
+        ch.LBRR_flag = dec.dec_bit_logp(1)
+    for ch in (cs0, cs1):
+        ch.LBRR_flags = [0, 0, 0]
+        if ch.LBRR_flag:
+            ch.LBRR_flags[0] = 1
+    # skip LBRR payloads, stereo symbols included (:1590)
+    for n, ch in enumerate((cs0, cs1)):
+        if ch.LBRR_flags[0]:
+            if n == 0:
+                sd.stereo_decode_pred(dec)
+                if cs1.LBRR_flags[0] == 0:
+                    sd.stereo_decode_mid_only(dec)
+            sd.decode_indices(dec, ch, 0, 1, sd.CODE_INDEPENDENTLY)
+            sd.decode_pulses(dec, ch.ind_signalType, ch.ind_quantOffsetType,
+                             ch.frame_length)
+
+    ms_pred_q13 = sd.stereo_decode_pred(dec)
+    if cs1.VAD_flags[0] == 0:
+        dom = sd.stereo_decode_mid_only(dec)
+    else:
+        dom = 0
+    side_reset = bool(dom == 0 and h.prev_decode_only_middle == 1)
+    if side_reset:                       # (:378) side re-entry reset
+        from .silk_decoder import MAX_FRAME_LENGTH
+        cs1.outBuf = [0] * (MAX_FRAME_LENGTH + 2 * 80)
+        cs1.sLPC_Q14_buf = [0] * MAX_LPC_ORDER
+        cs1.lagPrev = 100
+        cs1.LastGainIndex = 10
+        cs1.prevSignalType = sd.TYPE_NO_VOICE_ACTIVITY
+        cs1.first_frame_after_reset = 1
+    has_side = dom == 0
+
+    def one(n, ch):
+        ctrl = DecoderControl()
+        sd.decode_indices(dec, ch, 0, 0, sd.CODE_INDEPENDENTLY)
+        pulses = sd.decode_pulses(dec, ch.ind_signalType,
+                                  ch.ind_quantOffsetType, ch.frame_length)
+        h._decode_parameters(n, ctrl, sd.CODE_INDEPENDENTLY)
+        exc = host_exc(ch, pulses)
+        p = _assemble_params(ch, ctrl, exc)
+        _finish_frame(ch, ctrl)
+        return p
+
+    mid = one(0, cs0)
+    side = one(1, cs1) if has_side else None
+    if not has_side:
+        cs1.nFramesDecoded += 1
+    h.prev_decode_only_middle = dom
+    return dict(mid=mid, side=side, pred=np.asarray(ms_pred_q13, dtype=I32),
+                side_reset=side_reset)
+
+
 def silk_host_frame_fec(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
                         payload_ms: int):
     """In-band FEC symbol phase: decode this packet's LBRR copy of the

@@ -74,6 +74,7 @@ class StreamPool:
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
         self.silk_buckets: dict[int, dict] = {}
+        self.silk2_buckets: dict[int, dict] = {}
         self._stats = dict(steps=0, frames=0, bytes_in=0, samples_out=0,
                            frames_celt=0, frames_silk=0, frames_hybrid=0,
                            frames_scalar=0, frames_lost=0, frames_fec=0,
@@ -124,9 +125,17 @@ class StreamPool:
                     self.path.append(("silk", next(iter(fss)),
                                       (spf // 960) * nfr, spf // 48))
                     continue
+                if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
+                        and sch == 2 and channels == 2 and len(fss) == 1:
+                    self.path.append(("silk2", next(iter(fss))))
+                    continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 1 and channels == 1 and fb_only_ok:
                     self.path.append(("hybrid",))
+                    continue
+                if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
+                        and sch == 2 and channels == 2 and fb_only_ok:
+                    self.path.append(("hybrid2",))
                     continue
             self.path.append(("scalar",))
 
@@ -150,7 +159,8 @@ class StreamPool:
         # pool-lifetime bucket capacities (pow2 of the number of streams
         # that can ever hit each bucket); used always by warmup(), and as
         # the launch size too when fixed_buckets=True
-        n_celt = sum(1 for p in self.path if p[0] in ("celt", "hybrid"))
+        n_celt = sum(1 for p in self.path
+                     if p[0] in ("celt", "hybrid", "hybrid2"))
         self._cap_celt = _pow2_cap(max(n_celt, 1))
         self._cap_silk = {}
         for fs in {p[1] for p in self.path if p[0] == "silk"} | {16}:
@@ -159,8 +169,53 @@ class StreamPool:
                       or (p[0] == "hybrid" and fs == 16))
             if cnt:
                 self._cap_silk[fs] = _pow2_cap(cnt)
+        self._cap_silk2 = {}
+        for fs in {p[1] for p in self.path if p[0] == "silk2"} | {16}:
+            cnt = sum(1 for p in self.path
+                      if (p[0] == "silk2" and p[1] == fs)
+                      or (p[0] == "hybrid2" and fs == 16))
+            if cnt:
+                self._cap_silk2[fs] = _pow2_cap(cnt)
 
     # ------------------------------------------------------------------
+    def _silk2_bucket(self, fs: int) -> dict:
+        """Device state for batched STEREO silk streams: per-channel core
+        + resampler state, plus the stereo unmix state (pred pair and the
+        2-sample mid/side histories)."""
+        if fs not in self.silk2_buckets:
+            B = self.n
+            frame = 20 * fs
+            ltp = 20 * fs
+            self.silk2_buckets[fs] = dict(
+                outBuf=jnp.zeros((B, 2, ltp + frame), dtype=I32),
+                sLPC=jnp.zeros((B, 2, MAX_LPC_ORDER), dtype=I32),
+                sIIR=jnp.zeros((B, 2, 6), dtype=I32),
+                sFIR=jnp.zeros((B, 2, 8), dtype=I32),
+                delay=jnp.zeros((B, 2, fs), dtype=I32),
+                pred_prev=jnp.zeros((B, 2), dtype=I32),
+                sMid=jnp.zeros((B, 2), dtype=I32),
+                sSide=jnp.zeros((B, 2), dtype=I32),
+            )
+        return self.silk2_buckets[fs]
+
+    @staticmethod
+    def _dummy_silk_params(fs: int) -> dict:
+        """Harmless core inputs for masked (no-side) rows — outputs and
+        state of these rows are discarded."""
+        nb = 4
+        return dict(
+            A=np.zeros((2, MAX_LPC_ORDER), dtype=np.int32),
+            B=np.zeros((nb, 5), dtype=np.int32),
+            gains=np.full(nb, 1 << 16, dtype=np.int32),
+            inv=np.full(nb, 1 << 15, dtype=np.int32),
+            lag=np.full(nb, 2 * fs, dtype=np.int32),
+            voiced=np.zeros(nb, dtype=bool),
+            rewhiten=np.zeros(nb, dtype=bool),
+            match=np.ones(nb, dtype=bool),
+            adj=np.full(nb, 1 << 16, dtype=np.int32),
+            exc=np.zeros(20 * fs, dtype=np.int32),
+        )
+
     def _silk_bucket(self, fs: int) -> dict:
         if fs not in self.silk_buckets:
             B = self.n
@@ -213,6 +268,40 @@ class StreamPool:
                     plist += silk_host_packet(silk, RangeDecoder(fr),
                                               fs, payload_ms)
             return ("silk", i, (fs, plist), job)
+        if kind == "silk2":
+            # stereo SILK: python host phase (SilkDecoder-backed; the
+            # native engine is mono-only so far), device MS->LR unmix
+            parsed = parse_packet(job.data)
+            fs = self.path[i][1]
+            from ..host.range_decoder import RangeDecoder
+            from .batch_silk import silk_host_stereo_packet
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+            sp = silk_host_stereo_packet(
+                silk, RangeDecoder(parsed.frames[0]), fs)
+            return ("silk2", i, (fs, sp), job)
+        if kind == "hybrid2":
+            # stereo hybrid (BASELINE config 3): python stereo SILK symbol
+            # phase, then the CELT engine resumes the same coder state
+            parsed = parse_packet(job.data)
+            frame = parsed.frames[0]
+            from ..host.range_decoder import RangeDecoder
+            from .batch_silk import silk_host_stereo_packet
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(2, 2, 20, 16000, 48000)
+            dec = RangeDecoder(frame)
+            sp = silk_host_stereo_packet(silk, dec, 16)
+            if dec.tell() + 37 <= 8 * len(frame):
+                dec.dec_bit_logp(12)  # redundancy flag, payload ignored
+            host = self.celt_hosts[i]
+            host.start = 17
+            if self.native:
+                csi = host.decode_symbol_phase(
+                    frame, 960, ec_state=dec.export_state())
+            else:
+                csi = host.decode_with_ec(dec, None, 960,
+                                          defer_synthesis=True)
+            return ("hybrid2", i, (sp, csi), job)
         if kind == "hybrid":
             # shared range coder: SILK symbols first, then the CELT engine
             # resumes the same coder state (start band 17)
@@ -292,6 +381,23 @@ class StreamPool:
                 silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
                 params = silk_host_frame(silk, RangeDecoder(b""), fs, 20)
             return ("silk", i, (fs, [params]), job)
+        if kind == "silk2":
+            # stereo loss: the normal stereo frame path over an empty
+            # bitstream, exactly like the scalar compat path
+            fs = self.path[i][1]
+            from ..host.range_decoder import RangeDecoder
+            from .batch_silk import silk_host_stereo_packet
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+            sp = silk_host_stereo_packet(silk, RangeDecoder(b""), fs)
+            return ("silk2", i, (fs, sp), job)
+        if kind == "hybrid2":
+            from ..host.range_decoder import RangeDecoder
+            from .batch_silk import silk_host_stereo_packet
+            silk = self.scalar[i]._get_silk()
+            silk.set_raw_params(2, 2, 20, 16000, 48000)
+            sp = silk_host_stereo_packet(silk, RangeDecoder(b""), 16)
+            return ("silk2_mute", i, (16, sp), job)
         if kind == "hybrid":
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(b"", 16, hybrid=True)
@@ -328,7 +434,9 @@ class StreamPool:
             return False
         self._stats["steps"] += 1
         self._stats["frames"] += len(results)
-        _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid"}
+        _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
+                    "silk2": "silk", "silk2_mute": "hybrid",
+                    "hybrid2": "hybrid"}
         for kind, i, _p, job in results:
             if i in lost:
                 self._stats["frames_lost"] += 1
@@ -341,7 +449,8 @@ class StreamPool:
                 self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
 
         celt_groups: dict[tuple, list] = {}
-        silk_groups: dict[int, list] = {}
+        silk_groups: dict[tuple, list] = {}
+        silk2_groups: dict[int, list] = {}
         hybrid = set()
         mute = set()
         for kind, i, payload, job in results:
@@ -363,6 +472,20 @@ class StreamPool:
                 fs, plist = payload
                 silk_groups.setdefault((fs, len(plist)), []).append(
                     (i, plist, job))
+            elif kind == "silk2":
+                fs, sp = payload
+                silk2_groups.setdefault(fs, []).append((i, sp, job))
+            elif kind == "silk2_mute":
+                mute.add(i)
+                fs, sp = payload
+                silk2_groups.setdefault(fs, []).append((i, sp, job))
+            elif kind == "hybrid2":
+                sp, csi = payload
+                hybrid.add(i)
+                silk2_groups.setdefault(16, []).append((i, sp, job))
+                key = (csi["LM"], csi["C"], self.channels,
+                       csi["transient"])
+                celt_groups.setdefault(key, []).append((i, csi, job))
             elif kind == "hybrid":
                 sp, csi = payload
                 hybrid.add(i)
@@ -382,6 +505,9 @@ class StreamPool:
             jobs_of.update({i: job for i, _p, job in items})
         for (fs, nfr), items in silk_groups.items():
             silk_pcm.update(self._silk_group(items, fs, nfr))
+            jobs_of.update({i: job for i, _p, job in items})
+        for fs, items in silk2_groups.items():
+            silk_pcm.update(self._silk2_group(items, fs))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
             if i in mute:
@@ -497,6 +623,98 @@ class StreamPool:
         out = np.concatenate(outs, axis=-1)
         return {items[b][0]: out[b][:, None] for b in range(n)}
 
+    def _silk2_group(self, items, fs: int):
+        """Batched stereo SILK: mid core launch for all rows, side core
+        launch masked per row (no-side rows keep state and contribute a
+        zero side frame, mirroring silk_Decode :397-415), device MS->LR
+        unmix, then both channels through the batched resampler."""
+        from ..ops.silk.jax_stereo import ms_to_lr_batch
+        st = self._silk2_bucket(fs)
+        frame = 20 * fs
+        ltp = 20 * fs
+        n = len(items)
+        cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
+        bk = ("silk2", fs, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        idxs = np.array([it[0] for it in items]
+                        + [items[0][0]] * (cap - n), dtype=np.int32)
+        jidx = jnp.asarray(idxs)
+        order = 16 if fs == 16 else 10
+        dummy = self._dummy_silk_params(fs)
+
+        def sp_of(b):
+            return items[b][1] if b < n else items[0][1]
+
+        def stack(get):
+            return jnp.asarray(np.stack([np.asarray(get(sp_of(b)))
+                                         for b in range(cap)]))
+
+        # ---- mid channel ----
+        def midk(key):
+            return stack(lambda sp: sp["mid"][key])
+
+        ob0 = st["outBuf"][jidx][:, 0]
+        xq_mid, sLPC0 = sjc.silk_core_frame(
+            ob0, st["sLPC"][jidx][:, 0], midk("exc"), midk("A"), midk("B"),
+            midk("gains"), midk("inv"), midk("lag"), midk("voiced"),
+            midk("rewhiten"), midk("adj"), midk("match"),
+            fs_khz=fs, nb_subfr=4, order=order)
+        new_ob0 = jnp.concatenate(
+            [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
+            axis=-1)
+
+        # ---- side channel (masked) ----
+        has_side = jnp.asarray(np.array(
+            [sp_of(b)["side"] is not None for b in range(cap)]))
+        reset = jnp.asarray(np.array(
+            [bool(sp_of(b)["side_reset"]) for b in range(cap)]))
+
+        def sidek(key):
+            return stack(lambda sp: (sp["side"] or dummy)[key])
+
+        ob1_old = st["outBuf"][jidx][:, 1]
+        sl1_old = st["sLPC"][jidx][:, 1]
+        ob1 = jnp.where(reset[:, None], 0, ob1_old)
+        sl1 = jnp.where(reset[:, None], 0, sl1_old)
+        xq_side, sLPC1 = sjc.silk_core_frame(
+            ob1, sl1, sidek("exc"), sidek("A"), sidek("B"), sidek("gains"),
+            sidek("inv"), sidek("lag"), sidek("voiced"), sidek("rewhiten"),
+            sidek("adj"), sidek("match"), fs_khz=fs, nb_subfr=4,
+            order=order)
+        new_ob1 = jnp.where(
+            has_side[:, None],
+            jnp.concatenate([ob1[:, frame:ltp], xq_side,
+                             jnp.zeros((cap, frame), dtype=I32)], axis=-1),
+            ob1_old)
+        new_sl1 = jnp.where(has_side[:, None], sLPC1, sl1_old)
+        xq_side = jnp.where(has_side[:, None], xq_side, 0)
+
+        # ---- MS -> LR unmix + resample both channels ----
+        L, R, nm, ns = ms_to_lr_batch(
+            st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
+            xq_mid, xq_side, stack(lambda sp: sp["pred"]),
+            fs_khz=fs, frame_length=frame)
+        resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
+        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+            st["sIIR"][jidx].reshape(2 * cap, 6),
+            st["sFIR"][jidx].reshape(2 * cap, 8),
+            st["delay"][jidx].reshape(2 * cap, fs), resin,
+            fs_in_khz=fs, in_len=frame)
+
+        st["outBuf"] = st["outBuf"].at[jidx].set(
+            jnp.stack([new_ob0, new_ob1], axis=1))
+        st["sLPC"] = st["sLPC"].at[jidx].set(
+            jnp.stack([sLPC0, new_sl1], axis=1))
+        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
+        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
+        st["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
+        st["pred_prev"] = st["pred_prev"].at[jidx].set(
+            stack(lambda sp: sp["pred"]))
+        st["sMid"] = st["sMid"].at[jidx].set(nm)
+        st["sSide"] = st["sSide"].at[jidx].set(ns)
+        out = np.asarray(out48.reshape(cap, 2, -1)[:n]).astype(np.int16)
+        return {items[b][0]: out[b].T for b in range(n)}
+
     def warmup(self):
         """Pre-compile the device buckets this pool will hit (both CELT
         transient variants + each SILK rate at full capacity), so the
@@ -543,8 +761,9 @@ class StreamPool:
             kind = self.path[i][0]
             if kind == "celt" and self.native:
                 out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
-            elif kind in ("silk", "hybrid") and self.native:
-                if kind == "hybrid":
+            elif kind in ("silk", "silk2", "hybrid", "hybrid2") \
+                    and self.native:
+                if kind in ("hybrid", "hybrid2"):
                     out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
                 else:
                     out.append(None)  # silk-only: rng lives in ec per frame

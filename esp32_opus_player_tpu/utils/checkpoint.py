@@ -43,6 +43,8 @@ def snapshot(pool) -> dict:
         device_state={k: np.asarray(v) for k, v in pool.state.items()},
         silk_buckets={fs: {k: np.asarray(v) for k, v in st.items()}
                       for fs, st in pool.silk_buckets.items()},
+        silk2_buckets={fs: {k: np.asarray(v) for k, v in st.items()}
+                       for fs, st in pool.silk2_buckets.items()},
         stats=dict(pool._stats, buckets=dict(pool._stats["buckets"])),
     )
     if pool.native:
@@ -77,6 +79,8 @@ def restore(pool, ck: dict) -> None:
     pool.state = {k: jnp.asarray(v) for k, v in ck["device_state"].items()}
     pool.silk_buckets = {fs: {k: jnp.asarray(v) for k, v in st.items()}
                          for fs, st in ck["silk_buckets"].items()}
+    pool.silk2_buckets = {fs: {k: jnp.asarray(v) for k, v in st.items()}
+                          for fs, st in ck.get("silk2_buckets", {}).items()}
     pool._stats = dict(ck["stats"], buckets=dict(ck["stats"]["buckets"]))
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],

@@ -132,6 +132,14 @@ FIXTURES = [
     ("silk_nb_stereo_40ms", "voice", 2, 2.4, 40,
      dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_NARROWBAND, br=18000,
           app=lo.OPUS_APPLICATION_VOIP)),
+    ("silk_nb_stereo_20ms", "voice", 2, 2.0, 20,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_NARROWBAND,
+          br=24000, app=lo.OPUS_APPLICATION_VOIP)),
+    # 16 kbps NB "stereo": the encoder collapses to MONO payloads —
+    # exercises mono-SILK-into-stereo-API (reference UB, see manifest)
+    ("silk_nb2mono_20ms", "voice", 2, 2.0, 20,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_NARROWBAND,
+          br=16000, app=lo.OPUS_APPLICATION_VOIP)),
     ("silk_wb_fec_mono_20ms", "voice", 1, 2.0, 20,
      dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=24000,
           app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),

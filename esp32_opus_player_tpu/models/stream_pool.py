@@ -109,9 +109,14 @@ class StreamPool:
             fb_only_ok = compat_ref or bws == {1105}  # FULLBAND
             if len(kinds) == 1:
                 mode, spf, nfr, sch = next(iter(kinds))
-                if mode == Mode.CELT_ONLY and spf == 960 and nfr == 1 \
+                # compat mode is 20 ms-only (audiosize hard-coded 960);
+                # RFC mode batches every CELT frame size (LM 0-3 — the
+                # device synthesis is LM-generic)
+                celt_spf_ok = spf == 960 if compat_ref \
+                    else spf in (120, 240, 480, 960)
+                if mode == Mode.CELT_ONLY and celt_spf_ok and nfr == 1 \
                         and fb_only_ok:
-                    self.path.append(("celt",))
+                    self.path.append(("celt", spf))
                     continue
                 # SILK: compat mode is 20 ms-only (the reference hard-
                 # codes audiosize 960, src/opus_decoder.cpp:161 — longer
@@ -242,13 +247,14 @@ class StreamPool:
             return self._host_one_lost(i, kind, job, use_fec)
         if kind == "celt":
             parsed = parse_packet(job.data)
+            spf = self.path[i][1]
             host = self.celt_hosts[i]
             if self.native:
-                si = host.decode_symbol_phase(parsed.frames[0], 960)
+                si = host.decode_symbol_phase(parsed.frames[0], spf)
             else:
                 from ..host.range_decoder import RangeDecoder
                 si = host.decode_with_ec(RangeDecoder(parsed.frames[0]),
-                                         None, 960, defer_synthesis=True)
+                                         None, spf, defer_synthesis=True)
             return ("celt", i, si, job)
         if kind == "silk":
             # each parsed frame is its own SILK payload (code-3 packets

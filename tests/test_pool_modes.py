@@ -50,6 +50,23 @@ def test_rfc_pool_routes_and_matches():
         assert np.array_equal(outs[i], ref), names[i]
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("name,ch", [("celt_fb_mono_5ms", 1),
+                                     ("celt_fb_stereo_2p5ms", 2)])
+def test_rfc_pool_batches_short_celt_frames(name, ch):
+    """RFC pools batch every CELT frame size (LM 0-3) — the device
+    synthesis is LM-generic; compat keeps non-20ms scalar (the reference
+    hard-codes audiosize 960 and crashes on short frames)."""
+    src = str(fixture_path(name))
+    pool = StreamPool([src], channels=ch, compat_ref=False)
+    assert pool.path[0][0] == "celt" and pool.path[0][1] != 960
+    out = pool.run()[0]
+    ref = decode_file(src, DecoderConfig(channels=ch, compat_ref=False))
+    assert np.array_equal(out, ref)
+    assert StreamPool([src], channels=ch,
+                      compat_ref=True).path[0] == ("scalar",)
+
+
 def test_rfc_pool_rejects_batched_loss():
     srcs = [str(fixture_path("silk_wb_mono_20ms"))]
     pool = StreamPool(srcs, channels=1, compat_ref=False)

@@ -40,6 +40,8 @@ from ..ops.silk import jax_core as sjc
 from ..ops.celt.jax_synthesis import SHORT_MDCT_SIZE, I32
 
 _FS_OF_BW = {1101: 8, 1102: 12, 1103: 16, 1104: 16, 1105: 16}
+# CELT end band per bandwidth (opus_decode_frame, src/opus_decoder.cpp:199)
+_ENDBAND_OF_BW = {1101: 13, 1102: 17, 1103: 17, 1104: 19, 1105: 21}
 
 
 def _pow2_cap(n: int) -> int:
@@ -90,7 +92,10 @@ class StreamPool:
             kinds = set()
             fss = set()
             bws = set()
-            for j in s.jobs[:50]:
+            # scan EVERY packet's TOC: sampling a prefix misclassifies
+            # streams that switch mode/bandwidth later (cheap — one byte
+            # per packet)
+            for j in s.jobs:
                 p0 = j.data[0]
                 mode = Mode.CELT_ONLY if p0 & 0x80 else (
                     Mode.HYBRID if (p0 & 0x60) == 0x60 else Mode.SILK_ONLY)
@@ -102,11 +107,13 @@ class StreamPool:
                 bw = int(get_bandwidth(p0))
                 fss.add(_FS_OF_BW.get(bw, 16))
                 bws.add(bw)
-            # the native CELT engine reproduces the reference's
-            # end-band-ignored quirk (src/celt.cpp:2199); in RFC mode
-            # that only coincides with correct decoding at fullband
-            # (end band 21), so non-FB CELT/hybrid streams go scalar
-            fb_only_ok = compat_ref or bws == {1105}  # FULLBAND
+            # compat mode reproduces the reference's end-band-ignored
+            # quirk (src/celt.cpp:2199) by pinning end=21; RFC mode sets
+            # the real end band per bandwidth — the engines honor it, so
+            # batching only needs the stream's bandwidth to be uniform
+            fb_only_ok = compat_ref or len(bws) == 1
+            endband = 21 if compat_ref else \
+                _ENDBAND_OF_BW.get(next(iter(bws)), 21)
             if len(kinds) == 1:
                 mode, spf, nfr, sch = next(iter(kinds))
                 # compat mode is 20 ms-only (audiosize hard-coded 960);
@@ -116,7 +123,7 @@ class StreamPool:
                     else spf in (120, 240, 480, 960)
                 if mode == Mode.CELT_ONLY and celt_spf_ok and nfr == 1 \
                         and fb_only_ok:
-                    self.path.append(("celt", spf))
+                    self.path.append(("celt", spf, endband))
                     continue
                 # SILK: compat mode is 20 ms-only (the reference hard-
                 # codes audiosize 960, src/opus_decoder.cpp:161 — longer
@@ -136,11 +143,11 @@ class StreamPool:
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 1 and channels == 1 and fb_only_ok:
-                    self.path.append(("hybrid",))
+                    self.path.append(("hybrid", endband))
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 2 and channels == 2 and fb_only_ok:
-                    self.path.append(("hybrid2",))
+                    self.path.append(("hybrid2", endband))
                     continue
             self.path.append(("scalar",))
 
@@ -249,6 +256,7 @@ class StreamPool:
             parsed = parse_packet(job.data)
             spf = self.path[i][1]
             host = self.celt_hosts[i]
+            host.end = self.path[i][2]
             if self.native:
                 si = host.decode_symbol_phase(parsed.frames[0], spf)
             else:
@@ -301,6 +309,7 @@ class StreamPool:
                 dec.dec_bit_logp(12)  # redundancy flag, payload ignored
             host = self.celt_hosts[i]
             host.start = 17
+            host.end = self.path[i][1]
             if self.native:
                 csi = host.decode_symbol_phase(
                     frame, 960, ec_state=dec.export_state())
@@ -315,6 +324,7 @@ class StreamPool:
             frame = parsed.frames[0]
             host = self.celt_hosts[i]
             host.start = 17
+            host.end = self.path[i][1]
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(frame, 16, hybrid=True)
                 csi = host.decode_symbol_phase(frame, 960,

@@ -34,20 +34,26 @@ def test_fixed_buckets_bitexact_and_single_shape():
 
 @pytest.mark.slow
 def test_rfc_pool_routes_and_matches():
-    names = ["celt_fb_mono_20ms",    # fullband: stays batched in RFC mode
-             "celt_nb_mono_20ms",    # non-FB: compat quirk -> scalar
-             "hybrid_swb_mono_20ms",  # non-FB hybrid -> scalar
-             "silk_wb_mono_20ms"]    # SILK: mode-independent, batched
+    """RFC pools batch every bandwidth: the engines honor the per-stream
+    end band (compat pins end=21 for the reference's end-band-ignored
+    quirk, src/celt.cpp:2199)."""
+    names = ["celt_fb_mono_20ms",     # end 21
+             "celt_nb_mono_20ms",     # end 13 — RFC-correct, batched
+             "hybrid_swb_mono_20ms",  # end 19 hybrid — batched
+             "silk_wb_mono_20ms"]     # SILK: mode-independent, batched
     srcs = [str(fixture_path(n)) for n in names]
     pool = StreamPool(srcs, channels=1, compat_ref=False)
-    assert pool.path[0][0] == "celt"
-    assert pool.path[1][0] == "scalar"
-    assert pool.path[2][0] == "scalar"
+    assert pool.path[0] == ("celt", 960, 21)
+    assert pool.path[1] == ("celt", 960, 13)
+    assert pool.path[2] == ("hybrid", 19)
     assert pool.path[3][0] == "silk"
     outs = pool.run()
     for i, src in enumerate(srcs):
         ref = decode_file(src, DecoderConfig(channels=1, compat_ref=False))
         assert np.array_equal(outs[i], ref), names[i]
+    # compat keeps the quirk: end pinned to 21 regardless of bandwidth
+    assert StreamPool([srcs[1]], channels=1,
+                      compat_ref=True).path[0] == ("celt", 960, 21)
 
 
 @pytest.mark.slow
@@ -65,6 +71,22 @@ def test_rfc_pool_batches_short_celt_frames(name, ch):
     assert np.array_equal(out, ref)
     assert StreamPool([src], channels=ch,
                       compat_ref=True).path[0] == ("scalar",)
+
+
+@pytest.mark.slow
+def test_modeswitch_stream_stays_scalar():
+    """Classification must scan EVERY packet's TOC: the modeswitch
+    fixture's first 50 packets are uniform stereo SILK, then it switches
+    to CELT — a prefix-sampled classifier would batch it as silk2 and
+    corrupt the CELT segments (regression)."""
+    src = str(fixture_path("modeswitch_stereo_20ms"))
+    for compat in (True, False):
+        pool = StreamPool([src], channels=2, compat_ref=compat)
+        assert pool.path[0] == ("scalar",)
+        out = pool.run()[0]
+        ref = decode_file(src, DecoderConfig(channels=2,
+                                             compat_ref=compat))
+        assert np.array_equal(out, ref)
 
 
 def test_rfc_pool_rejects_batched_loss():

@@ -99,7 +99,13 @@ def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
 
 
 def _assemble_params(ch, ctrl, exc):
-    """Device-frame tensor assembly shared by the normal and FEC paths."""
+    """Device-frame tensor assembly shared by the normal and FEC paths.
+
+    Includes decode_core's voiced-PLC -> unvoiced transition smoothing
+    (src/silk.cpp:1871): on the first good frame after concealment
+    (lossCnt still set here — _finish_frame clears it afterwards), an
+    unvoiced frame following a voiced concealment gets synthetic LTP
+    (B = 0.25 center tap, lag = lagPrev) on subframes 0-1."""
     nb = ch.nb_subfr
     voiced = ch.ind_signalType == sd.TYPE_VOICED
     interp = ch.ind_NLSFInterpCoef_Q2 < 4
@@ -122,9 +128,19 @@ def _assemble_params(ch, ctrl, exc):
         g = ctrl.Gains_Q16[k]
         p["gains"][k] = g
         inv = m.INVERSE32_varQ(g, 47)
-        p["voiced"][k] = voiced
-        p["lag"][k] = ctrl.pitchL[k] if voiced else 15
-        rw = voiced and (k == 0 or (k == 2 and interp))
+        voiced_k = voiced
+        lag_k = ctrl.pitchL[k]
+        if ch.lossCnt and ch.prevSignalType == sd.TYPE_VOICED \
+                and ch.ind_signalType != sd.TYPE_VOICED and k < 2:
+            # voiced-PLC -> unvoiced transition (src/silk.cpp:1871)
+            p["B"][k] = [0, 0, 4096, 0, 0]
+            ctrl.LTPCoef_Q14[k * 5:(k + 1) * 5] = [0, 0, 4096, 0, 0]
+            voiced_k = True
+            lag_k = ch.lagPrev
+            ctrl.pitchL[k] = ch.lagPrev
+        p["voiced"][k] = voiced_k
+        p["lag"][k] = lag_k if voiced_k else 15
+        rw = voiced_k and (k == 0 or (k == 2 and interp))
         p["rewhiten"][k] = rw
         if rw and k == 0:
             inv = m.LSHIFT32(m.SMULWB(inv, ctrl.LTP_scale_Q14), 2)
@@ -141,14 +157,160 @@ def _assemble_params(ch, ctrl, exc):
 
 def _finish_frame(ch, ctrl):
     """Host state bookkeeping after a decoded (normal or LBRR) frame
-    (src/silk.cpp:2013-2050)."""
+    (src/silk.cpp:2013-2050). Also runs the CNG good-frame smoothing
+    (silk_CNG :1342, no-loss branch — it never touches the synthesized
+    samples, only host parameter state), so RFC concealment has live
+    comfort-noise state when a loss hits."""
     from ..ops.silk import plc as sp
     sp.plc(ch, ctrl, None, 0, 0)   # update-only: no frame access
     ch.lossCnt = 0
+    sp.cng(ch, ctrl, None, 0, 0)   # good-frame branch: host state only
     ch.prevSignalType = ch.ind_signalType
     ch.first_frame_after_reset = 0
     ch.lagPrev = ctrl.pitchL[ch.nb_subfr - 1]
     ch.nFramesDecoded += 1
+
+
+def silk_plc_host_params(h: SilkDecoder, fs_khz: int):
+    """Host half of silk_PLC_conceal (:2973) for one mono 20 ms lost
+    frame: the rand-seed walk, per-subframe LTP decay and pitch drift,
+    bandwidth expansion of the previous LPC, and the CNG excitation/gain
+    prep — everything sequential. Returns the device-kernel inputs for
+    ops/silk/jax_plc.silk_plc_conceal_frame (+ cng_add) and mutates the
+    host channel state exactly like a scalar concealed frame."""
+    from ..ops.silk import macros as m
+    from ..ops.silk import plc as sp
+    from ..ops.silk.nlsf import bwexpander, lpc_inverse_pred_gain, nlsf2a
+
+    ch = h.channel_states[0]
+    ch.nFramesDecoded = 0
+    ch.nFramesPerPacket = 1
+    ch.nb_subfr = 4
+    h._set_fs(0, fs_khz, 48000)
+    nb = ch.nb_subfr
+    subfr = ch.subfr_length
+    order = ch.LPC_order
+
+    # silk_PLC entry (:2871)
+    if ch.fs_kHz != ch.plc_fs_kHz:
+        sp.plc_reset(ch)
+        ch.plc_fs_kHz = ch.fs_kHz
+    # _decode_frame lost branch (:262)
+    ch.ind_signalType = ch.prevSignalType
+
+    prev_gain_q10 = [ch.plc_prevGain_Q16[0] >> 6,
+                     ch.plc_prevGain_Q16[1] >> 6]
+    if ch.first_frame_after_reset:
+        ch.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
+    e1, s1, e2, s2 = sp.plc_energy(ch, prev_gain_q10)
+    if (e1 >> s2) < (e2 >> s1):
+        rand_off = max(0, (ch.plc_nb_subfr - 1) * ch.plc_subfr_length
+                       - sp.RAND_BUF_SIZE)
+    else:
+        rand_off = max(0, ch.plc_nb_subfr * ch.plc_subfr_length
+                       - sp.RAND_BUF_SIZE)
+
+    B = list(ch.plc_LTPCoef_Q14)
+    rand_scale_q14 = ch.plc_randScale_Q14
+    harm_gain_q15 = sp.HARM_ATT_Q15[min(sp.NB_ATT - 1, ch.lossCnt)]
+    if ch.prevSignalType == sd.TYPE_VOICED:
+        rand_gain_q15 = sp.PLC_RAND_ATTENUATE_V_Q15[
+            min(sp.NB_ATT - 1, ch.lossCnt)]
+    else:
+        rand_gain_q15 = sp.PLC_RAND_ATTENUATE_UV_Q15[
+            min(sp.NB_ATT - 1, ch.lossCnt)]
+
+    bwexpander(ch.plc_prevLPC_Q12, order, sp.BWE_COEF_Q16)
+    A = list(ch.plc_prevLPC_Q12)
+
+    if ch.lossCnt == 0:
+        rand_scale_q14 = 1 << 14
+        if ch.prevSignalType == sd.TYPE_VOICED:
+            for i in range(5):
+                rand_scale_q14 -= B[i]
+            rand_scale_q14 = max(3277, rand_scale_q14)
+            rand_scale_q14 = m.s16(
+                m.SMULBB(rand_scale_q14, ch.plc_prevLTP_scale_Q14) >> 14)
+        else:
+            inv_gain_q30 = lpc_inverse_pred_gain(ch.plc_prevLPC_Q12, order)
+            down_q30 = min((1 << 30) >> sp.LOG2_INV_LPC_GAIN_HIGH_THRES,
+                           inv_gain_q30)
+            down_q30 = max((1 << 30) >> sp.LOG2_INV_LPC_GAIN_LOW_THRES,
+                           down_q30)
+            down_q30 = m.LSHIFT32(down_q30,
+                                  sp.LOG2_INV_LPC_GAIN_HIGH_THRES)
+            rand_gain_q15 = m.SMULWB(down_q30, rand_gain_q15) >> 14
+
+    seed = ch.plc_rand_seed
+    lag = m.RSHIFT_ROUND(ch.plc_pitchL_Q8, 8)
+    B4 = np.zeros((nb, 5), dtype=I32)
+    lag4 = np.zeros(nb, dtype=I32)
+    rand_q12 = np.zeros(nb * subfr, dtype=I32)
+    for k in range(nb):
+        B4[k] = B
+        lag4[k] = lag
+        for i in range(subfr):
+            seed = m.silk_RAND(seed)
+            idx2 = (seed >> 25) & sp.RAND_BUF_MASK
+            rand_q12[k * subfr + i] = m.SMULWB(
+                int(ch.exc_Q14[rand_off + idx2]), rand_scale_q14)
+        B = [m.SMULBB(harm_gain_q15, b) >> 15 for b in B]
+        if ch.ind_signalType != sd.TYPE_NO_VOICE_ACTIVITY:
+            rand_scale_q14 = m.SMULBB(rand_scale_q14, rand_gain_q15) >> 15
+        ch.plc_pitchL_Q8 = m.SMLAWB(ch.plc_pitchL_Q8, ch.plc_pitchL_Q8,
+                                    sp.PITCH_DRIFT_FAC_Q16)
+        ch.plc_pitchL_Q8 = min(
+            ch.plc_pitchL_Q8,
+            m.LSHIFT32(m.SMULBB(sp.MAX_PITCH_LAG_MS, ch.fs_kHz), 8))
+        lag = m.RSHIFT_ROUND(ch.plc_pitchL_Q8, 8)
+
+    inv_gain_q30 = min(m.INVERSE32_varQ(ch.plc_prevGain_Q16[1], 46),
+                       m.INT32_MAX >> 1)
+    ch.plc_rand_seed = seed
+    ch.plc_randScale_Q14 = rand_scale_q14
+    ch.plc_LTPCoef_Q14 = B               # decayed in place in the scalar
+    ch.lagPrev = lag                     # ctrl.pitchL filled with lag
+
+    # ---- CNG (silk_CNG :1342, lossCnt branch — host half) -------------
+    if ch.fs_kHz != ch.cng_fs_kHz:
+        sp.cng_reset(ch)
+        ch.cng_fs_kHz = ch.fs_kHz
+    first_loss = ch.lossCnt == 0
+    gain_q16 = m.SMULWW(ch.plc_randScale_Q14, ch.plc_prevGain_Q16[1])
+    if gain_q16 >= (1 << 21) or ch.cng_smth_Gain_Q16 > (1 << 23):
+        gain_q16 = m.SMULTT(gain_q16, gain_q16)
+        gain_q16 = m.SUB32(
+            m.SMULTT(ch.cng_smth_Gain_Q16, ch.cng_smth_Gain_Q16),
+            m.LSHIFT32(gain_q16, 5))
+        gain_q16 = m.LSHIFT32(m.SQRT_APPROX(gain_q16), 16)
+    else:
+        gain_q16 = m.SMULWW(gain_q16, gain_q16)
+        gain_q16 = m.SUB32(
+            m.SMULWW(ch.cng_smth_Gain_Q16, ch.cng_smth_Gain_Q16),
+            m.LSHIFT32(gain_q16, 5))
+        gain_q16 = m.LSHIFT32(m.SQRT_APPROX(gain_q16), 8)
+    gain_q10 = gain_q16 >> 6
+    frame_len = ch.frame_length
+    cng_exc = np.zeros(frame_len, dtype=I32)
+    ch.cng_rand_seed = sp.cng_exc(cng_exc, 0, ch.cng_exc_buf_Q14,
+                                  frame_len, ch.cng_rand_seed)
+    cng_a_q12 = np.zeros(MAX_LPC_ORDER, dtype=I32)
+    cng_a_q12[:order] = nlsf2a(ch.cng_smth_NLSF_Q15, order)
+
+    ch.lossCnt += 1                      # silk_PLC (:2875)
+    ch.plc_last_frame_lost = 1           # glue bookkeeping (device energy)
+    ch.LastGainIndex = 10                # silk_Decode on loss (:455) —
+    #                                      un-clamps the gain after loss
+
+    return dict(
+        rand=rand_q12,
+        A=np.asarray(A + [0] * (MAX_LPC_ORDER - order), dtype=I32),
+        B4=B4, lag4=lag4,
+        inv_gain=np.int32(inv_gain_q30),
+        prev_gain=np.int32(prev_gain_q10[1]),
+        cng_exc=cng_exc, cng_a=cng_a_q12, cng_gain=np.int32(gain_q10),
+        cng_first=bool(first_loss),
+    )
 
 
 def silk_host_packet(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,

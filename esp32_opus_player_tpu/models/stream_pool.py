@@ -54,8 +54,16 @@ def _pow2_cap(n: int) -> int:
 class StreamPool:
     def __init__(self, sources, channels: int = 1, native: bool = True,
                  compat_ref: bool = True, host_threads: int = 0,
-                 fixed_buckets: bool = False):
+                 fixed_buckets: bool = False, rfc_plc: bool = False):
         """sources: list of paths/bytes of Ogg/Opus streams.
+
+        rfc_plc=True (RFC mode only) enables REAL packet-loss concealment
+        on the batched SILK/hybrid paths (silk_PLC conceal + CNG + glue,
+        reference src/silk.cpp:2871-3200) — host prepares the sequential
+        concealment parameters, the device runs the conceal kernel
+        (ops/silk/jax_plc.py). Uses the Python SILK symbol hosts (they
+        carry the PLC/CNG parameter state; the native engine port is
+        planned).
 
         fixed_buckets=True pads every device bucket to its pool-lifetime
         capacity (pow2 of the number of streams that can ever hit it)
@@ -72,6 +80,10 @@ class StreamPool:
         self.native = native
         self.compat_ref = compat_ref
         self.fixed_buckets = fixed_buckets
+        if rfc_plc and compat_ref:
+            raise ValueError("rfc_plc requires compat_ref=False")
+        self.rfc_plc = rfc_plc
+        self._conc_energy: dict[int, tuple] = {}
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
@@ -162,10 +174,12 @@ class StreamPool:
         from .opus_decoder import OpusDecoder
         self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
                        for _ in range(self.n)]
-        if native:
+        if native and not rfc_plc:
             from ..host.native import NativeSilkHost
             self.silk_hosts = [NativeSilkHost() for _ in range(self.n)]
         else:
+            # python hosts: the SilkDecoder channel state carries the
+            # PLC/CNG parameter state rfc_plc needs
             self.silk_hosts = None
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
@@ -236,6 +250,7 @@ class StreamPool:
             self.silk_buckets[fs] = dict(
                 outBuf=jnp.zeros((B, ltp + frame), dtype=I32),
                 sLPC=jnp.zeros((B, MAX_LPC_ORDER), dtype=I32),
+                cng=jnp.zeros((B, MAX_LPC_ORDER), dtype=I32),
                 sIIR=jnp.zeros((B, 6), dtype=I32),
                 sFIR=jnp.zeros((B, 8), dtype=I32),
                 delay=jnp.zeros((B, fs), dtype=I32),
@@ -339,8 +354,14 @@ class StreamPool:
                 sp = silk_host_frame(silk, dec, 16, 20)
                 if dec.tell() + 37 <= 8 * len(frame):
                     dec.dec_bit_logp(12)  # redundancy flag
-                csi = host.decode_with_ec(dec, None, 960,
-                                          defer_synthesis=True)
+                if self.native:
+                    # python silk host (rfc_plc) + native CELT engine:
+                    # hand over the live coder state
+                    csi = host.decode_symbol_phase(
+                        frame, 960, ec_state=dec.export_state())
+                else:
+                    csi = host.decode_with_ec(dec, None, 960,
+                                              defer_synthesis=True)
             return ("hybrid", i, (sp, csi), job)
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)
@@ -357,11 +378,6 @@ class StreamPool:
         use_fec: reconstruct the lost frame from the NEXT packet's in-band
         SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
         same state evolution as a scalar decode_fec + decode sequence."""
-        if not self.compat_ref and kind != "scalar":
-            raise NotImplementedError(
-                "batched loss/FEC implements the reference (compat_ref) "
-                "loss semantics; RFC-mode PLC stays on the scalar path — "
-                "decode lossy RFC streams via OpusDecoder")
         if use_fec and kind in ("silk", "hybrid") \
                 and (kind == "hybrid" or self.path[i][2] == 1) \
                 and self.positions[i] < len(self.streams[i].jobs):
@@ -382,6 +398,24 @@ class StreamPool:
                 # frame carries no CELT layer) — not muted, not mixed
                 return ("silk_fec", i, (fs, [params]), job)
             # no usable LBRR: fall through to the loss path
+        if not self.compat_ref and kind != "scalar":
+            # RFC loss: CELT loss is silence with state untouched (the
+            # reference deleted celt_decode_lost); SILK/hybrid get real
+            # concealment when rfc_plc is on
+            if kind == "celt":
+                return ("celt_lost", i, None, job)
+            if self.rfc_plc and (kind == "hybrid" or
+                                 (kind == "silk" and self.path[i][2] == 1)):
+                fs = self.path[i][1] if kind == "silk" else 16
+                from .batch_silk import silk_plc_host_params
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                prep = silk_plc_host_params(silk, fs)
+                return ("silk_plc", i, (fs, prep), job)
+            raise NotImplementedError(
+                "RFC-mode batched loss needs rfc_plc=True (mono 20 ms "
+                "SILK/hybrid); other batched kinds stay unsupported — "
+                "decode those lossy RFC streams via OpusDecoder")
         if kind == "celt":
             return ("celt_lost", i, None, job)
         if kind == "silk":
@@ -452,7 +486,7 @@ class StreamPool:
         self._stats["frames"] += len(results)
         _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
                     "silk2": "silk", "silk2_mute": "hybrid",
-                    "hybrid2": "hybrid"}
+                    "hybrid2": "hybrid", "silk_plc": "silk"}
         for kind, i, _p, job in results:
             if i in lost:
                 self._stats["frames_lost"] += 1
@@ -467,6 +501,7 @@ class StreamPool:
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[tuple, list] = {}
         silk2_groups: dict[int, list] = {}
+        plc_groups: dict[int, list] = {}
         hybrid = set()
         mute = set()
         for kind, i, payload, job in results:
@@ -488,6 +523,9 @@ class StreamPool:
                 fs, plist = payload
                 silk_groups.setdefault((fs, len(plist)), []).append(
                     (i, plist, job))
+            elif kind == "silk_plc":
+                fs, prep = payload
+                plc_groups.setdefault(fs, []).append((i, prep, job))
             elif kind == "silk2":
                 fs, sp = payload
                 silk2_groups.setdefault(fs, []).append((i, sp, job))
@@ -524,6 +562,9 @@ class StreamPool:
             jobs_of.update({i: job for i, _p, job in items})
         for fs, items in silk2_groups.items():
             silk_pcm.update(self._silk2_group(items, fs))
+            jobs_of.update({i: job for i, _p, job in items})
+        for fs, items in plc_groups.items():
+            silk_pcm.update(self._silk_plc_group(items, fs))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
             if i in mute:
@@ -619,13 +660,20 @@ class StreamPool:
                 stack("lag"), stack("voiced"), stack("rewhiten"),
                 stack("adj"), stack("match"), fs_khz=fs, nb_subfr=nb,
                 order=order)
+            # outBuf rolls the RAW decoded signal; the audible output is
+            # glue-smoothed on the first good frame after a concealment
+            # run (silk_PLC_glue_frames :3138 — see _silk_plc_group)
+            xq_out = xq
+            if self.rfc_plc and j == 0:
+                xq_out = self._apply_glue(items, n, cap, xq, frame)
             hist = jnp.concatenate(
                 [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
             new_outbuf = jnp.concatenate(
                 [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
             sMid = st["sMid"][jidx]
-            resin = jnp.concatenate([sMid[:, 1:2], xq[:, :-1]], axis=-1)
-            new_sMid = xq[:, frame - 2:frame]
+            resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
+                                    axis=-1)
+            new_sMid = xq_out[:, frame - 2:frame]
             out48, sIIR, sFIR, delay = sjc.resample_to_48k(
                 st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx],
                 resin, fs_in_khz=fs, in_len=frame)
@@ -637,6 +685,94 @@ class StreamPool:
             st["delay"] = st["delay"].at[jidx].set(delay)
             outs.append(np.asarray(out48[:n]).astype(np.int16))
         out = np.concatenate(outs, axis=-1)
+        return {items[b][0]: out[b][:, None] for b in range(n)}
+
+    def _apply_glue(self, items, n, cap, xq, frame):
+        """First good frame after a concealment run: energy-ramp the
+        audible frame (host flag plc_last_frame_lost + the concealed
+        frame's stored energy drive the device glue kernel)."""
+        from ..ops.silk import jax_plc as jplc
+        flags = np.zeros(cap, dtype=bool)
+        ce = np.zeros(cap, dtype=np.int32)
+        cs = np.zeros(cap, dtype=np.int32)
+        for b in range(n):
+            i = items[b][0]
+            silk = self.scalar[i].silk
+            if silk is None:
+                continue
+            ch = silk.channel_states[0]
+            if getattr(ch, "plc_last_frame_lost", 0):
+                flags[b] = True
+                ce[b], cs[b] = self._conc_energy.get(i, (0, 0))
+                ch.plc_last_frame_lost = 0
+        if not flags.any():
+            return xq
+        return jplc.glue_frames(xq, jnp.asarray(ce), jnp.asarray(cs),
+                                jnp.asarray(flags), frame=frame)
+
+    def _silk_plc_group(self, items, fs: int):
+        """Batched RFC concealment (silk_PLC conceal + CNG): host-prepped
+        params -> device conceal kernel; outBuf rolls the RAW concealed
+        signal, the audible output (and the glue reference energy) is the
+        post-CNG frame — matching _decode_frame's conceal/outBuf/CNG/glue
+        order (src/silk.cpp:1974-2050)."""
+        from ..ops.silk import jax_plc as jplc
+        st = self._silk_bucket(fs)
+        frame = 20 * fs
+        ltp = 20 * fs
+        n = len(items)
+        cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
+        bk = ("silk_plc", fs, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        idxs = np.array([it[0] for it in items]
+                        + [items[0][0]] * (cap - n), dtype=np.int32)
+        jidx = jnp.asarray(idxs)
+        order = 16 if fs == 16 else 10
+
+        def stack(key):
+            rows = [(items[b][1] if b < n else items[0][1])[key]
+                    for b in range(cap)]
+            return jnp.asarray(np.stack(rows))
+
+        xq, sLPC = jplc.silk_plc_conceal_frame(
+            st["outBuf"][jidx], st["sLPC"][jidx], stack("rand"),
+            stack("A")[:, :order], stack("B4"), stack("lag4"),
+            stack("inv_gain"), stack("prev_gain"),
+            fs_khz=fs, nb_subfr=4, order=order)
+
+        # outBuf rolls the raw concealed signal (pre-CNG)
+        hist = jnp.concatenate(
+            [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
+        new_outbuf = jnp.concatenate(
+            [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+
+        first = np.array([bool((items[b][1] if b < n else items[0][1])
+                               ["cng_first"]) for b in range(cap)])
+        state0 = jnp.where(jnp.asarray(first)[:, None], 0,
+                           st["cng"][jidx])
+        xq_out, cng_state = jplc.cng_add(
+            xq, stack("cng_exc"), stack("cng_a")[:, :order],
+            stack("cng_gain"), state0,
+            jnp.ones(cap, dtype=bool), frame=frame, order=order)
+        ce, cs = jplc.frame_energy(xq_out, frame=frame)
+        ce_np, cs_np = np.asarray(ce), np.asarray(cs)
+        for b in range(n):
+            self._conc_energy[items[b][0]] = (int(ce_np[b]), int(cs_np[b]))
+
+        sMid = st["sMid"][jidx]
+        resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
+        new_sMid = xq_out[:, frame - 2:frame]
+        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+            st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
+            fs_in_khz=fs, in_len=frame)
+        st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+        st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
+        st["cng"] = st["cng"].at[jidx].set(cng_state)
+        st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
+        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+        st["delay"] = st["delay"].at[jidx].set(delay)
+        out = np.asarray(out48[:n]).astype(np.int16)
         return {items[b][0]: out[b][:, None] for b in range(n)}
 
     def _silk2_group(self, items, fs: int):

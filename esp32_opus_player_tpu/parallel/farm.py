@@ -27,13 +27,15 @@ from ..models.stream_pool import StreamPool
 class PoolFarm:
     def __init__(self, sources, devices=None, channels: int = 1,
                  native: bool = True, compat_ref: bool = True,
-                 host_threads: int = 0):
+                 host_threads: int = 0, fixed_buckets: bool = False,
+                 rfc_plc: bool = False):
         self.devices = list(devices if devices is not None
                             else jax.devices())
         self.channels = channels
         self._pool_kw = dict(channels=channels, native=native,
                              compat_ref=compat_ref,
-                             host_threads=host_threads)
+                             host_threads=host_threads,
+                             fixed_buckets=fixed_buckets, rfc_plc=rfc_plc)
         n_sh = len(self.devices)
         # round-robin partition; remember each stream's (shard, slot)
         self._shard_sources = [[] for _ in range(n_sh)]

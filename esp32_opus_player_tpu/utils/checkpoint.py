@@ -46,11 +46,14 @@ def snapshot(pool) -> dict:
         silk2_buckets={fs: {k: np.asarray(v) for k, v in st.items()}
                        for fs, st in pool.silk2_buckets.items()},
         stats=dict(pool._stats, buckets=dict(pool._stats["buckets"])),
+        conc_energy=dict(pool._conc_energy),
     )
     if pool.native:
         ck["celt_hosts"] = [bytes(h.st) for h in pool.celt_hosts]
         ck["celt_hosts_start"] = [h.start for h in pool.celt_hosts]
-        ck["silk_hosts"] = [bytes(h.st) for h in pool.silk_hosts]
+        # rfc_plc pools use python silk hosts even when native
+        ck["silk_hosts"] = None if pool.silk_hosts is None else \
+            [bytes(h.st) for h in pool.silk_hosts]
     else:
         ck["celt_hosts"] = [pickle.dumps(h) for h in pool.celt_hosts]
     # scalar decoders are pure-Python state (numpy + ints) — picklable
@@ -82,13 +85,15 @@ def restore(pool, ck: dict) -> None:
     pool.silk2_buckets = {fs: {k: jnp.asarray(v) for k, v in st.items()}
                           for fs, st in ck.get("silk2_buckets", {}).items()}
     pool._stats = dict(ck["stats"], buckets=dict(ck["stats"]["buckets"]))
+    pool._conc_energy = dict(ck.get("conc_energy", {}))
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
                                  ck["celt_hosts_start"]):
             ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
             h.start = start
-        for h, raw in zip(pool.silk_hosts, ck["silk_hosts"]):
-            ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
+        if ck["silk_hosts"] is not None and pool.silk_hosts is not None:
+            for h, raw in zip(pool.silk_hosts, ck["silk_hosts"]):
+                ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
     else:
         pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]

@@ -1,0 +1,101 @@
+"""RFC-mode batched packet-loss concealment (StreamPool rfc_plc=True):
+silk_PLC conceal + CNG + glue run as device kernels (ops/silk/jax_plc.py)
+with host-prepped sequential params — bit-exact vs the scalar RFC decoder
+replaying the same loss pattern (silk_Decode lostFlag=1 path,
+reference src/silk.cpp:2871-3200)."""
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu.host import opusfile
+from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+from esp32_opus_player_tpu.models.stream_pool import StreamPool
+
+from conftest import fixture_path
+
+
+def _scalar_rfc_loss(name, lossfn, fec=False):
+    s = opusfile.open_file(fixture_path(name))
+    dec = OpusDecoder(1, compat_ref=False)
+    out = []
+    jobs = s.jobs
+    for k, job in enumerate(jobs):
+        if lossfn(k):
+            pcm = None
+            if fec and k + 1 < len(jobs) and not lossfn(k + 1):
+                from esp32_opus_player_tpu.host.packet import parse_packet
+                from esp32_opus_player_tpu.host.range_decoder import \
+                    RangeDecoder
+                d = RangeDecoder(parse_packet(jobs[k + 1].data).frames[0])
+                d.dec_bit_logp(1)
+                if d.dec_bit_logp(1):
+                    pcm = dec.decode(jobs[k + 1].data, decode_fec=True)
+            if pcm is None:
+                pcm = dec.decode(None)
+        else:
+            pcm = dec.decode(job.data)
+        lo = job.discard_front
+        hi = pcm.shape[0] - job.trim_end
+        out.append(pcm[lo:max(hi, lo)])
+    return np.concatenate(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["silk_wb_mono_20ms", "silk_mb_mono_20ms",
+                                  "silk_nb_mono_20ms",
+                                  "hybrid_swb_mono_20ms"])
+def test_rfc_plc_periodic_loss_bitexact(name):
+    lossfn = lambda k: k > 0 and k % 7 == 0
+    pool = StreamPool([str(fixture_path(name))], channels=1,
+                      compat_ref=False, rfc_plc=True)
+    out = pool.run(loss=lambda i, k: lossfn(k))[0]
+    assert np.array_equal(out, _scalar_rfc_loss(name, lossfn)), name
+
+
+@pytest.mark.slow
+def test_rfc_plc_burst_loss_bitexact():
+    """Consecutive losses: harmonic/rand attenuation deepens per lossCnt,
+    CNG state persists across the run, glue fires on recovery."""
+    burst = set(range(20, 24)) | {50}
+    name = "silk_wb_mono_20ms"
+    pool = StreamPool([str(fixture_path(name))], channels=1,
+                      compat_ref=False, rfc_plc=True)
+    out = pool.run(loss=lambda i, k: k in burst)[0]
+    assert np.array_equal(out, _scalar_rfc_loss(name, lambda k: k in burst))
+
+
+@pytest.mark.slow
+def test_rfc_plc_with_fec_fallback():
+    """FEC recovers when the next packet carries LBRR; otherwise real
+    concealment — both batched, mirroring the scalar policy."""
+    name = "silk_wb_fec_mono_20ms"
+    lossfn = lambda k: k > 0 and k % 5 == 0
+    pool = StreamPool([str(fixture_path(name))], channels=1,
+                      compat_ref=False, rfc_plc=True)
+    out = pool.run(loss=lambda i, k: lossfn(k), fec=True)[0]
+    assert np.array_equal(out, _scalar_rfc_loss(name, lossfn, fec=True))
+    st = pool.stats()
+    assert st["frames_fec"] > 0 and st["frames_lost"] > st["frames_fec"]
+
+
+@pytest.mark.slow
+def test_rfc_plc_checkpoint_mid_conceal(tmp_path):
+    name = "silk_wb_mono_20ms"
+    lossfn = lambda i, k: k in (8, 9, 10)
+    srcs = [str(fixture_path(name))]
+    golden = StreamPool(srcs, channels=1, compat_ref=False,
+                        rfc_plc=True).run(loss=lossfn)
+    pool = StreamPool(srcs, channels=1, compat_ref=False, rfc_plc=True)
+    for _ in range(10):   # stop INSIDE the concealment run
+        pool.step({0} if lossfn(0, pool.positions[0]) else set())
+    ck = tmp_path / "plc.ckpt"
+    pool.save_checkpoint(str(ck))
+    fresh = StreamPool(srcs, channels=1, compat_ref=False, rfc_plc=True)
+    fresh.load_checkpoint(str(ck))
+    rest = fresh.run(loss=lossfn)
+    assert np.array_equal(rest[0], golden[0])
+
+
+def test_rfc_plc_requires_rfc_mode():
+    with pytest.raises(ValueError):
+        StreamPool([str(fixture_path("silk_wb_mono_20ms"))], channels=1,
+                   compat_ref=True, rfc_plc=True)

@@ -207,8 +207,8 @@ class NativeSilkHost:
     def packet(self, data: bytes, fs_khz: int, payload_ms: int = 20):
         """One mono SILK packet of 1-3 20 ms frames (20/40/60 ms payload).
         Returns a list of per-frame device param dicts."""
-        if payload_ms == 20:
-            return [self.frame(data, fs_khz)]
+        if payload_ms in (10, 20):   # single internal frame
+            return [self.frame(data, fs_khz, payload_ms)]
         n = payload_ms // 20
         fl = 20 * fs_khz
         exc = np.zeros(n * fl, dtype=np.int32)

@@ -143,11 +143,16 @@ class StreamPool:
                 # RFC mode batches 20/40/60 ms payloads (1-3 internal
                 # frames) and code-3 multi-frame packets.
                 silk_ok = (spf == 960 and nfr == 1) if compat_ref else (
-                    spf in (960, 1920, 2880) and spf * nfr <= 5760)
+                    spf in (480, 960, 1920, 2880) and spf * nfr <= 5760)
                 if mode == Mode.SILK_ONLY and silk_ok and sch == 1 \
                         and channels == 1 and len(fss) == 1:
-                    self.path.append(("silk", next(iter(fss)),
-                                      (spf // 960) * nfr, spf // 48))
+                    # frame_ms: duration of one DEVICE frame (10 for
+                    # nb_subfr=2 payloads, else 20); dfp: device frames
+                    # per packet
+                    frame_ms = 10 if spf == 480 else 20
+                    dfp = nfr * max(1, spf // 960)
+                    self.path.append(("silk", next(iter(fss)), dfp,
+                                      spf // 48, frame_ms))
                     continue
                 if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
                         and sch == 2 and channels == 2 and len(fss) == 1:
@@ -285,6 +290,7 @@ class StreamPool:
             # frames — every one becomes a device frame
             parsed = parse_packet(job.data)
             fs, payload_ms = self.path[i][1], self.path[i][3]
+            frame_ms = self.path[i][4]
             plist = []
             for fr in parsed.frames:
                 if self.silk_hosts is not None:
@@ -296,7 +302,7 @@ class StreamPool:
                     silk.set_raw_params(1, 1, payload_ms, fs * 1000, 48000)
                     plist += silk_host_packet(silk, RangeDecoder(fr),
                                               fs, payload_ms)
-            return ("silk", i, (fs, plist), job)
+            return ("silk", i, (fs, frame_ms, plist), job)
         if kind == "silk2":
             # stereo SILK: python host phase (SilkDecoder-backed; the
             # native engine is mono-only so far), device MS->LR unmix
@@ -379,7 +385,8 @@ class StreamPool:
         SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
         same state evolution as a scalar decode_fec + decode sequence."""
         if use_fec and kind in ("silk", "hybrid") \
-                and (kind == "hybrid" or self.path[i][2] == 1) \
+                and (kind == "hybrid" or (self.path[i][2] == 1
+                                          and self.path[i][4] == 20)) \
                 and self.positions[i] < len(self.streams[i].jobs):
             fs = self.path[i][1] if kind == "silk" else 16
             nxt = parse_packet(
@@ -396,7 +403,7 @@ class StreamPool:
             if params is not None:
                 # FEC output is SILK-only for hybrid too (the redundant
                 # frame carries no CELT layer) — not muted, not mixed
-                return ("silk_fec", i, (fs, [params]), job)
+                return ("silk_fec", i, (fs, 20, [params]), job)
             # no usable LBRR: fall through to the loss path
         if not self.compat_ref and kind != "scalar":
             # RFC loss: CELT loss is silence with state untouched (the
@@ -405,7 +412,8 @@ class StreamPool:
             if kind == "celt":
                 return ("celt_lost", i, None, job)
             if self.rfc_plc and (kind == "hybrid" or
-                                 (kind == "silk" and self.path[i][2] == 1)):
+                                 (kind == "silk" and self.path[i][2] == 1
+                                  and self.path[i][4] == 20)):
                 fs = self.path[i][1] if kind == "silk" else 16
                 from .batch_silk import silk_plc_host_params
                 silk = self.scalar[i]._get_silk()
@@ -430,7 +438,7 @@ class StreamPool:
                 silk = self.scalar[i]._get_silk()
                 silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
                 params = silk_host_frame(silk, RangeDecoder(b""), fs, 20)
-            return ("silk", i, (fs, [params]), job)
+            return ("silk", i, (fs, 20, [params]), job)
         if kind == "silk2":
             # stereo loss: the normal stereo frame path over an empty
             # bitstream, exactly like the scalar compat path
@@ -517,12 +525,12 @@ class StreamPool:
                 # bitstream, output is silence (CELT stage errors)
                 mute.add(i)
                 fs, plist = payload
-                silk_groups.setdefault((fs, len(plist)), []).append(
+                silk_groups.setdefault((fs, 20, len(plist)), []).append(
                     (i, plist, job))
             elif kind in ("silk", "silk_fec"):
-                fs, plist = payload
-                silk_groups.setdefault((fs, len(plist)), []).append(
-                    (i, plist, job))
+                fs, frame_ms, plist = payload
+                silk_groups.setdefault((fs, frame_ms, len(plist)),
+                                       []).append((i, plist, job))
             elif kind == "silk_plc":
                 fs, prep = payload
                 plc_groups.setdefault(fs, []).append((i, prep, job))
@@ -543,7 +551,8 @@ class StreamPool:
             elif kind == "hybrid":
                 sp, csi = payload
                 hybrid.add(i)
-                silk_groups.setdefault((16, 1), []).append((i, [sp], job))
+                silk_groups.setdefault((16, 20, 1), []).append(
+                    (i, [sp], job))
                 key = (csi["LM"], csi["C"], self.channels,
                        csi["transient"])
                 celt_groups.setdefault(key, []).append((i, csi, job))
@@ -557,8 +566,8 @@ class StreamPool:
         for (LM, C, CC, transient), items in celt_groups.items():
             celt_pcm.update(self._celt_group(items, LM, C, CC, transient))
             jobs_of.update({i: job for i, _p, job in items})
-        for (fs, nfr), items in silk_groups.items():
-            silk_pcm.update(self._silk_group(items, fs, nfr))
+        for (fs, frame_ms, nfr), items in silk_groups.items():
+            silk_pcm.update(self._silk_group(items, fs, nfr, frame_ms))
             jobs_of.update({i: job for i, _p, job in items})
         for fs, items in silk2_groups.items():
             silk_pcm.update(self._silk2_group(items, fs))
@@ -630,18 +639,21 @@ class StreamPool:
         return {items[b][0]: out[b].T for b in range(n)}
 
     # ------------------------------------------------------------------
-    def _silk_group(self, items, fs: int, nfr: int = 1):
-        """items: (stream_idx, [per-20ms-frame params] * nfr, job). Multi-
-        frame packets (40/60 ms) run nfr sequential launches of the SAME
-        compiled core — state scatters back between subframes, so no new
-        shapes are traced."""
+    def _silk_group(self, items, fs: int, nfr: int = 1,
+                    frame_ms: int = 20):
+        """items: (stream_idx, [per-device-frame params] * nfr, job).
+        Multi-frame packets (40/60 ms) run nfr sequential launches of the
+        SAME compiled core — state scatters back between subframes, so no
+        new shapes are traced. frame_ms=10 selects the nb_subfr=2 core
+        (10 ms payloads); the bucket state arrays are sized for 20 ms and
+        shorter frames use a leading slice."""
         st = self._silk_bucket(fs)
-        nb = 4
-        frame = 20 * fs
+        nb = 2 if frame_ms == 10 else 4
+        frame = frame_ms * fs
         ltp = 20 * fs
         n = len(items)
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk", fs, nfr, cap)
+        bk = ("silk", fs, frame_ms, nfr, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
@@ -655,7 +667,8 @@ class StreamPool:
                 return jnp.asarray(np.stack(rows))
 
             xq, sLPC = sjc.silk_core_frame(
-                st["outBuf"][jidx], st["sLPC"][jidx], stack("exc"),
+                st["outBuf"][jidx][:, :ltp + frame], st["sLPC"][jidx],
+                stack("exc"),
                 stack("A"), stack("B"), stack("gains"), stack("inv"),
                 stack("lag"), stack("voiced"), stack("rewhiten"),
                 stack("adj"), stack("match"), fs_khz=fs, nb_subfr=nb,
@@ -668,8 +681,9 @@ class StreamPool:
                 xq_out = self._apply_glue(items, n, cap, xq, frame)
             hist = jnp.concatenate(
                 [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
+            # scatter width must match the (20 ms-sized) bucket arrays
             new_outbuf = jnp.concatenate(
-                [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+                [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
             sMid = st["sMid"][jidx]
             resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
                                     axis=-1)

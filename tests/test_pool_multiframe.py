@@ -15,12 +15,14 @@ from conftest import fixture_path
 @pytest.mark.slow
 @pytest.mark.parametrize("native", [True, False])
 def test_pool_multiframe_silk_rfc(native):
-    names = ["silk_wb_mono_60ms", "silk_wb_mono_40ms", "silk_wb_mono_20ms"]
+    names = ["silk_wb_mono_60ms", "silk_wb_mono_40ms", "silk_wb_mono_20ms",
+             "silk_wb_mono_10ms"]
     srcs = [str(fixture_path(n)) for n in names]
     pool = StreamPool(srcs, channels=1, native=native, compat_ref=False)
-    assert pool.path[0] == ("silk", 16, 3, 60)
-    assert pool.path[1] == ("silk", 16, 2, 40)
-    assert pool.path[2] == ("silk", 16, 1, 20)
+    assert pool.path[0] == ("silk", 16, 3, 60, 20)
+    assert pool.path[1] == ("silk", 16, 2, 40, 20)
+    assert pool.path[2] == ("silk", 16, 1, 20, 20)
+    assert pool.path[3] == ("silk", 16, 1, 10, 10)  # nb_subfr=2 core
     outs = pool.run()
     for i, src in enumerate(srcs):
         ref = decode_file(src, DecoderConfig(channels=1, compat_ref=False))

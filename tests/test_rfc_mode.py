@@ -23,6 +23,7 @@ RFC_FIXTURES = [
     ("celt_fb_stereo_2p5ms", 2, 16),
     ("silk_wb_mono_60ms", 1, 0),
     ("silk_wb_mono_40ms", 1, 0),
+    ("silk_wb_mono_10ms", 1, 0),
     ("silk_nb_stereo_40ms", 2, 0),
     ("hybrid_fb_mono_10ms", 1, 4),
     ("celt_nb_mono_20ms", 1, 16),

@@ -126,6 +126,9 @@ FIXTURES = [
     ("silk_wb_mono_60ms", "voice", 1, 2.4, 60,
      dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=20000,
           app=lo.OPUS_APPLICATION_VOIP)),
+    ("silk_wb_mono_10ms", "voice", 1, 1.5, 10,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND,
+          br=24000, app=lo.OPUS_APPLICATION_VOIP)),
     ("silk_wb_mono_40ms", "voice", 1, 2.4, 40,
      dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND,
           br=22000, app=lo.OPUS_APPLICATION_VOIP)),

@@ -187,7 +187,7 @@ class NativeSilkHost:
         flags = np.zeros(12, dtype=np.int32)
         adj = np.zeros(4, dtype=np.int32)
         ec = np.zeros(9, dtype=np.int32)
-        misc = np.zeros(4, dtype=np.int32)
+        misc = np.zeros(8, dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -202,6 +202,8 @@ class NativeSilkHost:
                     voiced=flags[0:4].astype(bool),
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
+                    signal_type=int(misc[0]), lag_prev=int(misc[3]),
+                    ltp_scale=int(misc[4]),
                     ec_state=[int(v) & 0xFFFFFFFF for v in ec])
 
     def packet(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -219,7 +221,7 @@ class NativeSilkHost:
         lag = np.zeros((n, 4), dtype=np.int32)
         flags = np.zeros((n, 12), dtype=np.int32)
         adj = np.zeros((n, 4), dtype=np.int32)
-        misc = np.zeros((n, 4), dtype=np.int32)
+        misc = np.zeros((n, 8), dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -234,7 +236,9 @@ class NativeSilkHost:
                      lag=lag[f], voiced=flags[f, 0:4].astype(bool),
                      rewhiten=flags[f, 4:8].astype(bool),
                      match=flags[f, 8:12].astype(bool), adj=adj[f],
-                     exc=exc[f * fl:(f + 1) * fl])
+                     exc=exc[f * fl:(f + 1) * fl],
+                     signal_type=int(misc[f, 0]),
+                     lag_prev=int(misc[f, 3]), ltp_scale=int(misc[f, 4]))
                 for f in range(n)]
 
     def fec_frame(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -250,7 +254,7 @@ class NativeSilkHost:
         lag = np.zeros(4, dtype=np.int32)
         flags = np.zeros(12, dtype=np.int32)
         adj = np.zeros(4, dtype=np.int32)
-        misc = np.zeros(4, dtype=np.int32)
+        misc = np.zeros(8, dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -266,4 +270,6 @@ class NativeSilkHost:
         return dict(A=A, B=B, gains=gains, inv=inv, lag=lag,
                     voiced=flags[0:4].astype(bool),
                     rewhiten=flags[4:8].astype(bool),
-                    match=flags[8:12].astype(bool), adj=adj, exc=exc)
+                    match=flags[8:12].astype(bool), adj=adj, exc=exc,
+                    signal_type=int(misc[0]), lag_prev=int(misc[3]),
+                    ltp_scale=int(misc[4]))

@@ -702,6 +702,8 @@ static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
     misc_out[1] = interp;
     misc_out[2] = ind.Seed;
     misc_out[3] = st->lagPrev;
+    misc_out[4] = ltp_scale_q14;   // PLC-state tracking (silk_PLC_update)
+    misc_out[5] = st->VAD_flags[frame_index];
     return 0;
 }
 
@@ -716,7 +718,8 @@ extern "C" {
 //
 // Outputs: exc[frame], A[2*16], B[4*5], gains[4], inv[4], lag[4],
 // flags[12] (voiced[4], rewhiten[4], match[4]), adj[4], ec_out[9],
-// misc[4] = {signalType, interp<4, seed, lagPrev}.
+// misc[8] = {signalType, interp<4, seed, lagPrev, LTP_scale_Q14,
+// VAD_flag, 0, 0}.
 int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
                       int payload_ms, int hybrid, SilkHostState* st,
                       i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,

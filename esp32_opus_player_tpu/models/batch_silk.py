@@ -171,22 +171,131 @@ def _finish_frame(ch, ctrl):
     ch.nFramesDecoded += 1
 
 
-def silk_plc_host_params(h: SilkDecoder, fs_khz: int):
+class _TrackerCtrl:
+    """DecoderControl-shaped view over native host-frame outputs, for
+    silk_PLC_update / silk_CNG good-frame bookkeeping."""
+
+    def __init__(self, p, order):
+        self.Gains_Q16 = [int(v) for v in p["gains"]]
+        self.LTPCoef_Q14 = [int(v) for v in np.asarray(p["B"]).ravel()]
+        self.pitchL = [int(v) for v in p["lag"]]
+        self.PredCoef_Q12 = [list(int(v) for v in p["A"][0][:order]),
+                             list(int(v) for v in p["A"][1][:order])]
+        self.LTP_scale_Q14 = int(p["ltp_scale"])
+
+
+class NativePlcTracker:
+    """PLC/CNG parameter state alongside a NativeSilkHost. The C engine
+    decodes symbols; this mirror ingests its per-frame outputs to keep
+    the concealment state (silk_PLC_update :2895, silk_CNG :1342 good
+    branch) that the conceal prep needs — so rfc_plc pools keep the
+    native symbol phase. Duck-types the scalar SilkChannelState fields
+    that ops/silk/plc.py reads."""
+
+    def __init__(self, fs_khz: int):
+        from .silk_decoder import MAX_FRAME_LENGTH
+        from ..ops.silk import plc as sp
+        self.fs_kHz = fs_khz
+        self.nb_subfr = 4
+        self.subfr_length = 5 * fs_khz
+        self.frame_length = 20 * fs_khz
+        self.ltp_mem_length = 20 * fs_khz
+        self.LPC_order = 16 if fs_khz == 16 else 10
+        self.exc_Q14 = [0] * MAX_FRAME_LENGTH
+        self.prevNLSF_Q15 = [0] * MAX_LPC_ORDER
+        self.lossCnt = 0
+        self.prevSignalType = 0
+        self.ind_signalType = 0
+        self.first_frame_after_reset = 1
+        self.lagPrev = 100
+        self.LastGainIndex = 10
+        self.cng_exc_buf_Q14 = [0] * MAX_FRAME_LENGTH
+        self.cng_smth_NLSF_Q15 = [0] * MAX_LPC_ORDER
+        self.cng_synth_state = [0] * MAX_LPC_ORDER
+        self.cng_smth_Gain_Q16 = 0
+        self.cng_rand_seed = 0
+        self.cng_fs_kHz = 0
+        self.plc_pitchL_Q8 = 0
+        self.plc_LTPCoef_Q14 = [0] * 5
+        self.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
+        self.plc_last_frame_lost = 0
+        self.plc_rand_seed = 0
+        self.plc_randScale_Q14 = 0
+        self.plc_conc_energy = 0
+        self.plc_conc_energy_shift = 0
+        self.plc_prevLTP_scale_Q14 = 0
+        self.plc_prevGain_Q16 = [0, 0]
+        self.plc_fs_kHz = 0
+        self.plc_nb_subfr = 0
+        self.plc_subfr_length = 0
+        sp.cng_reset(self)
+        sp.plc_reset(self)
+
+    def good_frame(self, p, native_st) -> None:
+        """Ingest one decoded (or FEC) frame's native outputs — the same
+        bookkeeping _finish_frame does for the python host."""
+        from ..ops.silk import plc as sp
+        ctrl = _TrackerCtrl(p, self.LPC_order)
+        self.ind_signalType = int(p["signal_type"])
+        self.exc_Q14[:self.frame_length] = [int(v) for v in p["exc"]]
+        sp.plc(self, ctrl, None, 0, 0)      # update-only
+        self.lossCnt = 0
+        self.prevNLSF_Q15 = [int(v) for v in native_st.prevNLSF_Q15]
+        sp.cng(self, ctrl, None, 0, 0)      # good-frame smoothing
+        self.prevSignalType = self.ind_signalType
+        self.first_frame_after_reset = 0
+        self.lagPrev = int(p["lag_prev"])
+
+
+def apply_plc_transition(p, trk) -> None:
+    """Post-loss adjustments the native engine can't know about, applied
+    to its outputs on the first good/FEC frame after concealment (the
+    python host does both inside the decode):
+    - LPC bandwidth expansion after loss (silk_decode_parameters :858)
+    - decode_core's voiced-PLC -> unvoiced transition (:1871)."""
+    from ..ops.silk import macros as m
+    from ..ops.silk.nlsf import bwexpander
+    if not trk.lossCnt:
+        return
+    from .silk_decoder import BWE_AFTER_LOSS_Q16
+    order = trk.LPC_order
+    for half in range(2):
+        a = [int(v) for v in p["A"][half][:order]]
+        bwexpander(a, order, BWE_AFTER_LOSS_Q16)
+        p["A"][half][:order] = a
+    if not (trk.prevSignalType == sd.TYPE_VOICED
+            and int(p["signal_type"]) != sd.TYPE_VOICED):
+        return
+    for k in range(2):
+        p["B"][k] = [0, 0, 4096, 0, 0]
+        p["voiced"][k] = True
+        p["lag"][k] = trk.lagPrev
+    p["rewhiten"][0] = True
+    inv = m.INVERSE32_varQ(int(p["gains"][0]), 47)
+    p["inv"][0] = m.LSHIFT32(m.SMULWB(inv, int(p["ltp_scale"])), 2)
+
+
+def silk_plc_host_params(h, fs_khz: int):
     """Host half of silk_PLC_conceal (:2973) for one mono 20 ms lost
     frame: the rand-seed walk, per-subframe LTP decay and pitch drift,
     bandwidth expansion of the previous LPC, and the CNG excitation/gain
     prep — everything sequential. Returns the device-kernel inputs for
     ops/silk/jax_plc.silk_plc_conceal_frame (+ cng_add) and mutates the
-    host channel state exactly like a scalar concealed frame."""
+    host channel state exactly like a scalar concealed frame.
+
+    h: a SilkDecoder (python-host pools) or a NativePlcTracker."""
     from ..ops.silk import macros as m
     from ..ops.silk import plc as sp
     from ..ops.silk.nlsf import bwexpander, lpc_inverse_pred_gain, nlsf2a
 
-    ch = h.channel_states[0]
-    ch.nFramesDecoded = 0
-    ch.nFramesPerPacket = 1
-    ch.nb_subfr = 4
-    h._set_fs(0, fs_khz, 48000)
+    if isinstance(h, NativePlcTracker):
+        ch = h
+    else:
+        ch = h.channel_states[0]
+        ch.nFramesDecoded = 0
+        ch.nFramesPerPacket = 1
+        ch.nb_subfr = 4
+        h._set_fs(0, fs_khz, 48000)
     nb = ch.nb_subfr
     subfr = ch.subfr_length
     order = ch.LPC_order

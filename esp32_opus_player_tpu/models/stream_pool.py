@@ -61,9 +61,9 @@ class StreamPool:
         on the batched SILK/hybrid paths (silk_PLC conceal + CNG + glue,
         reference src/silk.cpp:2871-3200) — host prepares the sequential
         concealment parameters, the device runs the conceal kernel
-        (ops/silk/jax_plc.py). Uses the Python SILK symbol hosts (they
-        carry the PLC/CNG parameter state; the native engine port is
-        planned).
+        (ops/silk/jax_plc.py). Works with both symbol engines: native
+        pools keep the C symbol phase and mirror the PLC/CNG parameter
+        state in a per-stream tracker fed from its outputs.
 
         fixed_buckets=True pads every device bucket to its pool-lifetime
         capacity (pow2 of the number of streams that can ever hit it)
@@ -179,13 +179,14 @@ class StreamPool:
         from .opus_decoder import OpusDecoder
         self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
                        for _ in range(self.n)]
-        if native and not rfc_plc:
+        if native:
             from ..host.native import NativeSilkHost
             self.silk_hosts = [NativeSilkHost() for _ in range(self.n)]
         else:
-            # python hosts: the SilkDecoder channel state carries the
-            # PLC/CNG parameter state rfc_plc needs
             self.silk_hosts = None
+        # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
+        # native outputs (batch_silk.NativePlcTracker)
+        self._plc_trk: dict[int, object] = {}
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
         # that can ever hit each bucket); used always by warmup(), and as
@@ -263,6 +264,12 @@ class StreamPool:
             )
         return self.silk_buckets[fs]
 
+    def _plc_tracker(self, i: int, fs: int):
+        if i not in self._plc_trk:
+            from .batch_silk import NativePlcTracker
+            self._plc_trk[i] = NativePlcTracker(fs)
+        return self._plc_trk[i]
+
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
         if self.positions[i] >= len(s.jobs):
@@ -294,7 +301,14 @@ class StreamPool:
             plist = []
             for fr in parsed.frames:
                 if self.silk_hosts is not None:
-                    plist += self.silk_hosts[i].packet(fr, fs, payload_ms)
+                    sub = self.silk_hosts[i].packet(fr, fs, payload_ms)
+                    if self.rfc_plc and frame_ms == 20:
+                        from .batch_silk import apply_plc_transition
+                        trk = self._plc_tracker(i, fs)
+                        for p in sub:
+                            apply_plc_transition(p, trk)
+                            trk.good_frame(p, self.silk_hosts[i].st)
+                    plist += sub
                 else:
                     from ..host.range_decoder import RangeDecoder
                     from .batch_silk import silk_host_packet
@@ -348,6 +362,11 @@ class StreamPool:
             host.end = self.path[i][1]
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(frame, 16, hybrid=True)
+                if self.rfc_plc:
+                    from .batch_silk import apply_plc_transition
+                    trk = self._plc_tracker(i, 16)
+                    apply_plc_transition(sp, trk)
+                    trk.good_frame(sp, self.silk_hosts[i].st)
                 csi = host.decode_symbol_phase(frame, 960,
                                                ec_state=sp["ec_state"])
             else:
@@ -393,6 +412,11 @@ class StreamPool:
                 self.streams[i].jobs[self.positions[i]].data).frames[0]
             if self.silk_hosts is not None:
                 params = self.silk_hosts[i].fec_frame(nxt, fs)
+                if params is not None and self.rfc_plc:
+                    from .batch_silk import apply_plc_transition
+                    trk = self._plc_tracker(i, fs)
+                    apply_plc_transition(params, trk)
+                    trk.good_frame(params, self.silk_hosts[i].st)
             else:
                 from ..host.range_decoder import RangeDecoder
                 from .batch_silk import silk_host_frame_fec
@@ -416,9 +440,15 @@ class StreamPool:
                                   and self.path[i][4] == 20)):
                 fs = self.path[i][1] if kind == "silk" else 16
                 from .batch_silk import silk_plc_host_params
-                silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
-                prep = silk_plc_host_params(silk, fs)
+                if self.silk_hosts is not None:
+                    trk = self._plc_tracker(i, fs)
+                    prep = silk_plc_host_params(trk, fs)
+                    # silk_Decode on loss (:455) in the native struct too
+                    self.silk_hosts[i].st.LastGainIndex = 10
+                else:
+                    silk = self.scalar[i]._get_silk()
+                    silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                    prep = silk_plc_host_params(silk, fs)
                 return ("silk_plc", i, (fs, prep), job)
             raise NotImplementedError(
                 "RFC-mode batched loss needs rfc_plc=True (mono 20 ms "
@@ -711,10 +741,15 @@ class StreamPool:
         cs = np.zeros(cap, dtype=np.int32)
         for b in range(n):
             i = items[b][0]
-            silk = self.scalar[i].silk
-            if silk is None:
-                continue
-            ch = silk.channel_states[0]
+            if self.silk_hosts is not None:
+                ch = self._plc_trk.get(i)
+                if ch is None:
+                    continue
+            else:
+                silk = self.scalar[i].silk
+                if silk is None:
+                    continue
+                ch = silk.channel_states[0]
             if getattr(ch, "plc_last_frame_lost", 0):
                 flags[b] = True
                 ce[b], cs[b] = self._conc_energy.get(i, (0, 0))

@@ -47,6 +47,8 @@ def snapshot(pool) -> dict:
                        for fs, st in pool.silk2_buckets.items()},
         stats=dict(pool._stats, buckets=dict(pool._stats["buckets"])),
         conc_energy=dict(pool._conc_energy),
+        plc_trackers={i: pickle.dumps(t)
+                      for i, t in getattr(pool, "_plc_trk", {}).items()},
     )
     if pool.native:
         ck["celt_hosts"] = [bytes(h.st) for h in pool.celt_hosts]
@@ -86,6 +88,8 @@ def restore(pool, ck: dict) -> None:
                           for fs, st in ck.get("silk2_buckets", {}).items()}
     pool._stats = dict(ck["stats"], buckets=dict(ck["stats"]["buckets"]))
     pool._conc_energy = dict(ck.get("conc_energy", {}))
+    pool._plc_trk = {i: pickle.loads(b)
+                     for i, b in ck.get("plc_trackers", {}).items()}
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
                                  ck["celt_hosts_start"]):

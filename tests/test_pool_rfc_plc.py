@@ -40,13 +40,16 @@ def _scalar_rfc_loss(name, lossfn, fec=False):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("native", [True, False])
 @pytest.mark.parametrize("name", ["silk_wb_mono_20ms", "silk_mb_mono_20ms",
                                   "silk_nb_mono_20ms",
                                   "hybrid_swb_mono_20ms"])
-def test_rfc_plc_periodic_loss_bitexact(name):
+def test_rfc_plc_periodic_loss_bitexact(name, native):
+    """native=True: the C symbol engine + NativePlcTracker state mirror;
+    native=False: the python SILK host."""
     lossfn = lambda k: k > 0 and k % 7 == 0
     pool = StreamPool([str(fixture_path(name))], channels=1,
-                      compat_ref=False, rfc_plc=True)
+                      compat_ref=False, rfc_plc=True, native=native)
     out = pool.run(loss=lambda i, k: lossfn(k))[0]
     assert np.array_equal(out, _scalar_rfc_loss(name, lossfn)), name
 
@@ -57,10 +60,12 @@ def test_rfc_plc_burst_loss_bitexact():
     CNG state persists across the run, glue fires on recovery."""
     burst = set(range(20, 24)) | {50}
     name = "silk_wb_mono_20ms"
-    pool = StreamPool([str(fixture_path(name))], channels=1,
-                      compat_ref=False, rfc_plc=True)
-    out = pool.run(loss=lambda i, k: k in burst)[0]
-    assert np.array_equal(out, _scalar_rfc_loss(name, lambda k: k in burst))
+    ref = _scalar_rfc_loss(name, lambda k: k in burst)
+    for native in (True, False):
+        pool = StreamPool([str(fixture_path(name))], channels=1,
+                          compat_ref=False, rfc_plc=True, native=native)
+        out = pool.run(loss=lambda i, k: k in burst)[0]
+        assert np.array_equal(out, ref), f"native={native}"
 
 
 @pytest.mark.slow
@@ -69,10 +74,13 @@ def test_rfc_plc_with_fec_fallback():
     concealment — both batched, mirroring the scalar policy."""
     name = "silk_wb_fec_mono_20ms"
     lossfn = lambda k: k > 0 and k % 5 == 0
-    pool = StreamPool([str(fixture_path(name))], channels=1,
-                      compat_ref=False, rfc_plc=True)
-    out = pool.run(loss=lambda i, k: lossfn(k), fec=True)[0]
-    assert np.array_equal(out, _scalar_rfc_loss(name, lossfn, fec=True))
+    ref = _scalar_rfc_loss(name, lossfn, fec=True)
+    for native in (True, False):
+        pool = StreamPool([str(fixture_path(name))], channels=1,
+                          compat_ref=False, rfc_plc=True, native=native)
+        out = pool.run(loss=lambda i, k: lossfn(k), fec=True)[0]
+        assert np.array_equal(out, ref), f"native={native}"
+    pool = pool  # stats checked on the last (python) run
     st = pool.stats()
     assert st["frames_fec"] > 0 and st["frames_lost"] > st["frames_fec"]
 

@@ -159,6 +159,14 @@ def _bind_silk(lib):
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(SilkHostState),
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
+    lib.silk_host_stereo_c.restype = ctypes.c_int
+    lib.silk_host_stereo_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(SilkHostState),
+        ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P]
     lib.silk_host_reset.argtypes = [ctypes.POINTER(SilkHostState)]
     lib._silk_bound = True
 
@@ -273,3 +281,70 @@ class NativeSilkHost:
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     signal_type=int(misc[0]), lag_prev=int(misc[3]),
                     ltp_scale=int(misc[4]))
+
+
+class NativeSilkStereoHost:
+    """Per-stream native STEREO SILK symbol phase; drop-in producer of
+    the same dict as models/batch_silk.silk_host_stereo_packet (mid/side
+    device params + stereo predictor + side-reset flag). hybrid=True also
+    consumes the redundancy flag and exports the ec state for the CELT
+    engine."""
+
+    def __init__(self):
+        self.lib = load()
+        _bind_silk(self.lib)
+        self.st = (SilkHostState(), SilkHostState())
+        for st in self.st:
+            self.lib.silk_host_reset(ctypes.byref(st))
+        self.prev_dom = 0   # prev_decode_only_middle (silk_Decode :459)
+
+    def packet(self, data: bytes, fs_khz: int, hybrid: bool = False):
+        fl = 20 * fs_khz
+
+        def alloc():
+            return dict(exc=np.zeros(fl, dtype=np.int32),
+                        A=np.zeros((2, 16), dtype=np.int32),
+                        B=np.zeros((4, 5), dtype=np.int32),
+                        gains=np.zeros(4, dtype=np.int32),
+                        inv=np.zeros(4, dtype=np.int32),
+                        lag=np.zeros(4, dtype=np.int32),
+                        flags=np.zeros(12, dtype=np.int32),
+                        adj=np.zeros(4, dtype=np.int32),
+                        misc=np.zeros(8, dtype=np.int32))
+
+        mb, sb = alloc(), alloc()
+        ec = np.zeros(9, dtype=np.int32)
+        info = np.zeros(8, dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_stereo_c(
+            data, len(data), fs_khz, self.prev_dom, int(hybrid),
+            ctypes.byref(self.st[0]), ctypes.byref(self.st[1]),
+            p(mb["exc"]), p(mb["A"]), p(mb["B"]), p(mb["gains"]),
+            p(mb["inv"]), p(mb["lag"]), p(mb["flags"]), p(mb["adj"]),
+            p(mb["misc"]),
+            p(sb["exc"]), p(sb["A"]), p(sb["B"]), p(sb["gains"]),
+            p(sb["inv"]), p(sb["lag"]), p(sb["flags"]), p(sb["adj"]),
+            p(sb["misc"]), p(ec), p(info))
+        if ret != 0:
+            raise ValueError(f"silk_host_stereo_c failed: {ret}")
+        self.prev_dom = int(info[2])
+
+        def todict(b):
+            return dict(A=b["A"], B=b["B"], gains=b["gains"], inv=b["inv"],
+                        lag=b["lag"], voiced=b["flags"][0:4].astype(bool),
+                        rewhiten=b["flags"][4:8].astype(bool),
+                        match=b["flags"][8:12].astype(bool), adj=b["adj"],
+                        exc=b["exc"], signal_type=int(b["misc"][0]),
+                        lag_prev=int(b["misc"][3]),
+                        ltp_scale=int(b["misc"][4]))
+
+        out = dict(mid=todict(mb),
+                   side=todict(sb) if info[0] else None,
+                   pred=np.asarray(info[3:5], dtype=np.int32),
+                   side_reset=bool(info[1]))
+        if hybrid:
+            out["ec_state"] = [int(v) & 0xFFFFFFFF for v in ec]
+        return out

@@ -707,9 +707,119 @@ static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
     return 0;
 }
 
+static void stereo_decode_pred(EcDec& ec, i32* pred) {
+    // silk_stereo_decode_pred (:592)
+    int n = ec.icdf(silk_stereo_pred_joint_iCDF, 8);
+    int ix[2][3];
+    ix[0][2] = n / 5;
+    ix[1][2] = n - 5 * ix[0][2];
+    for (int ch = 0; ch < 2; ch++) {
+        ix[ch][0] = ec.icdf(silk_uniform3_iCDF, 8);
+        ix[ch][1] = ec.icdf(silk_uniform5_iCDF, 8);
+    }
+    for (int ch = 0; ch < 2; ch++) {
+        ix[ch][0] += 3 * ix[ch][2];
+        i32 low = silk_stereo_pred_quant_Q13[ix[ch][0]];
+        i32 step = SMULWB(
+            (i32)silk_stereo_pred_quant_Q13[ix[ch][0] + 1] - low, 6554);
+        pred[ch] = SMLABB(low, step, 2 * ix[ch][1] + 1);
+    }
+    pred[0] -= pred[1];
+}
+
 }  // namespace
 
 extern "C" {
+
+// One STEREO no-loss 20 ms SILK packet (silk_Decode :1481 with
+// nChannelsInternal=2): per-channel VAD/LBRR headers, LBRR payload skip
+// (stereo symbols included), stereo predictor + mid-only flag, side
+// re-entry reset bookkeeping, then the mid frame and (when present) the
+// side frame. hybrid=1 also consumes the redundancy flag and exports the
+// range-coder state for the CELT engine.
+//
+// info[8] out = {has_side, side_reset, new_decode_only_middle,
+// pred0_Q13, pred1_Q13, 0, 0, 0}. Side outputs valid iff has_side.
+int silk_host_stereo_c(const unsigned char* data, int len, int fs_khz,
+                       int prev_dom, int hybrid,
+                       SilkHostState* st0, SilkHostState* st1,
+                       i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
+                       i32* m_inv, i32* m_lag, i32* m_flags, i32* m_adj,
+                       i32* m_misc,
+                       i32* s_exc, i32* s_A, i32* s_B, i32* s_gains,
+                       i32* s_inv, i32* s_lag, i32* s_flags, i32* s_adj,
+                       i32* s_misc, i32* ec_out, i32* info) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+    SilkHostState* sts[2] = {st0, st1};
+    for (int n = 0; n < 2; n++) {
+        sts[n]->nFramesPerPacket = 1;
+        set_fs(sts[n], fs_khz, 4);
+        sts[n]->VAD_flags[0] = ec.bit_logp(1);
+        sts[n]->LBRR_flag = ec.bit_logp(1);
+    }
+    for (int n = 0; n < 2; n++) {
+        memset(sts[n]->LBRR_flags, 0, sizeof sts[n]->LBRR_flags);
+        if (sts[n]->LBRR_flag) sts[n]->LBRR_flags[0] = 1;
+    }
+    // skip LBRR payloads, stereo symbols included (:1590)
+    for (int n = 0; n < 2; n++) {
+        if (sts[n]->LBRR_flags[0]) {
+            if (n == 0) {
+                i32 dummy[2];
+                stereo_decode_pred(ec, dummy);
+                if (!st1->LBRR_flags[0])
+                    ec.icdf(silk_stereo_only_code_mid_iCDF, 8);
+            }
+            Indices ind;
+            int pulses_tmp[320 + 16];
+            decode_indices(ec, sts[n], ind, 0, 1, 0);
+            decode_pulses(ec, pulses_tmp, ind.signalType,
+                          ind.quantOffsetType, sts[n]->frame_length);
+        }
+    }
+
+    i32 pred[2];
+    stereo_decode_pred(ec, pred);
+    int dom = 0;
+    if (st1->VAD_flags[0] == 0)
+        dom = ec.icdf(silk_stereo_only_code_mid_iCDF, 8);
+    int side_reset = (dom == 0 && prev_dom == 1);
+    if (side_reset) {   // (:378) side re-entry partial reset (host half;
+        st1->lagPrev = 100;              // outBuf/sLPC zeroing is device)
+        st1->LastGainIndex = 10;
+        st1->prevSignalType = 0;
+        st1->first_frame_after_reset = 1;
+    }
+    int has_side = dom == 0;
+
+    int ret = frame_to_params(ec, st0, 0, 0, 0, m_exc, m_A, m_B, m_gains,
+                              m_inv, m_lag, m_flags, m_adj, m_misc);
+    if (ret != 0) return ret;
+    if (has_side) {
+        ret = frame_to_params(ec, st1, 0, 0, 0, s_exc, s_A, s_B, s_gains,
+                              s_inv, s_lag, s_flags, s_adj, s_misc);
+        if (ret != 0) return ret;
+    }
+    if (hybrid) {
+        if (ec.tell() + 37 <= 8 * len) ec.bit_logp(12);
+    }
+    ec_out[0] = (i32)ec.offs;
+    ec_out[1] = (i32)ec.end_offs;
+    ec_out[2] = (i32)ec.end_window;
+    ec_out[3] = ec.nend_bits;
+    ec_out[4] = ec.nbits_total;
+    ec_out[5] = (i32)ec.val;
+    ec_out[6] = (i32)ec.rng;
+    ec_out[7] = ec.rem;
+    ec_out[8] = ec.error;
+    info[0] = has_side;
+    info[1] = side_reset;
+    info[2] = dom;
+    info[3] = pred[0];
+    info[4] = pred[1];
+    return 0;
+}
 
 // One mono no-loss SILK frame: consumes the packet's SILK symbols
 // (header flags on first frame), emits the device tensors for

@@ -187,6 +187,7 @@ class StreamPool:
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
         self._plc_trk: dict[int, object] = {}
+        self._silk2_hosts: dict[int, object] = {}
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
         # that can ever hit each bucket); used always by warmup(), and as
@@ -264,6 +265,12 @@ class StreamPool:
             )
         return self.silk_buckets[fs]
 
+    def _silk2_host(self, i: int):
+        if i not in self._silk2_hosts:
+            from ..host.native import NativeSilkStereoHost
+            self._silk2_hosts[i] = NativeSilkStereoHost()
+        return self._silk2_hosts[i]
+
     def _plc_tracker(self, i: int, fs: int):
         if i not in self._plc_trk:
             from .batch_silk import NativePlcTracker
@@ -318,37 +325,41 @@ class StreamPool:
                                               fs, payload_ms)
             return ("silk", i, (fs, frame_ms, plist), job)
         if kind == "silk2":
-            # stereo SILK: python host phase (SilkDecoder-backed; the
-            # native engine is mono-only so far), device MS->LR unmix
+            # stereo SILK symbol phase (native C engine or SilkDecoder-
+            # backed python), device MS->LR unmix
             parsed = parse_packet(job.data)
             fs = self.path[i][1]
-            from ..host.range_decoder import RangeDecoder
-            from .batch_silk import silk_host_stereo_packet
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
-            sp = silk_host_stereo_packet(
-                silk, RangeDecoder(parsed.frames[0]), fs)
+            if self.native:
+                sp = self._silk2_host(i).packet(parsed.frames[0], fs)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                from .batch_silk import silk_host_stereo_packet
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+                sp = silk_host_stereo_packet(
+                    silk, RangeDecoder(parsed.frames[0]), fs)
             return ("silk2", i, (fs, sp), job)
         if kind == "hybrid2":
-            # stereo hybrid (BASELINE config 3): python stereo SILK symbol
+            # stereo hybrid (BASELINE config 3): stereo SILK symbol
             # phase, then the CELT engine resumes the same coder state
             parsed = parse_packet(job.data)
             frame = parsed.frames[0]
-            from ..host.range_decoder import RangeDecoder
-            from .batch_silk import silk_host_stereo_packet
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(2, 2, 20, 16000, 48000)
-            dec = RangeDecoder(frame)
-            sp = silk_host_stereo_packet(silk, dec, 16)
-            if dec.tell() + 37 <= 8 * len(frame):
-                dec.dec_bit_logp(12)  # redundancy flag, payload ignored
             host = self.celt_hosts[i]
             host.start = 17
             host.end = self.path[i][1]
             if self.native:
+                sp = self._silk2_host(i).packet(frame, 16, hybrid=True)
                 csi = host.decode_symbol_phase(
-                    frame, 960, ec_state=dec.export_state())
+                    frame, 960, ec_state=sp["ec_state"])
             else:
+                from ..host.range_decoder import RangeDecoder
+                from .batch_silk import silk_host_stereo_packet
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(2, 2, 20, 16000, 48000)
+                dec = RangeDecoder(frame)
+                sp = silk_host_stereo_packet(silk, dec, 16)
+                if dec.tell() + 37 <= 8 * len(frame):
+                    dec.dec_bit_logp(12)  # redundancy flag
                 csi = host.decode_with_ec(dec, None, 960,
                                           defer_synthesis=True)
             return ("hybrid2", i, (sp, csi), job)
@@ -469,22 +480,21 @@ class StreamPool:
                 silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
                 params = silk_host_frame(silk, RangeDecoder(b""), fs, 20)
             return ("silk", i, (fs, 20, [params]), job)
-        if kind == "silk2":
+        if kind in ("silk2", "hybrid2"):
             # stereo loss: the normal stereo frame path over an empty
-            # bitstream, exactly like the scalar compat path
-            fs = self.path[i][1]
-            from ..host.range_decoder import RangeDecoder
-            from .batch_silk import silk_host_stereo_packet
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
-            sp = silk_host_stereo_packet(silk, RangeDecoder(b""), fs)
-            return ("silk2", i, (fs, sp), job)
-        if kind == "hybrid2":
-            from ..host.range_decoder import RangeDecoder
-            from .batch_silk import silk_host_stereo_packet
-            silk = self.scalar[i]._get_silk()
-            silk.set_raw_params(2, 2, 20, 16000, 48000)
-            sp = silk_host_stereo_packet(silk, RangeDecoder(b""), 16)
+            # bitstream, exactly like the scalar compat path (hybrid2
+            # additionally mutes — its CELT stage errors)
+            fs = self.path[i][1] if kind == "silk2" else 16
+            if self.native:
+                sp = self._silk2_host(i).packet(b"", fs)
+            else:
+                from ..host.range_decoder import RangeDecoder
+                from .batch_silk import silk_host_stereo_packet
+                silk = self.scalar[i]._get_silk()
+                silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+                sp = silk_host_stereo_packet(silk, RangeDecoder(b""), fs)
+            if kind == "silk2":
+                return ("silk2", i, (fs, sp), job)
             return ("silk2_mute", i, (16, sp), job)
         if kind == "hybrid":
             if self.silk_hosts is not None:

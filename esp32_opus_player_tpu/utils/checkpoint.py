@@ -49,6 +49,9 @@ def snapshot(pool) -> dict:
         conc_energy=dict(pool._conc_energy),
         plc_trackers={i: pickle.dumps(t)
                       for i, t in getattr(pool, "_plc_trk", {}).items()},
+        silk2_hosts={i: (bytes(h.st[0]), bytes(h.st[1]), h.prev_dom)
+                     for i, h in getattr(pool, "_silk2_hosts",
+                                         {}).items()},
     )
     if pool.native:
         ck["celt_hosts"] = [bytes(h.st) for h in pool.celt_hosts]
@@ -90,6 +93,12 @@ def restore(pool, ck: dict) -> None:
     pool._conc_energy = dict(ck.get("conc_energy", {}))
     pool._plc_trk = {i: pickle.loads(b)
                      for i, b in ck.get("plc_trackers", {}).items()}
+    pool._silk2_hosts = {}
+    for i, (r0, r1, dom) in ck.get("silk2_hosts", {}).items():
+        h = pool._silk2_host(i)
+        ctypes.memmove(ctypes.byref(h.st[0]), r0, len(r0))
+        ctypes.memmove(ctypes.byref(h.st[1]), r1, len(r1))
+        h.prev_dom = dom
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
                                  ck["celt_hosts_start"]):

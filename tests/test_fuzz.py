@@ -40,3 +40,29 @@ def test_fuzz_bitflips_never_crash(name):
             dec.decode(bytes(data))
         except (InvalidPacket, ValueError):
             pass
+
+
+def test_native_engines_survive_garbage():
+    """The C symbol engines must never crash the farm process: garbage
+    and bit-flipped payloads decode as deterministic nonsense (the range
+    decoder reads zeros past the end, like the reference) or raise a
+    clean ValueError — never a segfault."""
+    import numpy as np
+    from esp32_opus_player_tpu.host.native import (
+        NativeCELTHost, NativeSilkHost, NativeSilkStereoHost)
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        n = int(rng.integers(0, 120))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            kind = trial % 4
+            if kind == 0:
+                NativeCELTHost(1).decode_symbol_phase(data, 960)
+            elif kind == 1:
+                NativeSilkHost().frame(data, 16)
+            elif kind == 2:
+                NativeSilkHost().packet(data, 16, 60)
+            else:
+                NativeSilkStereoHost().packet(data, 16)
+        except ValueError:
+            pass

@@ -77,8 +77,6 @@ class NativeCELTHost:
         self.st.pf_period = self.st.pf_period_old = 0
         self.st.pf_gain = self.st.pf_gain_old = 0
         self.st.pf_tapset = self.st.pf_tapset_old = 0
-        for i in range(84):
-            pass
         for i in range(42):
             self.st.oldLogE[i] = -(28 << 10)
             self.st.oldLogE2[i] = -(28 << 10)
@@ -173,9 +171,10 @@ def _bind_silk(lib):
 
 class NativeSilkHost:
     """Per-stream native SILK symbol phase; drop-in producer of the same
-    params dict as models/batch_silk.py::silk_host_frame. Mono no-loss
-    20 ms frames; hybrid=True also consumes the redundancy flag and
-    returns the ec state for the CELT engine."""
+    params dict as models/batch_silk.py::silk_host_frame. Mono 10/20 ms
+    frames (packet() handles 40/60 ms payloads, fec_frame() the LBRR
+    copy); hybrid=True also consumes the redundancy flag and returns the
+    ec state for the CELT engine."""
 
     def __init__(self):
         self.lib = load()

@@ -17,12 +17,13 @@ normal frame over an empty bitstream (the reference's pruned-PLC
 semantics), CELT loss is silence with state untouched, hybrid loss
 advances SILK and mutes the frame (the reference's CELT stage errors).
 
-Stream classification happens at init: streams whose packets are uniformly
-CELT 20 ms, mono SILK 20 ms, or mono hybrid 20 ms take the batched paths
-(hybrid runs the host SILK symbol walk, hands the shared range-coder state
-to the native CELT engine, then mixes both batched dense phases with the
-saturating sum); everything else (mode switches, multi-frame packets,
-stereo SILK) uses the scalar bit-exact decoder.
+Stream classification happens at init (every packet's TOC is scanned):
+uniform CELT (any frame size/bandwidth in RFC mode, 20 ms in compat),
+mono SILK 10/20/40/60 ms, stereo SILK 20 ms, and hybrid mono/stereo all
+take batched paths (hybrid runs the host SILK symbol walk, hands the
+shared range-coder state to the CELT engine, then mixes both batched
+dense phases with the saturating sum); only mode-switching streams use
+the scalar bit-exact decoder.
 """
 from __future__ import annotations
 

@@ -98,7 +98,56 @@ class OpusFile:
             self._buffer = np.concatenate([self._buffer, nxt])
         out = self._buffer[:n_samples]
         self._buffer = self._buffer[n_samples:]
+        self._pos = getattr(self, "_pos", 0) + len(out)
         return out
+
+    # -- seeking (op_pcm_seek equivalent; the reference ships with
+    # seekable=0, so this is a TPU-framework addition) ------------------
+    def _cum_offsets(self):
+        if not hasattr(self, "_cum"):
+            offs = [0]
+            for job in self.stream.jobs:
+                offs.append(offs[-1] + job.keep)
+            self._cum = offs
+        return self._cum
+
+    @property
+    def duration(self) -> int:
+        """Total output samples at 48 kHz (after pre-skip/end-trim)."""
+        return self._cum_offsets()[-1]
+
+    def tell(self) -> int:
+        """Current PCM position in samples (like op_pcm_tell)."""
+        return getattr(self, "_pos", 0)
+
+    def seek(self, pcm_offset: int) -> None:
+        """Reposition to an absolute PCM offset (op_pcm_seek semantics):
+        the decoder restarts 80 ms before the target and the pre-roll is
+        discarded, so decode state has re-converged by the target sample.
+        Sample-accurate positioning; the audio near the seek point is the
+        usual reconverged approximation every Opus seek produces."""
+        import bisect
+        cum = self._cum_offsets()
+        pcm_offset = max(0, min(int(pcm_offset), cum[-1]))
+        pre_target = max(0, pcm_offset - OP_HOLE_DISCARD_MS * 48)
+        j0 = bisect.bisect_right(cum, pre_target) - 1
+        self.decoder = OpusDecoder(self.config.channels,
+                                   compat_ref=self.config.compat_ref)
+        if self.config.phase_inversion_disabled:
+            self.decoder.celt.disable_inv = 1
+        self._job_idx = j0
+        self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
+        skip = pcm_offset - cum[j0]
+        while skip > 0:
+            nxt = self._decode_next_job()
+            if nxt is None:
+                break
+            if len(nxt) <= skip:
+                skip -= len(nxt)
+                continue
+            self._buffer = nxt[skip:]
+            skip = 0
+        self._pos = pcm_offset
 
     def read_stereo(self, n_samples: int = 2048) -> np.ndarray:
         """op_read_stereo semantics (src/opusfile.cpp:1293): mono is
@@ -118,6 +167,150 @@ class OpusFile:
         if not chunks:
             return np.zeros((0, self.config.channels), dtype=np.int16)
         return np.concatenate(chunks)
+
+
+class StreamingOpusFile:
+    """Push-based incremental reader: feed() raw Ogg bytes as they arrive
+    (network / SD-card chunks, like the reference's SD_read pull loop,
+    reference src/main.cpp), read() decoded PCM as it becomes available.
+    Pre-skip, holes, gain and the EOS end-trim are applied on the fly —
+    the end-trim is computed when the EOS page arrives, before its
+    packets are decoded (the whole file never needs to be in memory)."""
+
+    def __init__(self, config: DecoderConfig | None = None):
+        from .host import ogg
+        self._sync = ogg.OggSync()
+        self._stream = None
+        self.head = None
+        self._tags_done = False
+        self._cfg = config
+        self.decoder = None
+        self._preskip_left = 0
+        self._pcm_start = None
+        self._cum_dur = 0
+        self._trim_left = 0
+        self._buffer = None
+        self._gain_q8 = 0
+        self._hole_discard = 0
+        self.eos = False
+
+    def feed(self, data: bytes) -> None:
+        self._sync.write(data)
+        self._drain()
+
+    def close(self) -> None:
+        """Signal end of input (flushes a final unterminated page)."""
+        self._sync.set_eof()
+        self._drain()
+        self.eos = True
+
+    def _init_decoder(self):
+        head = self.head
+        self.config = self._cfg or DecoderConfig(
+            channels=min(head.channel_count, 2))
+        self.decoder = OpusDecoder(self.config.channels,
+                                   compat_ref=self.config.compat_ref)
+        if self.config.phase_inversion_disabled:
+            self.decoder.celt.disable_inv = 1
+        self._preskip_left = head.pre_skip
+        self._gain_q8 = (head.output_gain
+                         if self.config.apply_header_gain else 0) \
+            + (self._cfg.gain_q8 if self._cfg else 0)
+        self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
+
+    def _drain(self) -> None:
+        from .host import ogg, packet as pkt2
+        while True:
+            page = self._sync.pageout()
+            if page is None:
+                return
+            if self.head is None:
+                if page.bos and page.body[:8] == b"OpusHead":
+                    self._stream = ogg.OggStream(serialno=page.serialno)
+                    for p in self._stream.pagein(page):
+                        self.head = opusfile.OpusHead.parse(p.data)
+                    self._init_decoder()
+                continue
+            if page.serialno != self._stream.serialno:
+                continue
+            packets = self._stream.pagein(page)
+            if not self._tags_done and packets:
+                if packets[0].data[:8] == b"OpusTags":
+                    packets = packets[1:]
+                self._tags_done = True
+            # EOS page: end-trim for its packets from the final granulepos
+            if page.eos and page.granulepos >= 0:
+                page_dur = 0
+                durs = []
+                for p in packets:
+                    try:
+                        d = pkt2.get_nb_samples(p.data)
+                    except pkt2.InvalidPacket:
+                        d = 0
+                    durs.append(d)
+                    page_dur += d
+                if self._pcm_start is None:
+                    self._pcm_start = max(
+                        page.granulepos - self._cum_dur - page_dur, 0)
+                overshoot = (self._pcm_start + self._cum_dur + page_dur
+                             - page.granulepos)
+                self._trim_left = max(0, overshoot)
+            outs = [self._decode_packet(p) for p in packets]
+            outs = [o for o in outs if o is not None and len(o)]
+            if page.eos and self._trim_left > 0:
+                # end-trim comes off the TAIL of the stream
+                tail = (np.concatenate(outs) if outs else
+                        np.zeros((0, self.config.channels), np.int16))
+                trim = self._trim_left
+                if trim >= len(tail):
+                    extra = trim - len(tail)
+                    outs = []
+                    if extra and self._buffer is not None:
+                        keep = max(0, len(self._buffer) - extra)
+                        self._buffer = self._buffer[:keep]
+                else:
+                    outs = [tail[:len(tail) - trim]]
+                self._trim_left = 0
+            for o in outs:
+                self._buffer = np.concatenate([self._buffer, o])
+            if self._pcm_start is None and page.granulepos >= 0:
+                self._pcm_start = max(page.granulepos - self._cum_dur, 0)
+            if page.eos:
+                self.eos = True
+
+    def _decode_packet(self, p):
+        from .host import packet as pkt2
+        try:
+            dur = pkt2.get_nb_samples(p.data)
+        except pkt2.InvalidPacket:
+            return None
+        if p.hole_before:
+            self._hole_discard = OP_HOLE_DISCARD_MS * 48
+        pcm = self.decoder.decode(p.data)
+        self._cum_dur += dur
+        lo = min(self._preskip_left, len(pcm))
+        self._preskip_left -= lo
+        lo2 = min(self._hole_discard, len(pcm) - lo)
+        self._hole_discard -= lo2
+        if len(pcm) <= lo + lo2:
+            return None
+        out = pcm[lo + lo2:]
+        if self._gain_q8:
+            from .ops.silk.decode import log2lin
+            from .ops.silk import macros as m
+            gain = log2lin(m.SMULWB(6488, self._gain_q8) + (16 << 7))
+            out = np.clip((out.astype(np.int64) * gain) >> 16,
+                          -32768, 32767).astype(np.int16)
+        return out
+
+    def read(self, n_samples: int = 2048) -> np.ndarray:
+        """PCM decoded so far (up to n_samples frames); empty when more
+        input is needed (feed more bytes, or close() at true EOF)."""
+        if self._buffer is None:
+            return np.zeros((0, 2), dtype=np.int16)
+        out = self._buffer[:n_samples]
+        self._buffer = self._buffer[n_samples:]
+        return out
 
 
 def decode_file(path, config: DecoderConfig | None = None) -> np.ndarray:

@@ -56,3 +56,50 @@ def test_gain_applied():
     loud = decode_file(fixture_path("celt_fb_mono_20ms"),
                        DecoderConfig(channels=1, compat_ref=True))
     assert np.abs(quiet.astype(int)).sum() < np.abs(loud.astype(int)).sum()
+
+
+def test_streaming_reader_incremental():
+    """StreamingOpusFile fed arbitrary chunk sizes must equal the
+    one-shot decode (pre-skip, EOS end-trim and gain applied on the
+    fly)."""
+    import numpy as np
+    from esp32_opus_player_tpu.api import (StreamingOpusFile,
+                                           DecoderConfig, decode_file)
+    from conftest import fixture_path
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    cfg = DecoderConfig(channels=1, compat_ref=True)
+    ref = decode_file(src, cfg)
+    raw = open(src, "rb").read()
+    rng = np.random.default_rng(3)
+    sf = StreamingOpusFile(cfg)
+    got, pos = [], 0
+    while pos < len(raw):
+        n = int(rng.integers(1, 997))
+        sf.feed(raw[pos:pos + n])
+        pos += n
+        got.append(sf.read(1 << 20))
+    sf.close()
+    got.append(sf.read(1 << 20))
+    got = np.concatenate([g for g in got if len(g)])
+    assert np.array_equal(got, ref)
+
+
+def test_seek_sample_accurate():
+    """seek(): 80 ms pre-roll reconverges the decoder; position is
+    sample-exact and (for SILK) the PCM matches the continuous decode."""
+    import numpy as np
+    from esp32_opus_player_tpu.api import (OpusFile, DecoderConfig,
+                                           decode_file)
+    from conftest import fixture_path
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    cfg = DecoderConfig(channels=1, compat_ref=True)
+    ref = decode_file(src, cfg)
+    f = OpusFile(src, cfg)
+    assert f.duration == len(ref)
+    for off in (0, 1234, 48000, f.duration - 500):
+        f.seek(off)
+        assert f.tell() == off
+        a = f.read(2000)
+        b = ref[off:off + 2000]
+        n = min(len(a), len(b))
+        assert n > 0 and np.array_equal(a[:n], b[:n]), off

@@ -194,7 +194,7 @@ class NativeSilkHost:
         flags = np.zeros(12, dtype=np.int32)
         adj = np.zeros(4, dtype=np.int32)
         ec = np.zeros(9, dtype=np.int32)
-        misc = np.zeros(8, dtype=np.int32)
+        misc = np.zeros(24, dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -210,7 +210,7 @@ class NativeSilkHost:
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     signal_type=int(misc[0]), lag_prev=int(misc[3]),
-                    ltp_scale=int(misc[4]),
+                    ltp_scale=int(misc[4]), nlsf=misc[8:24].copy(),
                     ec_state=[int(v) & 0xFFFFFFFF for v in ec])
 
     def packet(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -228,7 +228,7 @@ class NativeSilkHost:
         lag = np.zeros((n, 4), dtype=np.int32)
         flags = np.zeros((n, 12), dtype=np.int32)
         adj = np.zeros((n, 4), dtype=np.int32)
-        misc = np.zeros((n, 8), dtype=np.int32)
+        misc = np.zeros((n, 24), dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -245,7 +245,8 @@ class NativeSilkHost:
                      match=flags[f, 8:12].astype(bool), adj=adj[f],
                      exc=exc[f * fl:(f + 1) * fl],
                      signal_type=int(misc[f, 0]),
-                     lag_prev=int(misc[f, 3]), ltp_scale=int(misc[f, 4]))
+                     lag_prev=int(misc[f, 3]), ltp_scale=int(misc[f, 4]),
+                     nlsf=misc[f, 8:24].copy())
                 for f in range(n)]
 
     def fec_frame(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -261,7 +262,7 @@ class NativeSilkHost:
         lag = np.zeros(4, dtype=np.int32)
         flags = np.zeros(12, dtype=np.int32)
         adj = np.zeros(4, dtype=np.int32)
-        misc = np.zeros(8, dtype=np.int32)
+        misc = np.zeros(24, dtype=np.int32)
 
         def p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -279,7 +280,7 @@ class NativeSilkHost:
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     signal_type=int(misc[0]), lag_prev=int(misc[3]),
-                    ltp_scale=int(misc[4]))
+                    ltp_scale=int(misc[4]), nlsf=misc[8:24].copy())
 
 
 class NativeSilkStereoHost:
@@ -309,7 +310,7 @@ class NativeSilkStereoHost:
                         lag=np.zeros(4, dtype=np.int32),
                         flags=np.zeros(12, dtype=np.int32),
                         adj=np.zeros(4, dtype=np.int32),
-                        misc=np.zeros(8, dtype=np.int32))
+                        misc=np.zeros(24, dtype=np.int32))
 
         mb, sb = alloc(), alloc()
         ec = np.zeros(9, dtype=np.int32)
@@ -338,7 +339,8 @@ class NativeSilkStereoHost:
                         match=b["flags"][8:12].astype(bool), adj=b["adj"],
                         exc=b["exc"], signal_type=int(b["misc"][0]),
                         lag_prev=int(b["misc"][3]),
-                        ltp_scale=int(b["misc"][4]))
+                        ltp_scale=int(b["misc"][4]),
+                        nlsf=b["misc"][8:24].copy())
 
         out = dict(mid=todict(mb),
                    side=todict(sb) if info[0] else None,

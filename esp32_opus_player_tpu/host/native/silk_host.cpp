@@ -704,6 +704,8 @@ static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
     misc_out[3] = st->lagPrev;
     misc_out[4] = ltp_scale_q14;   // PLC-state tracking (silk_PLC_update)
     misc_out[5] = st->VAD_flags[frame_index];
+    for (int i = 0; i < MAX_LPC_ORDER; i++)   // per-frame NLSF for the
+        misc_out[8 + i] = st->prevNLSF_Q15[i];  // CNG smoothing mirror
     return 0;
 }
 
@@ -828,8 +830,8 @@ int silk_host_stereo_c(const unsigned char* data, int len, int fs_khz,
 //
 // Outputs: exc[frame], A[2*16], B[4*5], gains[4], inv[4], lag[4],
 // flags[12] (voiced[4], rewhiten[4], match[4]), adj[4], ec_out[9],
-// misc[8] = {signalType, interp<4, seed, lagPrev, LTP_scale_Q14,
-// VAD_flag, 0, 0}.
+// misc[24] = {signalType, interp<4, seed, lagPrev, LTP_scale_Q14,
+// VAD_flag, 0, 0, NLSF_Q15[16]}.
 int silk_host_frame_c(const unsigned char* data, int len, int fs_khz,
                       int payload_ms, int hybrid, SilkHostState* st,
                       i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
@@ -915,7 +917,7 @@ int silk_host_frame_fec_c(const unsigned char* data, int len, int fs_khz,
 // LBRR payloads skipped, then each frame decoded with the right
 // conditional coding. Output arrays hold n_frames consecutive frames'
 // tensors (exc: n*frame_length, A: n*2*16, B: n*4*5, 4-vectors: n*4,
-// flags: n*12, misc: n*4).
+// flags: n*12, misc: n*24).
 int silk_host_packet_c(const unsigned char* data, int len, int fs_khz,
                        int payload_ms, SilkHostState* st,
                        i32* exc_out, i32* A_out, i32* B_out, i32* gains_out,
@@ -963,7 +965,7 @@ int silk_host_packet_c(const unsigned char* data, int len, int fs_khz,
             ec, st, 0, f, cond, exc_out + f * fl,
             A_out + f * 2 * MAX_LPC_ORDER, B_out + f * MAX_NB_SUBFR * 5,
             gains_out + f * 4, inv_out + f * 4, lag_out + f * 4,
-            flags_out + f * 12, adj_out + f * 4, misc_out + f * 4);
+            flags_out + f * 12, adj_out + f * 4, misc_out + f * 24);
         if (ret != 0) return ret;
     }
     return 0;

@@ -242,7 +242,8 @@ class NativePlcTracker:
         self.exc_Q14[:self.frame_length] = [int(v) for v in p["exc"]]
         sp.plc(self, ctrl, None, 0, 0)      # update-only
         self.lossCnt = 0
-        self.prevNLSF_Q15 = [int(v) for v in native_st.prevNLSF_Q15]
+        # per-frame NLSF (the struct only holds the packet's LAST frame)
+        self.prevNLSF_Q15 = [int(v) for v in p["nlsf"]]
         sp.cng(self, ctrl, None, 0, 0)      # good-frame smoothing
         self.prevSignalType = self.ind_signalType
         self.first_frame_after_reset = 0

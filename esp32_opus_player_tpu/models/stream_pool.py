@@ -448,20 +448,28 @@ class StreamPool:
             if kind == "celt":
                 return ("celt_lost", i, None, job)
             if self.rfc_plc and (kind == "hybrid" or
-                                 (kind == "silk" and self.path[i][2] == 1
+                                 (kind == "silk"
                                   and self.path[i][4] == 20)):
+                # one conceal per internal 20 ms frame; a lost 40/60 ms
+                # packet conceals 2/3 frames with deepening lossCnt,
+                # exactly like the scalar while-loop in _decode_plc
                 fs = self.path[i][1] if kind == "silk" else 16
+                dfp = self.path[i][2] if kind == "silk" else 1
                 from .batch_silk import silk_plc_host_params
+                preps = []
+                for _ in range(dfp):
+                    if self.silk_hosts is not None:
+                        trk = self._plc_tracker(i, fs)
+                        preps.append(silk_plc_host_params(trk, fs))
+                    else:
+                        silk = self.scalar[i]._get_silk()
+                        silk.set_raw_params(1, 1, 20 * dfp, fs * 1000,
+                                            48000)
+                        preps.append(silk_plc_host_params(silk, fs))
                 if self.silk_hosts is not None:
-                    trk = self._plc_tracker(i, fs)
-                    prep = silk_plc_host_params(trk, fs)
                     # silk_Decode on loss (:455) in the native struct too
                     self.silk_hosts[i].st.LastGainIndex = 10
-                else:
-                    silk = self.scalar[i]._get_silk()
-                    silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
-                    prep = silk_plc_host_params(silk, fs)
-                return ("silk_plc", i, (fs, prep), job)
+                return ("silk_plc", i, (fs, preps), job)
             raise NotImplementedError(
                 "RFC-mode batched loss needs rfc_plc=True (mono 20 ms "
                 "SILK/hybrid); other batched kinds stay unsupported — "
@@ -573,8 +581,9 @@ class StreamPool:
                 silk_groups.setdefault((fs, frame_ms, len(plist)),
                                        []).append((i, plist, job))
             elif kind == "silk_plc":
-                fs, prep = payload
-                plc_groups.setdefault(fs, []).append((i, prep, job))
+                fs, preps = payload
+                plc_groups.setdefault((fs, len(preps)), []).append(
+                    (i, preps, job))
             elif kind == "silk2":
                 fs, sp = payload
                 silk2_groups.setdefault(fs, []).append((i, sp, job))
@@ -613,8 +622,8 @@ class StreamPool:
         for fs, items in silk2_groups.items():
             silk_pcm.update(self._silk2_group(items, fs))
             jobs_of.update({i: job for i, _p, job in items})
-        for fs, items in plc_groups.items():
-            silk_pcm.update(self._silk_plc_group(items, fs))
+        for (fs, nfr), items in plc_groups.items():
+            silk_pcm.update(self._silk_plc_group(items, fs, nfr))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
             if i in mute:
@@ -770,69 +779,76 @@ class StreamPool:
         return jplc.glue_frames(xq, jnp.asarray(ce), jnp.asarray(cs),
                                 jnp.asarray(flags), frame=frame)
 
-    def _silk_plc_group(self, items, fs: int):
+    def _silk_plc_group(self, items, fs: int, nfr: int = 1):
         """Batched RFC concealment (silk_PLC conceal + CNG): host-prepped
         params -> device conceal kernel; outBuf rolls the RAW concealed
         signal, the audible output (and the glue reference energy) is the
         post-CNG frame — matching _decode_frame's conceal/outBuf/CNG/glue
-        order (src/silk.cpp:1974-2050)."""
+        order (src/silk.cpp:1974-2050). items carry nfr sequential
+        conceal preps (a lost 40/60 ms packet conceals 2/3 internal
+        frames with deepening lossCnt)."""
         from ..ops.silk import jax_plc as jplc
         st = self._silk_bucket(fs)
         frame = 20 * fs
         ltp = 20 * fs
         n = len(items)
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk_plc", fs, cap)
+        bk = ("silk_plc", fs, nfr, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
         jidx = jnp.asarray(idxs)
         order = 16 if fs == 16 else 10
+        outs = []
+        for j in range(nfr):
+            def stack(key):
+                rows = [(items[b][1] if b < n else items[0][1])[j][key]
+                        for b in range(cap)]
+                return jnp.asarray(np.stack(rows))
 
-        def stack(key):
-            rows = [(items[b][1] if b < n else items[0][1])[key]
-                    for b in range(cap)]
-            return jnp.asarray(np.stack(rows))
+            xq, sLPC = jplc.silk_plc_conceal_frame(
+                st["outBuf"][jidx], st["sLPC"][jidx], stack("rand"),
+                stack("A")[:, :order], stack("B4"), stack("lag4"),
+                stack("inv_gain"), stack("prev_gain"),
+                fs_khz=fs, nb_subfr=4, order=order)
 
-        xq, sLPC = jplc.silk_plc_conceal_frame(
-            st["outBuf"][jidx], st["sLPC"][jidx], stack("rand"),
-            stack("A")[:, :order], stack("B4"), stack("lag4"),
-            stack("inv_gain"), stack("prev_gain"),
-            fs_khz=fs, nb_subfr=4, order=order)
+            # outBuf rolls the raw concealed signal (pre-CNG)
+            hist = jnp.concatenate(
+                [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
+            new_outbuf = jnp.concatenate(
+                [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
 
-        # outBuf rolls the raw concealed signal (pre-CNG)
-        hist = jnp.concatenate(
-            [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
-        new_outbuf = jnp.concatenate(
-            [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+            first = np.array(
+                [bool((items[b][1] if b < n else items[0][1])
+                      [j]["cng_first"]) for b in range(cap)])
+            state0 = jnp.where(jnp.asarray(first)[:, None], 0,
+                               st["cng"][jidx])
+            xq_out, cng_state = jplc.cng_add(
+                xq, stack("cng_exc"), stack("cng_a")[:, :order],
+                stack("cng_gain"), state0,
+                jnp.ones(cap, dtype=bool), frame=frame, order=order)
+            ce, cs = jplc.frame_energy(xq_out, frame=frame)
+            ce_np, cs_np = np.asarray(ce), np.asarray(cs)
+            for b in range(n):
+                self._conc_energy[items[b][0]] = (int(ce_np[b]),
+                                                  int(cs_np[b]))
 
-        first = np.array([bool((items[b][1] if b < n else items[0][1])
-                               ["cng_first"]) for b in range(cap)])
-        state0 = jnp.where(jnp.asarray(first)[:, None], 0,
-                           st["cng"][jidx])
-        xq_out, cng_state = jplc.cng_add(
-            xq, stack("cng_exc"), stack("cng_a")[:, :order],
-            stack("cng_gain"), state0,
-            jnp.ones(cap, dtype=bool), frame=frame, order=order)
-        ce, cs = jplc.frame_energy(xq_out, frame=frame)
-        ce_np, cs_np = np.asarray(ce), np.asarray(cs)
-        for b in range(n):
-            self._conc_energy[items[b][0]] = (int(ce_np[b]), int(cs_np[b]))
-
-        sMid = st["sMid"][jidx]
-        resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
-        new_sMid = xq_out[:, frame - 2:frame]
-        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
-            st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
-            fs_in_khz=fs, in_len=frame)
-        st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
-        st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
-        st["cng"] = st["cng"].at[jidx].set(cng_state)
-        st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
-        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
-        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
-        st["delay"] = st["delay"].at[jidx].set(delay)
-        out = np.asarray(out48[:n]).astype(np.int16)
+            sMid = st["sMid"][jidx]
+            resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
+                                    axis=-1)
+            new_sMid = xq_out[:, frame - 2:frame]
+            out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+                st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx],
+                resin, fs_in_khz=fs, in_len=frame)
+            st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+            st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
+            st["cng"] = st["cng"].at[jidx].set(cng_state)
+            st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
+            st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+            st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+            st["delay"] = st["delay"].at[jidx].set(delay)
+            outs.append(np.asarray(out48[:n]).astype(np.int16))
+        out = np.concatenate(outs, axis=-1)
         return {items[b][0]: out[b][:, None] for b in range(n)}
 
     def _silk2_group(self, items, fs: int):

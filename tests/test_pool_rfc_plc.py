@@ -107,3 +107,17 @@ def test_rfc_plc_requires_rfc_mode():
     with pytest.raises(ValueError):
         StreamPool([str(fixture_path("silk_wb_mono_20ms"))], channels=1,
                    compat_ref=True, rfc_plc=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize("name", ["silk_wb_mono_60ms",
+                                  "silk_wb_mono_40ms"])
+def test_rfc_plc_multiframe_packets(name, native):
+    """A lost 40/60 ms packet conceals 2/3 internal 20 ms frames with
+    deepening lossCnt, exactly like the scalar _decode_plc while-loop."""
+    lossfn = lambda k: k > 0 and k % 6 == 0
+    pool = StreamPool([str(fixture_path(name))], channels=1,
+                      compat_ref=False, rfc_plc=True, native=native)
+    out = pool.run(loss=lambda i, k: lossfn(k))[0]
+    assert np.array_equal(out, _scalar_rfc_loss(name, lossfn)), name

@@ -194,13 +194,13 @@ class NativePlcTracker:
     native symbol phase. Duck-types the scalar SilkChannelState fields
     that ops/silk/plc.py reads."""
 
-    def __init__(self, fs_khz: int):
+    def __init__(self, fs_khz: int, frame_ms: int = 20):
         from .silk_decoder import MAX_FRAME_LENGTH
         from ..ops.silk import plc as sp
         self.fs_kHz = fs_khz
-        self.nb_subfr = 4
+        self.nb_subfr = 2 if frame_ms == 10 else 4
         self.subfr_length = 5 * fs_khz
-        self.frame_length = 20 * fs_khz
+        self.frame_length = frame_ms * fs_khz
         self.ltp_mem_length = 20 * fs_khz
         self.LPC_order = 16 if fs_khz == 16 else 10
         self.exc_Q14 = [0] * MAX_FRAME_LENGTH
@@ -297,7 +297,8 @@ def silk_plc_host_params(h, fs_khz: int):
         ch = h.channel_states[0]
         ch.nFramesDecoded = 0
         ch.nFramesPerPacket = 1
-        ch.nb_subfr = 4
+        # nb_subfr follows the stream's payload (2 for 10 ms frames),
+        # already configured by the caller's set_raw_params
         h._set_fs(0, fs_khz, 48000)
     nb = ch.nb_subfr
     subfr = ch.subfr_length

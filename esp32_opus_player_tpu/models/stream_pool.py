@@ -272,10 +272,10 @@ class StreamPool:
             self._silk2_hosts[i] = NativeSilkStereoHost()
         return self._silk2_hosts[i]
 
-    def _plc_tracker(self, i: int, fs: int):
+    def _plc_tracker(self, i: int, fs: int, frame_ms: int = 20):
         if i not in self._plc_trk:
             from .batch_silk import NativePlcTracker
-            self._plc_trk[i] = NativePlcTracker(fs)
+            self._plc_trk[i] = NativePlcTracker(fs, frame_ms)
         return self._plc_trk[i]
 
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
@@ -310,9 +310,9 @@ class StreamPool:
             for fr in parsed.frames:
                 if self.silk_hosts is not None:
                     sub = self.silk_hosts[i].packet(fr, fs, payload_ms)
-                    if self.rfc_plc and frame_ms == 20:
+                    if self.rfc_plc:
                         from .batch_silk import apply_plc_transition
-                        trk = self._plc_tracker(i, fs)
+                        trk = self._plc_tracker(i, fs, frame_ms)
                         for p in sub:
                             apply_plc_transition(p, trk)
                             trk.good_frame(p, self.silk_hosts[i].st)
@@ -447,29 +447,29 @@ class StreamPool:
             # concealment when rfc_plc is on
             if kind == "celt":
                 return ("celt_lost", i, None, job)
-            if self.rfc_plc and (kind == "hybrid" or
-                                 (kind == "silk"
-                                  and self.path[i][4] == 20)):
-                # one conceal per internal 20 ms frame; a lost 40/60 ms
-                # packet conceals 2/3 frames with deepening lossCnt,
-                # exactly like the scalar while-loop in _decode_plc
+            if self.rfc_plc and kind in ("hybrid", "silk"):
+                # one conceal per internal frame; a lost 40/60 ms packet
+                # conceals 2/3 frames with deepening lossCnt, exactly
+                # like the scalar while-loop in _decode_plc; 10 ms
+                # streams conceal one nb_subfr=2 frame
                 fs = self.path[i][1] if kind == "silk" else 16
                 dfp = self.path[i][2] if kind == "silk" else 1
+                frame_ms = self.path[i][4] if kind == "silk" else 20
                 from .batch_silk import silk_plc_host_params
                 preps = []
                 for _ in range(dfp):
                     if self.silk_hosts is not None:
-                        trk = self._plc_tracker(i, fs)
+                        trk = self._plc_tracker(i, fs, frame_ms)
                         preps.append(silk_plc_host_params(trk, fs))
                     else:
                         silk = self.scalar[i]._get_silk()
-                        silk.set_raw_params(1, 1, 20 * dfp, fs * 1000,
-                                            48000)
+                        silk.set_raw_params(1, 1, frame_ms * dfp,
+                                            fs * 1000, 48000)
                         preps.append(silk_plc_host_params(silk, fs))
                 if self.silk_hosts is not None:
                     # silk_Decode on loss (:455) in the native struct too
                     self.silk_hosts[i].st.LastGainIndex = 10
-                return ("silk_plc", i, (fs, preps), job)
+                return ("silk_plc", i, (fs, frame_ms, preps), job)
             raise NotImplementedError(
                 "RFC-mode batched loss needs rfc_plc=True (mono 20 ms "
                 "SILK/hybrid); other batched kinds stay unsupported — "
@@ -581,9 +581,9 @@ class StreamPool:
                 silk_groups.setdefault((fs, frame_ms, len(plist)),
                                        []).append((i, plist, job))
             elif kind == "silk_plc":
-                fs, preps = payload
-                plc_groups.setdefault((fs, len(preps)), []).append(
-                    (i, preps, job))
+                fs, frame_ms, preps = payload
+                plc_groups.setdefault((fs, frame_ms, len(preps)),
+                                      []).append((i, preps, job))
             elif kind == "silk2":
                 fs, sp = payload
                 silk2_groups.setdefault(fs, []).append((i, sp, job))
@@ -622,8 +622,9 @@ class StreamPool:
         for fs, items in silk2_groups.items():
             silk_pcm.update(self._silk2_group(items, fs))
             jobs_of.update({i: job for i, _p, job in items})
-        for (fs, nfr), items in plc_groups.items():
-            silk_pcm.update(self._silk_plc_group(items, fs, nfr))
+        for (fs, frame_ms, nfr), items in plc_groups.items():
+            silk_pcm.update(self._silk_plc_group(items, fs, nfr,
+                                                 frame_ms))
             jobs_of.update({i: job for i, _p, job in items})
         for i in set(celt_pcm) | set(silk_pcm):
             if i in mute:
@@ -779,7 +780,8 @@ class StreamPool:
         return jplc.glue_frames(xq, jnp.asarray(ce), jnp.asarray(cs),
                                 jnp.asarray(flags), frame=frame)
 
-    def _silk_plc_group(self, items, fs: int, nfr: int = 1):
+    def _silk_plc_group(self, items, fs: int, nfr: int = 1,
+                        frame_ms: int = 20):
         """Batched RFC concealment (silk_PLC conceal + CNG): host-prepped
         params -> device conceal kernel; outBuf rolls the RAW concealed
         signal, the audible output (and the glue reference energy) is the
@@ -789,11 +791,12 @@ class StreamPool:
         frames with deepening lossCnt)."""
         from ..ops.silk import jax_plc as jplc
         st = self._silk_bucket(fs)
-        frame = 20 * fs
+        nb = 2 if frame_ms == 10 else 4
+        frame = frame_ms * fs
         ltp = 20 * fs
         n = len(items)
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk_plc", fs, nfr, cap)
+        bk = ("silk_plc", fs, frame_ms, nfr, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         idxs = np.array([it[0] for it in items]
                         + [items[0][0]] * (cap - n), dtype=np.int32)
@@ -807,16 +810,16 @@ class StreamPool:
                 return jnp.asarray(np.stack(rows))
 
             xq, sLPC = jplc.silk_plc_conceal_frame(
-                st["outBuf"][jidx], st["sLPC"][jidx], stack("rand"),
-                stack("A")[:, :order], stack("B4"), stack("lag4"),
-                stack("inv_gain"), stack("prev_gain"),
-                fs_khz=fs, nb_subfr=4, order=order)
+                st["outBuf"][jidx][:, :ltp + frame], st["sLPC"][jidx],
+                stack("rand"), stack("A")[:, :order], stack("B4"),
+                stack("lag4"), stack("inv_gain"), stack("prev_gain"),
+                fs_khz=fs, nb_subfr=nb, order=order)
 
             # outBuf rolls the raw concealed signal (pre-CNG)
             hist = jnp.concatenate(
                 [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
             new_outbuf = jnp.concatenate(
-                [hist, jnp.zeros((cap, frame), dtype=I32)], axis=-1)
+                [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
 
             first = np.array(
                 [bool((items[b][1] if b < n else items[0][1])

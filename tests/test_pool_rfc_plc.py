@@ -112,10 +112,12 @@ def test_rfc_plc_requires_rfc_mode():
 @pytest.mark.slow
 @pytest.mark.parametrize("native", [True, False])
 @pytest.mark.parametrize("name", ["silk_wb_mono_60ms",
-                                  "silk_wb_mono_40ms"])
+                                  "silk_wb_mono_40ms",
+                                  "silk_wb_mono_10ms"])
 def test_rfc_plc_multiframe_packets(name, native):
     """A lost 40/60 ms packet conceals 2/3 internal 20 ms frames with
-    deepening lossCnt, exactly like the scalar _decode_plc while-loop."""
+    deepening lossCnt, exactly like the scalar _decode_plc while-loop;
+    a lost 10 ms packet conceals one nb_subfr=2 frame."""
     lossfn = lambda k: k > 0 and k % 6 == 0
     pool = StreamPool([str(fixture_path(name))], channels=1,
                       compat_ref=False, rfc_plc=True, native=native)

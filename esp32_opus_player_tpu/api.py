@@ -47,6 +47,7 @@ class OpusFile:
         if self.config.phase_inversion_disabled:
             self.decoder.celt.disable_inv = 1
         self._job_idx = 0
+        self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
         self._gain_q8 = (head.output_gain if self.config.apply_header_gain
                          else 0) + self.config.gain_q8
@@ -72,16 +73,18 @@ class OpusFile:
         return out.astype(np.int16)
 
     def _decode_next_job(self):
-        hole_discard = 0
         while self._job_idx < len(self.stream.jobs):
             job = self.stream.jobs[self._job_idx]
             self._job_idx += 1
             if job.hole_before:
                 # hole policy: decode continues; discard 80 ms to
                 # re-converge (src/opusfile.cpp:1022-1046)
-                hole_discard = OP_HOLE_DISCARD_MS * 48
+                self._hole_discard = OP_HOLE_DISCARD_MS * 48
             pcm = self.decoder.decode(job.data)
-            lo = job.discard_front + min(hole_discard, len(pcm))
+            lo = job.discard_front
+            hole = min(self._hole_discard, max(0, len(pcm) - lo))
+            self._hole_discard -= hole
+            lo += hole
             hi = len(pcm) - job.trim_end
             if lo >= hi:
                 continue
@@ -136,6 +139,7 @@ class OpusFile:
         if self.config.phase_inversion_disabled:
             self.decoder.celt.disable_inv = 1
         self._job_idx = j0
+        self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
         skip = pcm_offset - cum[j0]
         while skip > 0:

@@ -471,9 +471,10 @@ class StreamPool:
                     self.silk_hosts[i].st.LastGainIndex = 10
                 return ("silk_plc", i, (fs, frame_ms, preps), job)
             raise NotImplementedError(
-                "RFC-mode batched loss needs rfc_plc=True (mono 20 ms "
-                "SILK/hybrid); other batched kinds stay unsupported — "
-                "decode those lossy RFC streams via OpusDecoder")
+                "RFC-mode batched loss needs rfc_plc=True (mono "
+                "10/20/40/60 ms SILK/hybrid); stereo and CELT-only kinds "
+                "stay unsupported — decode those lossy RFC streams via "
+                "OpusDecoder")
         if kind == "celt":
             return ("celt_lost", i, None, job)
         if kind == "silk":

@@ -10,6 +10,11 @@ arrays, so orbax works too; this module is the dependency-free path
 Reference parity: the ESP32 player has no checkpointing (a reboot restarts
 the stream); a 10k-stream farm needs preemptible-safe resume, so this is a
 TPU-native addition, not a ported feature.
+
+Checkpoints are TRUSTED input: they are pickle files, and unpickling
+executes code — only restore checkpoints your own deployment wrote.
+Native-struct blobs are size-validated before memmove so a checkpoint from
+a different struct layout raises instead of corrupting memory.
 """
 from __future__ import annotations
 
@@ -66,6 +71,18 @@ def snapshot(pool) -> dict:
     return ck
 
 
+def _memmove_checked(dst_struct, raw: bytes) -> None:
+    """memmove a pickled blob into a ctypes struct, refusing layout
+    mismatches (e.g. a checkpoint written by a different native build)."""
+    want = ctypes.sizeof(dst_struct)
+    if len(raw) != want:
+        raise ValueError(
+            f"native state blob is {len(raw)} bytes but "
+            f"{type(dst_struct).__name__} is {want} — checkpoint was "
+            "written by an incompatible struct layout/version")
+    ctypes.memmove(ctypes.byref(dst_struct), raw, want)
+
+
 def restore(pool, ck: dict) -> None:
     """Load a snapshot into a freshly constructed pool over the SAME
     sources (validated by per-stream digests)."""
@@ -96,17 +113,17 @@ def restore(pool, ck: dict) -> None:
     pool._silk2_hosts = {}
     for i, (r0, r1, dom) in ck.get("silk2_hosts", {}).items():
         h = pool._silk2_host(i)
-        ctypes.memmove(ctypes.byref(h.st[0]), r0, len(r0))
-        ctypes.memmove(ctypes.byref(h.st[1]), r1, len(r1))
+        _memmove_checked(h.st[0], r0)
+        _memmove_checked(h.st[1], r1)
         h.prev_dom = dom
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
                                  ck["celt_hosts_start"]):
-            ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
+            _memmove_checked(h.st, raw)
             h.start = start
         if ck["silk_hosts"] is not None and pool.silk_hosts is not None:
             for h, raw in zip(pool.silk_hosts, ck["silk_hosts"]):
-                ctypes.memmove(ctypes.byref(h.st), raw, len(raw))
+                _memmove_checked(h.st, raw)
     else:
         pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]

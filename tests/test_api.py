@@ -84,6 +84,45 @@ def test_streaming_reader_incremental():
     assert np.array_equal(got, ref)
 
 
+def _page_spans(raw: bytes):
+    spans, pos = [], 0
+    while True:
+        idx = raw.find(b"OggS", pos)
+        if idx < 0 or len(raw) < idx + 27:
+            return spans
+        nsegs = raw[idx + 26]
+        total = 27 + nsegs + sum(raw[idx + 27:idx + 27 + nsegs])
+        spans.append((idx, idx + total))
+        pos = idx + total
+
+
+def test_hole_discards_80ms_then_resumes(manifest):
+    """A dropped page marks a hole; the 80 ms re-converge discard
+    (src/opusfile.cpp:1022-1046) must consume exactly 80 ms and then
+    STOP — audio after the hole must not be discarded (round-1 advisor
+    bug: hole_discard was never decremented, silently discarding to
+    EOF)."""
+    from esp32_opus_player_tpu.api import StreamingOpusFile
+    name = "silk_wb_mono_20ms"
+    raw = fixture_path(name).read_bytes()
+    spans = _page_spans(raw)
+    assert len(spans) >= 5                    # head, tags, >=3 audio pages
+    lo, hi = spans[3]                         # drop one mid-file audio page
+    holey = raw[:lo] + raw[hi:]
+    cfg = DecoderConfig(channels=1, compat_ref=True)
+    pcm = OpusFile(holey, cfg).read_all()
+    full = manifest[name]["oracle_samples"]
+    # lost: the dropped page's packets plus the 80 ms re-converge window;
+    # a page holds well under 1 s of audio
+    assert full - 48000 < len(pcm) < full
+    # push-based reader must agree exactly (it had the correct logic)
+    sf = StreamingOpusFile(cfg)
+    sf.feed(holey)
+    sf.close()
+    got = sf.read(1 << 22)
+    assert np.array_equal(got, pcm)
+
+
 def test_seek_sample_accurate():
     """seek(): 80 ms pre-roll reconverges the decoder; position is
     sample-exact and (for SILK) the PCM matches the continuous decode."""

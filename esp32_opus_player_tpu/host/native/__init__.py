@@ -52,22 +52,86 @@ def load():
     lib.celt_host_decode_resume.argtypes = \
         lib.celt_host_decode.argtypes + [ctypes.POINTER(ctypes.c_int32)]
     lib.celt_host_reset.argtypes = [ctypes.POINTER(CeltHostState)]
+    _bind_batch(lib)
     _lib = lib
     return lib
+
+
+def _bind_batch(lib):
+    """Batched symbol-phase entries (batch_entry.cpp): one call decodes N
+    streams' frames into contiguous output tensors, strip-mined over
+    host threads with the GIL released once per step."""
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.celt_host_decode_batch.restype = None
+    lib.celt_host_decode_batch.argtypes = [
+        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i32p, i32p, ctypes.c_int, u8p, ctypes.c_int64,
+        i32p, i16p, i16p, i32p, i32p, ctypes.c_int]
+    lib.silk_host_frame_batch.restype = None
+    lib.silk_host_frame_batch.argtypes = [
+        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, ctypes.c_int]
+    lib.silk_host_packet_batch.restype = None
+    lib.silk_host_packet_batch.argtypes = [
+        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, ctypes.c_int]
+    lib.silk_host_stereo_batch.restype = None
+    lib.silk_host_stereo_batch.argtypes = [
+        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        u8p, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, i32p, i32p, ctypes.c_int]
+
+
+def ptr(a, typ=ctypes.c_int32):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+class StateArray:
+    """n contiguous native decoder states in one numpy byte buffer, with
+    per-row ctypes struct views — the batch entries walk the buffer with
+    a stride, while per-stream fallback paths (loss, FEC) and
+    checkpointing keep using the individual struct views."""
+
+    def __init__(self, n: int, struct_type):
+        self.struct_type = struct_type
+        self.stride = ctypes.sizeof(struct_type)
+        self.buf = np.zeros((n, self.stride), dtype=np.uint8)
+        self.views = [struct_type.from_buffer(self.buf, i * self.stride)
+                      for i in range(n)]
+
+    def __len__(self):
+        return len(self.views)
+
+    def __getitem__(self, i):
+        return self.views[i]
+
+    def base_ptr(self):
+        return self.buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 class NativeCELTHost:
     """Per-stream native CELT symbol phase; drop-in producer of the same
     synth-inputs dict as CELTDecoder.decode_with_ec(defer_synthesis=True)."""
 
-    def __init__(self, channels: int):
+    def __init__(self, channels: int, st=None):
+        """st: optional external CeltHostState view (a StateArray row) so
+        batch calls and per-stream calls share the same state memory."""
         self.lib = load()
         self.channels = channels
         self.stream_channels = channels
         self.start = 0
         self.end = 21
         self.disable_inv = 1 if channels == 1 else 0
-        self.st = CeltHostState()
+        self.st = st if st is not None else CeltHostState()
         self.lib.celt_host_reset(ctypes.byref(self.st))
 
     def reset_state(self):
@@ -176,10 +240,10 @@ class NativeSilkHost:
     copy); hybrid=True also consumes the redundancy flag and returns the
     ec state for the CELT engine."""
 
-    def __init__(self):
+    def __init__(self, st=None):
         self.lib = load()
         _bind_silk(self.lib)
-        self.st = SilkHostState()
+        self.st = st if st is not None else SilkHostState()
         self.lib.silk_host_reset(ctypes.byref(self.st))
 
     def frame(self, data: bytes, fs_khz: int, payload_ms: int = 20,
@@ -290,12 +354,13 @@ class NativeSilkStereoHost:
     consumes the redundancy flag and exports the ec state for the CELT
     engine."""
 
-    def __init__(self):
+    def __init__(self, st=None):
         self.lib = load()
         _bind_silk(self.lib)
-        self.st = (SilkHostState(), SilkHostState())
-        for st in self.st:
-            self.lib.silk_host_reset(ctypes.byref(st))
+        self.st = st if st is not None else (SilkHostState(),
+                                             SilkHostState())
+        for s in self.st:
+            self.lib.silk_host_reset(ctypes.byref(s))
         self.prev_dom = 0   # prev_decode_only_middle (silk_Decode :459)
 
     def packet(self, data: bytes, fs_khz: int, hybrid: bool = False):

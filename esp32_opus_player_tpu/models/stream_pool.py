@@ -27,8 +27,11 @@ the scalar bit-exact decoder.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..host import opusfile
@@ -50,6 +53,154 @@ def _pow2_cap(n: int) -> int:
     while c < n:
         c <<= 1
     return c
+
+
+# ---------------------------------------------------------------------
+# One jitted device call per bucket per step: the per-stream state
+# gather, the synthesis, and the state scatter are fused into a single
+# XLA program with the pool state DONATED (zero-copy in-place update).
+# This matters doubly on a tunneled TPU where every dispatch pays RPC
+# latency — round-1's launch sequence (gather ops + step + scatters as
+# separate calls) cost ~35 ms/step at B=256; fused it is ~1 ms.
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC"),
+                   donate_argnums=(0, 1))
+def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
+                    LM: int, C: int, CC: int):
+    """sec: (14, cap) int32 = [start, end, comb1 (6 rows), comb2 (6)];
+    tr: (cap,) bool per-row transient flag.
+
+    The transient flag changes the iMDCT block structure, which is a
+    static property of the compiled program — so BOTH variants run and
+    each row selects its own. Device FLOPs are ~free here; what is scarce
+    is kernel launches and PCM transfers, and folding the flag into data
+    keeps every step at exactly ONE launch per bucket with one compiled
+    program (no per-step transient split, no shape churn)."""
+    start, end = sec[0], sec[1]
+    comb1 = tuple(sec[2 + k] for k in range(6))
+    comb2 = tuple(sec[8 + k] for k in range(6))
+    dm = dm_all[jidx]
+    pre = pre_all[jidx]
+    outs = [celt_synth_step(dm, pre, X, bandE, start, end, comb1, comb2,
+                            LM=LM, C=C, CC=CC, transient=t)
+            for t in (False, True)]
+    pcm = jnp.where(tr[:, None, None], outs[1][0], outs[0][0])
+    dm2 = jnp.where(tr[:, None, None], outs[1][1], outs[0][1])
+    pre2 = jnp.where(tr[:, None], outs[1][2], outs[0][2])
+    # int16 out halves the D2H bytes (pcm is int16-range by construction);
+    # the very first int16 transfer on a tunneled TPU is slow (layout-path
+    # warmup) — warmup() primes it
+    return (pcm.astype(jnp.int16), dm_all.at[jidx].set(dm2),
+            pre_all.at[jidx].set(pre2))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "nb", "order", "frame",
+                                    "has_glue"),
+                   donate_argnums=(0,))
+def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
+                    fs: int, nb: int, order: int, frame: int,
+                    has_glue: bool):
+    """One fused mono-SILK device frame over a bucket.
+
+    iv: (cap, 4, 4) int32 = [gains, inv, lag, adj];
+    bools: (cap, 3, 4) bool = [voiced, rewhiten, match];
+    glue: (3, cap) int32 = [flags, conc_energy, conc_shift]."""
+    from ..ops.silk import jax_plc as jplc
+    ltp = 20 * fs
+    outBuf = st["outBuf"][jidx]
+    xq, sLPC2 = sjc.silk_core_frame(
+        outBuf[:, :ltp + frame], st["sLPC"][jidx], exc, A, B,
+        iv[:, 0], iv[:, 1], iv[:, 2], bools[:, 0], bools[:, 1],
+        iv[:, 3], bools[:, 2], fs_khz=fs, nb_subfr=nb, order=order)
+    # outBuf rolls the RAW decoded signal; the audible output is
+    # glue-smoothed on the first good frame after a concealment run
+    # (silk_PLC_glue_frames :3138)
+    xq_out = xq
+    if has_glue:
+        xq_out = jplc.glue_frames(xq, glue[1], glue[2],
+                                  glue[0].astype(bool), frame=frame)
+    hist = jnp.concatenate([outBuf[:, frame:ltp], xq], axis=-1)
+    new_outbuf = jnp.concatenate(
+        [hist, jnp.zeros((xq.shape[0], 20 * fs), dtype=I32)], axis=-1)
+    sMid = st["sMid"][jidx]
+    resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
+    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+        st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
+        fs_in_khz=fs, in_len=frame)
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+    st2["sLPC"] = st["sLPC"].at[jidx].set(sLPC2)
+    st2["sMid"] = st["sMid"].at[jidx].set(xq_out[:, frame - 2:frame])
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+    st2["delay"] = st["delay"].at[jidx].set(delay)
+    return out48.astype(jnp.int16), st2
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "order"),
+                   donate_argnums=(0,))
+def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
+                     s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred, *,
+                     fs: int, order: int):
+    """One fused stereo-SILK device frame over a bucket: mid core, masked
+    side core, MS->LR unmix, both channels resampled.
+    side_flags: (2, cap) int32 = [has_side, side_reset]."""
+    from ..ops.silk.jax_stereo import ms_to_lr_batch
+    frame = 20 * fs
+    ltp = 20 * fs
+    cap = m_exc.shape[0]
+    has_side = side_flags[0].astype(bool)
+    reset = side_flags[1].astype(bool)
+
+    ob0 = st["outBuf"][jidx][:, 0]
+    xq_mid, sLPC0 = sjc.silk_core_frame(
+        ob0, st["sLPC"][jidx][:, 0], m_exc, m_A, m_B,
+        m_iv[:, 0], m_iv[:, 1], m_iv[:, 2], m_bools[:, 0], m_bools[:, 1],
+        m_iv[:, 3], m_bools[:, 2], fs_khz=fs, nb_subfr=4, order=order)
+    new_ob0 = jnp.concatenate(
+        [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
+        axis=-1)
+
+    ob1_old = st["outBuf"][jidx][:, 1]
+    sl1_old = st["sLPC"][jidx][:, 1]
+    ob1 = jnp.where(reset[:, None], 0, ob1_old)
+    sl1 = jnp.where(reset[:, None], 0, sl1_old)
+    xq_side, sLPC1 = sjc.silk_core_frame(
+        ob1, sl1, s_exc, s_A, s_B,
+        s_iv[:, 0], s_iv[:, 1], s_iv[:, 2], s_bools[:, 0], s_bools[:, 1],
+        s_iv[:, 3], s_bools[:, 2], fs_khz=fs, nb_subfr=4, order=order)
+    new_ob1 = jnp.where(
+        has_side[:, None],
+        jnp.concatenate([ob1[:, frame:ltp], xq_side,
+                         jnp.zeros((cap, frame), dtype=I32)], axis=-1),
+        ob1_old)
+    new_sl1 = jnp.where(has_side[:, None], sLPC1, sl1_old)
+    xq_side = jnp.where(has_side[:, None], xq_side, 0)
+
+    L, R, nm, ns = ms_to_lr_batch(
+        st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
+        xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
+    resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
+    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+        st["sIIR"][jidx].reshape(2 * cap, 6),
+        st["sFIR"][jidx].reshape(2 * cap, 8),
+        st["delay"][jidx].reshape(2 * cap, fs), resin,
+        fs_in_khz=fs, in_len=frame)
+
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(
+        jnp.stack([new_ob0, new_ob1], axis=1))
+    st2["sLPC"] = st["sLPC"].at[jidx].set(
+        jnp.stack([sLPC0, new_sl1], axis=1))
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
+    st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
+    st2["pred_prev"] = st["pred_prev"].at[jidx].set(pred)
+    st2["sMid"] = st["sMid"].at[jidx].set(nm)
+    st2["sSide"] = st["sSide"].at[jidx].set(ns)
+    return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
 class StreamPool:
@@ -169,26 +320,38 @@ class StreamPool:
                     continue
             self.path.append(("scalar",))
 
-        if native:
-            from ..host.native import NativeCELTHost
-            self.celt_hosts = [NativeCELTHost(channels)
-                               for _ in range(self.n)]
-        else:
-            from .celt_decoder import CELTDecoder
-            self.celt_hosts = [CELTDecoder(channels, compat_ref=compat_ref)
-                               for _ in range(self.n)]
-        from .opus_decoder import OpusDecoder
-        self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
-                       for _ in range(self.n)]
-        if native:
-            from ..host.native import NativeSilkHost
-            self.silk_hosts = [NativeSilkHost() for _ in range(self.n)]
-        else:
-            self.silk_hosts = None
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
         self._plc_trk: dict[int, object] = {}
         self._silk2_hosts: dict[int, object] = {}
+        # deferred-materialization queue: device launches from step t are
+        # fetched at the END of step t+pipeline_depth, so the host symbol
+        # phases of the next `depth` steps overlap the device execution
+        # of step t (real pipeline overlap, SURVEY §2.7 frame pipeline
+        # parallelism). Depth > 1 also hides the per-step RPC latency of
+        # a tunneled/remote TPU: by the time a result is fetched, its
+        # chain has long completed in the background.
+        self._pending: list = []
+        self.pipeline_depth = 2
+        self._groups: list = []
+        if native:
+            from ..host.native import NativeCELTHost, NativeSilkHost
+            self.celt_hosts: list = [None] * self.n
+            self.silk_hosts: list = [None] * self.n
+            self._build_groups()
+            for i in range(self.n):
+                if self.celt_hosts[i] is None:
+                    self.celt_hosts[i] = NativeCELTHost(channels)
+                if self.silk_hosts[i] is None:
+                    self.silk_hosts[i] = NativeSilkHost()
+        else:
+            from .celt_decoder import CELTDecoder
+            self.celt_hosts = [CELTDecoder(channels, compat_ref=compat_ref)
+                               for _ in range(self.n)]
+            self.silk_hosts = None
+        from .opus_decoder import OpusDecoder
+        self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
+                       for _ in range(self.n)]
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
         # that can ever hit each bucket); used always by warmup(), and as
@@ -210,6 +373,161 @@ class StreamPool:
                       or (p[0] == "hybrid2" and fs == 16))
             if cnt:
                 self._cap_silk2[fs] = _pow2_cap(cnt)
+
+    # ---------------------------------------------------------- groups
+    def _build_groups(self):
+        """Group same-kind native streams for the batched C++ symbol
+        phase (models/host_groups.py): one library call per group per
+        step instead of one ctypes call per stream per frame. Per-stream
+        host objects alias rows of the group state buffers, so the
+        per-stream fallback paths (loss, FEC, PLC) and checkpointing
+        stay coherent with the batch calls."""
+        from . import host_groups as hg
+        by_key: dict[tuple, list[int]] = {}
+        for i, p in enumerate(self.path):
+            k = p[0]
+            if k == "celt":
+                by_key.setdefault(("celt", p[1]), []).append(i)
+            elif k == "hybrid" and not self.rfc_plc:
+                by_key.setdefault(("hybrid",), []).append(i)
+            elif k == "silk" and not self.rfc_plc:
+                fs, dfp, payload_ms = p[1], p[2], p[3]
+                nfr = dfp // max(1, (payload_ms * 48) // 960)
+                if nfr == 1:   # code-3 multi-frame packets stay generic
+                    by_key.setdefault(("silk", fs, payload_ms),
+                                      []).append(i)
+            elif k == "silk2":
+                by_key.setdefault(("silk2", p[1]), []).append(i)
+            elif k == "hybrid2":
+                by_key.setdefault(("hybrid2",), []).append(i)
+        for key, idxs in sorted(by_key.items()):
+            jls = [self.streams[i].jobs for i in idxs]
+            if key[0] == "celt":
+                g = hg.CeltGroup(idxs, jls, key[1], self.channels, 0,
+                                 [self.path[i][2] for i in idxs])
+                for r, i in enumerate(idxs):
+                    self.celt_hosts[i] = g.hosts[r]
+                self._groups.append(("celt", g))
+            elif key[0] == "silk":
+                g = hg.SilkGroup(idxs, jls, key[1], key[2])
+                for r, i in enumerate(idxs):
+                    self.silk_hosts[i] = g.hosts[r]
+                self._groups.append(("silk", g))
+            elif key[0] == "hybrid":
+                sg = hg.SilkGroup(idxs, jls, 16, 20, hybrid=True)
+                cg = hg.CeltGroup(idxs, jls, 960, self.channels, 17,
+                                  [self.path[i][1] for i in idxs])
+                for r, i in enumerate(idxs):
+                    self.silk_hosts[i] = sg.hosts[r]
+                    self.celt_hosts[i] = cg.hosts[r]
+                self._groups.append(("hybrid", sg, cg))
+            elif key[0] == "silk2":
+                g = hg.SilkStereoGroup(idxs, jls, key[1])
+                for r, i in enumerate(idxs):
+                    self._silk2_hosts[i] = g.hosts[r]
+                self._groups.append(("silk2", g))
+            elif key[0] == "hybrid2":
+                sg = hg.SilkStereoGroup(idxs, jls, 16, hybrid=True)
+                cg = hg.CeltGroup(idxs, jls, 960, self.channels, 17,
+                                  [self.path[i][1] for i in idxs])
+                for r, i in enumerate(idxs):
+                    self._silk2_hosts[i] = sg.hosts[r]
+                    self.celt_hosts[i] = cg.hosts[r]
+                self._groups.append(("hybrid2", sg, cg))
+
+    _LM_OF_SPF = {120: 0, 240: 1, 480: 2, 960: 3}
+
+    def _fast_step(self, lost, pend, handled) -> int:
+        """Batched host symbol phase over all groups; emits device
+        launches into pend. Returns the number of frames decoded.
+        Streams NOT handled here (lost this step, exhausted, ungrouped)
+        fall through to the per-stream generic path."""
+        n_fast = 0
+        for entry in self._groups:
+            kind, g = entry[0], entry[1]
+            idxs = np.asarray(g.idxs)
+            m = len(idxs)
+            pos = np.fromiter((self.positions[i] for i in g.idxs),
+                              dtype=np.int64, count=m)
+            active = pos < g.table.n_packets
+            if lost:
+                active &= np.fromiter((i not in lost for i in g.idxs),
+                                      dtype=bool, count=m)
+            if not active.any():
+                continue
+            ok = g.decode(pos, active)
+            if kind == "hybrid" or kind == "hybrid2":
+                cg = entry[2]
+                cg.decode(pos, ok, ec_in=g.ec)
+            sel = np.nonzero(ok)[0]
+            if sel.size == 0:
+                continue
+            # emit device launches
+            if kind == "celt":
+                self._emit_celt_fast(g, sel, pend)
+            elif kind == "silk":
+                self._emit_silk_fast(g, sel, pend)
+            elif kind == "hybrid":
+                self._emit_silk_fast(g, sel, pend)
+                self._emit_celt_fast(entry[2], sel, pend)
+                pend["hybrid"].update(g.idxs[r] for r in sel)
+            elif kind == "silk2":
+                self._emit_silk2_fast(g, sel, pend)
+            elif kind == "hybrid2":
+                self._emit_silk2_fast(g, sel, pend)
+                self._emit_celt_fast(entry[2], sel, pend)
+                pend["hybrid"].update(g.idxs[r] for r in sel)
+            # bookkeeping (vectorized over the decoded rows)
+            self._stats["bytes_in"] += int(
+                g.table.pkt_bytes[sel, pos[sel]].sum())
+            skind = {"celt": "celt", "silk": "silk", "silk2": "silk",
+                     "hybrid": "hybrid", "hybrid2": "hybrid"}[kind]
+            self._stats[f"frames_{skind}"] += int(sel.size)
+            disc = g.table.disc[sel, pos[sel]]
+            trim = g.table.trim[sel, pos[sel]]
+            for r, lo, te in zip(sel, disc, trim):
+                i = int(idxs[r])
+                self.positions[i] = int(pos[r]) + 1
+                pend["meta"][i] = (int(lo), int(te))
+                handled.add(i)
+            n_fast += int(sel.size)
+        return n_fast
+
+    def _emit_celt_fast(self, g, sel, pend):
+        """Assemble one device bucket from a CeltGroup's contiguous
+        outputs with vectorized gathers (transient is per-row data)."""
+        params = g.params
+        N, C = g.spf, g.C
+        LM = self._LM_OF_SPF[N]
+        sidx = [g.idxs[r] for r in sel]
+        X = g.X[sel].astype(np.int32).reshape(-1, C, N)
+        bandE = g.bandE[sel].astype(np.int32).reshape(-1, 2, NB_EBANDS)
+        dev = self._celt_launch(
+            sidx, X, bandE, g.start[sel].copy(), params[sel, 15].copy(),
+            params[sel, 3:9].T.copy(), params[sel, 9:15].T.copy(), LM, C,
+            params[sel, 1].astype(bool))
+        pend["celt"].append((dev, sidx))
+
+    def _emit_silk_fast(self, g, sel, pend):
+        sidx = [g.idxs[r] for r in sel]
+        frame_ms = g.payload_ms if g.payload_ms <= 20 else 20
+        for j in range(g.nfr):
+            cols = g.buf.cols(j, g.nfr, g.frame_len)
+            cols = {k: v[sel] for k, v in cols.items()}
+            dev = self._silk_launch(sidx, cols, g.fs, frame_ms,
+                                    nfr_label=g.nfr)
+            pend["silk"].append((dev, sidx))
+
+    def _emit_silk2_fast(self, g, sel, pend):
+        sidx = [g.idxs[r] for r in sel]
+        mid = {k: v[sel] for k, v in g.mid.cols().items()}
+        side = {k: v[sel] for k, v in g.side.cols().items()}
+        info = g.info[sel]
+        dev = self._silk2_launch(sidx, mid, side,
+                                 info[:, 0].astype(bool),
+                                 info[:, 1].astype(bool),
+                                 info[:, 3:5].astype(np.int32), g.fs)
+        pend["silk2"].append((dev, sidx))
 
     # ------------------------------------------------------------------
     def _silk2_bucket(self, fs: int) -> dict:
@@ -527,21 +845,31 @@ class StreamPool:
         next packet was lost in transit (BASELINE config 5 — the packet is
         consumed from the source but concealed, not decoded). fec: subset
         of lost for which the NEXT packet's in-band SILK LBRR should
-        reconstruct the lost frame when present."""
-        lost = lost or ()
-        fec = fec or ()
+        reconstruct the lost frame when present.
+
+        Pipelined: device launches from this step are materialized at the
+        end of the NEXT step, so step t+1's host symbol phase overlaps
+        step t's device execution. drain()/run()/save_checkpoint flush."""
+        lost = set(lost or ())
+        fec = set(fec or ())
+        pend = dict(celt=[], silk=[], silk2=[], mute=set(), hybrid=set(),
+                    meta={}, direct=[])
+        handled: set = set()
+        n_fast = self._fast_step(lost, pend, handled) if self._groups \
+            else 0
+        rest = [i for i in range(self.n) if i not in handled]
         if self._pool is not None:
             results = list(self._pool.map(
-                lambda i: self._host_one(i, i in lost, i in fec),
-                range(self.n)))
+                lambda i: self._host_one(i, i in lost, i in fec), rest))
         else:
             results = [self._host_one(i, i in lost, i in fec)
-                       for i in range(self.n)]
+                       for i in rest]
         results = [r for r in results if r is not None]
-        if not results:
+        if not results and n_fast == 0:
+            self._flush()
             return False
         self._stats["steps"] += 1
-        self._stats["frames"] += len(results)
+        self._stats["frames"] += len(results) + n_fast
         _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
                     "silk2": "silk", "silk2_mute": "hybrid",
                     "hybrid2": "hybrid", "silk_plc": "silk"}
@@ -560,116 +888,145 @@ class StreamPool:
         silk_groups: dict[tuple, list] = {}
         silk2_groups: dict[int, list] = {}
         plc_groups: dict[int, list] = {}
-        hybrid = set()
-        mute = set()
         for kind, i, payload, job in results:
+            pend["meta"][i] = (job.discard_front, job.trim_end)
             if kind == "scalar":
-                self.pcm_out[i].append(self._trim(payload, job))
+                pend["direct"].append((i, payload))
             elif kind == "celt_lost":
                 # CELT loss: silence, state untouched (mirrors the scalar
                 # compat path — _decode_plc skips CELT entirely)
                 z = np.zeros((960, self.channels), dtype=np.int16)
-                self.pcm_out[i].append(self._trim(z, job))
+                pend["direct"].append((i, z))
             elif kind == "silk_mute":
                 # hybrid loss: SILK state advances over the empty
                 # bitstream, output is silence (CELT stage errors)
-                mute.add(i)
+                pend["mute"].add(i)
                 fs, plist = payload
                 silk_groups.setdefault((fs, 20, len(plist)), []).append(
-                    (i, plist, job))
+                    (i, plist))
             elif kind in ("silk", "silk_fec"):
                 fs, frame_ms, plist = payload
                 silk_groups.setdefault((fs, frame_ms, len(plist)),
-                                       []).append((i, plist, job))
+                                       []).append((i, plist))
             elif kind == "silk_plc":
                 fs, frame_ms, preps = payload
                 plc_groups.setdefault((fs, frame_ms, len(preps)),
-                                      []).append((i, preps, job))
+                                      []).append((i, preps))
             elif kind == "silk2":
                 fs, sp = payload
-                silk2_groups.setdefault(fs, []).append((i, sp, job))
+                silk2_groups.setdefault(fs, []).append((i, sp))
             elif kind == "silk2_mute":
-                mute.add(i)
+                pend["mute"].add(i)
                 fs, sp = payload
-                silk2_groups.setdefault(fs, []).append((i, sp, job))
+                silk2_groups.setdefault(fs, []).append((i, sp))
             elif kind == "hybrid2":
                 sp, csi = payload
-                hybrid.add(i)
-                silk2_groups.setdefault(16, []).append((i, sp, job))
-                key = (csi["LM"], csi["C"], self.channels,
-                       csi["transient"])
-                celt_groups.setdefault(key, []).append((i, csi, job))
+                pend["hybrid"].add(i)
+                silk2_groups.setdefault(16, []).append((i, sp))
+                key = (csi["LM"], csi["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, csi))
             elif kind == "hybrid":
                 sp, csi = payload
-                hybrid.add(i)
-                silk_groups.setdefault((16, 20, 1), []).append(
-                    (i, [sp], job))
-                key = (csi["LM"], csi["C"], self.channels,
-                       csi["transient"])
-                celt_groups.setdefault(key, []).append((i, csi, job))
+                pend["hybrid"].add(i)
+                silk_groups.setdefault((16, 20, 1), []).append((i, [sp]))
+                key = (csi["LM"], csi["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, csi))
             else:
-                key = (payload["LM"], payload["C"], self.channels,
-                       payload["transient"])
-                celt_groups.setdefault(key, []).append((i, payload, job))
+                key = (payload["LM"], payload["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, payload))
+        for (LM, C, CC), items in celt_groups.items():
+            self._celt_group(items, LM, C, CC, pend)
+        for (fs, frame_ms, nfr), items in silk_groups.items():
+            self._silk_group(items, fs, nfr, frame_ms, pend)
+        for fs, items in silk2_groups.items():
+            self._silk2_group(items, fs, pend)
+        for (fs, frame_ms, nfr), items in plc_groups.items():
+            self._silk_plc_group(items, fs, nfr, frame_ms, pend)
+        # start the D2H copies NOW (async): they stream back in the
+        # background while the next steps' host phases run, so the
+        # materialize `depth` steps later finds the data already on host
+        for key in ("celt", "silk", "silk2"):
+            for dev, _sidx in pend[key]:
+                try:
+                    dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+        # pipeline: fetch the step from `depth` steps ago while the last
+        # `depth` steps' kernels execute asynchronously in the background
+        self._pending.append(pend)
+        while len(self._pending) > self.pipeline_depth:
+            self._materialize(self._pending.pop(0))
+        return True
+
+    def _flush(self):
+        """Materialize all pending device launches (pipeline drain)."""
+        pends, self._pending = self._pending, []
+        for p in pends:
+            self._materialize(p)
+
+    def _materialize(self, pend):
+        """Fetch one step's device launches and route PCM per stream
+        (hybrid saturating mix, mutes, pre-skip/end-trim)."""
         celt_pcm: dict[int, np.ndarray] = {}
         silk_pcm: dict[int, np.ndarray] = {}
-        jobs_of: dict[int, object] = {}
-        for (LM, C, CC, transient), items in celt_groups.items():
-            celt_pcm.update(self._celt_group(items, LM, C, CC, transient))
-            jobs_of.update({i: job for i, _p, job in items})
-        for (fs, frame_ms, nfr), items in silk_groups.items():
-            silk_pcm.update(self._silk_group(items, fs, nfr, frame_ms))
-            jobs_of.update({i: job for i, _p, job in items})
-        for fs, items in silk2_groups.items():
-            silk_pcm.update(self._silk2_group(items, fs))
-            jobs_of.update({i: job for i, _p, job in items})
-        for (fs, frame_ms, nfr), items in plc_groups.items():
-            silk_pcm.update(self._silk_plc_group(items, fs, nfr,
-                                                 frame_ms))
-            jobs_of.update({i: job for i, _p, job in items})
+        for dev, sidx in pend["celt"]:
+            arr = np.asarray(dev).astype(np.int16)   # (cap, CC, N)
+            for r, i in enumerate(sidx):
+                celt_pcm[i] = arr[r].T
+        parts: dict[int, list] = {}
+        for dev, sidx in pend["silk"]:
+            arr = np.asarray(dev).astype(np.int16)   # (cap, L48)
+            for r, i in enumerate(sidx):
+                parts.setdefault(i, []).append(arr[r])
+        for i, ps in parts.items():
+            silk_pcm[i] = (ps[0] if len(ps) == 1
+                           else np.concatenate(ps))[:, None]
+        for dev, sidx in pend["silk2"]:
+            arr = np.asarray(dev).astype(np.int16)   # (cap, 2, L48)
+            for r, i in enumerate(sidx):
+                silk_pcm[i] = arr[r].T
+        meta = pend["meta"]
         for i in set(celt_pcm) | set(silk_pcm):
-            if i in mute:
+            lo, te = meta[i]
+            if i in pend["mute"]:
                 self.pcm_out[i].append(self._trim(
-                    np.zeros_like(silk_pcm[i]), jobs_of[i]))
-            elif i in hybrid:
+                    np.zeros_like(silk_pcm[i]), lo, te))
+            elif i in pend["hybrid"]:
                 # saturating SILK+CELT mix (src/opus_decoder.cpp:272)
                 mixed = np.clip(celt_pcm[i].astype(np.int32)
                                 + silk_pcm[i].astype(np.int32),
                                 -32768, 32767).astype(np.int16)
-                self.pcm_out[i].append(self._trim(mixed, jobs_of[i]))
+                self.pcm_out[i].append(self._trim(mixed, lo, te))
             elif i in celt_pcm:
-                self.pcm_out[i].append(self._trim(celt_pcm[i], jobs_of[i]))
+                self.pcm_out[i].append(self._trim(celt_pcm[i], lo, te))
             else:
-                self.pcm_out[i].append(self._trim(silk_pcm[i], jobs_of[i]))
-        return True
+                self.pcm_out[i].append(self._trim(silk_pcm[i], lo, te))
+        for i, pcm in pend["direct"]:
+            lo, te = meta[i]
+            self.pcm_out[i].append(self._trim(pcm, lo, te))
 
-    def _trim(self, pcm, job):
-        lo = job.discard_front
-        hi = pcm.shape[0] - job.trim_end
+    def _trim(self, pcm, lo: int, te: int):
+        hi = pcm.shape[0] - te
         out = pcm[lo:max(hi, lo)]
         self._stats["samples_out"] += out.shape[0]
         return out
 
     # ------------------------------------------------------------------
-    def _celt_group(self, items, LM, C, CC, transient):
+    def _celt_group(self, items, LM, C, CC, pend):
+        """Generic adapter: per-stream synth-input dicts -> columnar
+        arrays -> _celt_launch. (The fast path builds the columns
+        directly from the batch engine's contiguous outputs.)"""
         N = SHORT_MDCT_SIZE << LM
         n = len(items)
-        cap = self._cap_celt if self.fixed_buckets else _pow2_cap(n)
-        bk = ("celt", LM, C, CC, transient, cap)
-        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
-        idxs = np.array([it[0] for it in items]
-                        + [items[0][0]] * (cap - n), dtype=np.int32)
-        X = np.zeros((cap, C, N), dtype=np.int32)
-        bandE = np.zeros((cap, 2, NB_EBANDS), dtype=np.int32)
-        start = np.zeros(cap, dtype=np.int32)
-        end = np.zeros(cap, dtype=np.int32)
-        comb1 = np.zeros((6, cap), dtype=np.int32)
-        comb2 = np.zeros((6, cap), dtype=np.int32)
-        for b in range(cap):
-            # pad rows duplicate item 0 entirely (same inputs AND same
-            # state row), so the duplicate-index scatter writes identical
-            # values and stays deterministic
-            si = items[b][1] if b < n else items[0][1]
+        sidx = [it[0] for it in items]
+        transient = np.array([bool(it[1]["transient"]) for it in items])
+        X = np.zeros((n, C, N), dtype=np.int32)
+        bandE = np.zeros((n, 2, NB_EBANDS), dtype=np.int32)
+        start = np.zeros(n, dtype=np.int32)
+        end = np.zeros(n, dtype=np.int32)
+        comb1 = np.zeros((6, n), dtype=np.int32)
+        comb2 = np.zeros((6, n), dtype=np.int32)
+        for b, (_i, si) in enumerate(items):
             X[b] = np.asarray(si["X"][:C * N], dtype=np.int32).reshape(C, N)
             bandE[b] = np.asarray(si["bandE"],
                                   dtype=np.int32).reshape(2, NB_EBANDS)
@@ -677,92 +1034,121 @@ class StreamPool:
             end[b] = si["end"]
             comb1[:, b] = si["comb1"]
             comb2[:, b] = si["comb2"]
-        jidx = jnp.asarray(idxs)
-        dm = self.state["decode_mem"][jidx]
-        pre = self.state["preemph"][jidx]
-        pcm, dm2, pre2 = celt_synth_step(
-            dm, pre, jnp.asarray(X), jnp.asarray(bandE), jnp.asarray(start),
-            jnp.asarray(end), tuple(jnp.asarray(v) for v in comb1),
-            tuple(jnp.asarray(v) for v in comb2),
-            LM=LM, C=C, CC=CC, transient=transient)
-        self.state["decode_mem"] = self.state["decode_mem"].at[jidx].set(dm2)
-        self.state["preemph"] = self.state["preemph"].at[jidx].set(pre2)
-        out = np.asarray(pcm[:n]).astype(np.int16)
-        return {items[b][0]: out[b].T for b in range(n)}
+        dev = self._celt_launch(sidx, X, bandE, start, end, comb1, comb2,
+                                LM, C, transient)
+        pend["celt"].append((dev, sidx))
+
+    def _celt_launch(self, sidx, X, bandE, start, end, comb1, comb2,
+                     LM, C, transient):
+        """Dispatch one batched CELT synthesis bucket; returns the device
+        pcm array (cap, CC, N) — materialized `pipeline_depth` steps
+        later. transient: (n,) bool per-row."""
+        n = len(sidx)
+        CC = self.channels
+        cap = self._cap_celt if self.fixed_buckets else _pow2_cap(n)
+        bk = ("celt", LM, C, CC, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        pad = cap - n
+        idxs = np.asarray(list(sidx) + [sidx[0]] * pad, dtype=np.int32)
+        tr = np.asarray(transient, dtype=bool)
+        if pad:
+            # pad rows duplicate row 0 entirely (same inputs AND same
+            # state row), so the duplicate-index scatter writes identical
+            # values and stays deterministic
+            X = np.concatenate([X, np.repeat(X[:1], pad, 0)])
+            bandE = np.concatenate([bandE, np.repeat(bandE[:1], pad, 0)])
+            start = np.concatenate([start, np.repeat(start[:1], pad)])
+            end = np.concatenate([end, np.repeat(end[:1], pad)])
+            comb1 = np.concatenate([comb1, np.repeat(comb1[:, :1], pad,
+                                                     1)], 1)
+            comb2 = np.concatenate([comb2, np.repeat(comb2[:, :1], pad,
+                                                     1)], 1)
+            tr = np.concatenate([tr, np.repeat(tr[:1], pad)])
+        sec = np.concatenate([start[None], end[None], comb1, comb2],
+                             axis=0).astype(np.int32)
+        # explicit H2D: the implicit numpy->device arg path is ~70x
+        # slower on the tunneled TPU platform than jnp.asarray
+        pcm, dm_all, pre_all = _celt_pool_step(
+            self.state["decode_mem"], self.state["preemph"],
+            jnp.asarray(idxs), jnp.asarray(X), jnp.asarray(bandE),
+            jnp.asarray(sec), jnp.asarray(tr), LM=LM, C=C, CC=CC)
+        self.state["decode_mem"] = dm_all
+        self.state["preemph"] = pre_all
+        return pcm
 
     # ------------------------------------------------------------------
+    _SILK_KEYS = ("exc", "A", "B", "gains", "inv", "lag", "voiced",
+                  "rewhiten", "adj", "match")
+
     def _silk_group(self, items, fs: int, nfr: int = 1,
-                    frame_ms: int = 20):
-        """items: (stream_idx, [per-device-frame params] * nfr, job).
-        Multi-frame packets (40/60 ms) run nfr sequential launches of the
-        SAME compiled core — state scatters back between subframes, so no
-        new shapes are traced. frame_ms=10 selects the nb_subfr=2 core
-        (10 ms payloads); the bucket state arrays are sized for 20 ms and
-        shorter frames use a leading slice."""
+                    frame_ms: int = 20, pend=None):
+        """Generic adapter: items = (stream_idx, [per-device-frame
+        params] * nfr). Multi-frame packets (40/60 ms) run nfr sequential
+        launches of the SAME compiled core — state scatters back between
+        subframes, so no new shapes are traced."""
+        sidx = [it[0] for it in items]
+        for j in range(nfr):
+            cols = {key: np.stack([it[1][j][key] for it in items])
+                    for key in self._SILK_KEYS}
+            glue = self._glue_arrays(sidx) \
+                if self.rfc_plc and j == 0 else None
+            dev = self._silk_launch(sidx, cols, fs, frame_ms, glue=glue,
+                                    nfr_label=nfr)
+            pend["silk"].append((dev, sidx))
+
+    def _silk_launch(self, sidx, cols, fs: int, frame_ms: int = 20,
+                     glue=None, nfr_label: int = 1):
+        """Dispatch one batched SILK device frame (core synthesis +
+        resample); returns the device 48 kHz pcm (cap, L48). frame_ms=10
+        selects the nb_subfr=2 core; bucket state arrays are sized for
+        20 ms and shorter frames use a leading slice."""
         st = self._silk_bucket(fs)
         nb = 2 if frame_ms == 10 else 4
         frame = frame_ms * fs
-        ltp = 20 * fs
-        n = len(items)
+        n = len(sidx)
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk", fs, frame_ms, nfr, cap)
+        bk = ("silk", fs, frame_ms, nfr_label, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
-        idxs = np.array([it[0] for it in items]
-                        + [items[0][0]] * (cap - n), dtype=np.int32)
-        jidx = jnp.asarray(idxs)
+        pad = cap - n
+        idxs = np.asarray(list(sidx) + [sidx[0]] * pad, dtype=np.int32)
         order = 16 if fs == 16 else 10
-        outs = []
-        for j in range(nfr):
-            def stack(key):
-                rows = [(items[b][1] if b < n else items[0][1])[j][key]
-                        for b in range(cap)]
-                return jnp.asarray(np.stack(rows))
 
-            xq, sLPC = sjc.silk_core_frame(
-                st["outBuf"][jidx][:, :ltp + frame], st["sLPC"][jidx],
-                stack("exc"),
-                stack("A"), stack("B"), stack("gains"), stack("inv"),
-                stack("lag"), stack("voiced"), stack("rewhiten"),
-                stack("adj"), stack("match"), fs_khz=fs, nb_subfr=nb,
-                order=order)
-            # outBuf rolls the RAW decoded signal; the audible output is
-            # glue-smoothed on the first good frame after a concealment
-            # run (silk_PLC_glue_frames :3138 — see _silk_plc_group)
-            xq_out = xq
-            if self.rfc_plc and j == 0:
-                xq_out = self._apply_glue(items, n, cap, xq, frame)
-            hist = jnp.concatenate(
-                [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
-            # scatter width must match the (20 ms-sized) bucket arrays
-            new_outbuf = jnp.concatenate(
-                [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
-            sMid = st["sMid"][jidx]
-            resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
-                                    axis=-1)
-            new_sMid = xq_out[:, frame - 2:frame]
-            out48, sIIR, sFIR, delay = sjc.resample_to_48k(
-                st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx],
-                resin, fs_in_khz=fs, in_len=frame)
-            st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
-            st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
-            st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
-            st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
-            st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
-            st["delay"] = st["delay"].at[jidx].set(delay)
-            outs.append(np.asarray(out48[:n]).astype(np.int16))
-        out = np.concatenate(outs, axis=-1)
-        return {items[b][0]: out[b][:, None] for b in range(n)}
+        def padded(v):
+            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+                else v
 
-    def _apply_glue(self, items, n, cap, xq, frame):
-        """First good frame after a concealment run: energy-ramp the
-        audible frame (host flag plc_last_frame_lost + the concealed
-        frame's stored energy drive the device glue kernel)."""
-        from ..ops.silk import jax_plc as jplc
-        flags = np.zeros(cap, dtype=bool)
-        ce = np.zeros(cap, dtype=np.int32)
-        cs = np.zeros(cap, dtype=np.int32)
-        for b in range(n):
-            i = items[b][0]
+        exc = padded(cols["exc"])
+        A = padded(cols["A"])
+        B = padded(cols["B"])
+        iv = padded(np.stack([cols["gains"], cols["inv"], cols["lag"],
+                              cols["adj"]], axis=1).astype(np.int32))
+        bools = padded(np.stack([cols["voiced"], cols["rewhiten"],
+                                 cols["match"]], axis=1).astype(bool))
+        if glue is not None:
+            flags, ce, cs = glue
+            garr = np.stack([flags.astype(np.int32), ce, cs])
+            if pad:
+                garr = np.concatenate(
+                    [garr, np.zeros((3, pad), dtype=np.int32)], axis=1)
+        else:
+            garr = np.zeros((3, cap), dtype=np.int32)
+        out48, st2 = _silk_pool_step(
+            st, jnp.asarray(idxs), jnp.asarray(exc), jnp.asarray(A),
+            jnp.asarray(B), jnp.asarray(iv), jnp.asarray(bools),
+            jnp.asarray(garr), fs=fs, nb=nb, order=order, frame=frame,
+            has_glue=glue is not None)
+        self.silk_buckets[fs] = st2
+        return out48
+
+    def _glue_arrays(self, sidx):
+        """First good frame after a concealment run: flags + the
+        concealed frame's stored energy drive the device glue kernel.
+        Returns None when no stream in the bucket needs gluing."""
+        n = len(sidx)
+        flags = np.zeros(n, dtype=bool)
+        ce = np.zeros(n, dtype=np.int32)
+        cs = np.zeros(n, dtype=np.int32)
+        for b, i in enumerate(sidx):
             if self.silk_hosts is not None:
                 ch = self._plc_trk.get(i)
                 if ch is None:
@@ -777,12 +1163,11 @@ class StreamPool:
                 ce[b], cs[b] = self._conc_energy.get(i, (0, 0))
                 ch.plc_last_frame_lost = 0
         if not flags.any():
-            return xq
-        return jplc.glue_frames(xq, jnp.asarray(ce), jnp.asarray(cs),
-                                jnp.asarray(flags), frame=frame)
+            return None
+        return flags, ce, cs
 
     def _silk_plc_group(self, items, fs: int, nfr: int = 1,
-                        frame_ms: int = 20):
+                        frame_ms: int = 20, pend=None):
         """Batched RFC concealment (silk_PLC conceal + CNG): host-prepped
         params -> device conceal kernel; outBuf rolls the RAW concealed
         signal, the audible output (and the glue reference energy) is the
@@ -796,14 +1181,13 @@ class StreamPool:
         frame = frame_ms * fs
         ltp = 20 * fs
         n = len(items)
+        sidx = [it[0] for it in items]
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
         bk = ("silk_plc", fs, frame_ms, nfr, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
-        idxs = np.array([it[0] for it in items]
-                        + [items[0][0]] * (cap - n), dtype=np.int32)
+        idxs = np.array(sidx + [sidx[0]] * (cap - n), dtype=np.int32)
         jidx = jnp.asarray(idxs)
         order = 16 if fs == 16 else 10
-        outs = []
         for j in range(nfr):
             def stack(key):
                 rows = [(items[b][1] if b < n else items[0][1])[j][key]
@@ -834,8 +1218,8 @@ class StreamPool:
             ce, cs = jplc.frame_energy(xq_out, frame=frame)
             ce_np, cs_np = np.asarray(ce), np.asarray(cs)
             for b in range(n):
-                self._conc_energy[items[b][0]] = (int(ce_np[b]),
-                                                  int(cs_np[b]))
+                self._conc_energy[sidx[b]] = (int(ce_np[b]),
+                                              int(cs_np[b]))
 
             sMid = st["sMid"][jidx]
             resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
@@ -851,118 +1235,84 @@ class StreamPool:
             st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
             st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
             st["delay"] = st["delay"].at[jidx].set(delay)
-            outs.append(np.asarray(out48[:n]).astype(np.int16))
-        out = np.concatenate(outs, axis=-1)
-        return {items[b][0]: out[b][:, None] for b in range(n)}
+            pend["silk"].append((out48, sidx))
 
-    def _silk2_group(self, items, fs: int):
+    def _silk2_group(self, items, fs: int, pend):
+        """Generic adapter: stereo per-stream param dicts -> columnar
+        mid/side arrays -> _silk2_launch."""
+        n = len(items)
+        sidx = [it[0] for it in items]
+        dummy = self._dummy_silk_params(fs)
+        mid = {key: np.stack([np.asarray(it[1]["mid"][key])
+                              for it in items])
+               for key in self._SILK_KEYS}
+        side = {key: np.stack([np.asarray((it[1]["side"] or dummy)[key])
+                               for it in items])
+                for key in self._SILK_KEYS}
+        has_side = np.array([it[1]["side"] is not None for it in items])
+        reset = np.array([bool(it[1]["side_reset"]) for it in items])
+        pred = np.stack([np.asarray(it[1]["pred"], dtype=np.int32)
+                         for it in items])
+        dev = self._silk2_launch(sidx, mid, side, has_side, reset, pred,
+                                 fs)
+        pend["silk2"].append((dev, sidx))
+
+    def _silk2_launch(self, sidx, mid, side, has_side, reset, pred,
+                      fs: int):
         """Batched stereo SILK: mid core launch for all rows, side core
         launch masked per row (no-side rows keep state and contribute a
         zero side frame, mirroring silk_Decode :397-415), device MS->LR
-        unmix, then both channels through the batched resampler."""
-        from ..ops.silk.jax_stereo import ms_to_lr_batch
+        unmix, then both channels through the batched resampler. Returns
+        the device pcm (cap, 2, L48)."""
         st = self._silk2_bucket(fs)
-        frame = 20 * fs
-        ltp = 20 * fs
-        n = len(items)
+        n = len(sidx)
         cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
         bk = ("silk2", fs, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
-        idxs = np.array([it[0] for it in items]
-                        + [items[0][0]] * (cap - n), dtype=np.int32)
-        jidx = jnp.asarray(idxs)
+        pad = cap - n
+        idxs = np.asarray(list(sidx) + [sidx[0]] * pad, dtype=np.int32)
         order = 16 if fs == 16 else 10
-        dummy = self._dummy_silk_params(fs)
 
-        def sp_of(b):
-            return items[b][1] if b < n else items[0][1]
+        def padded(v):
+            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+                else v
 
-        def stack(get):
-            return jnp.asarray(np.stack([np.asarray(get(sp_of(b)))
-                                         for b in range(cap)]))
+        def pack(d):
+            return (padded(d["exc"]), padded(d["A"]), padded(d["B"]),
+                    padded(np.stack([d["gains"], d["inv"], d["lag"],
+                                     d["adj"]], axis=1).astype(np.int32)),
+                    padded(np.stack([d["voiced"], d["rewhiten"],
+                                     d["match"]], axis=1).astype(bool)))
 
-        # ---- mid channel ----
-        def midk(key):
-            return stack(lambda sp: sp["mid"][key])
-
-        ob0 = st["outBuf"][jidx][:, 0]
-        xq_mid, sLPC0 = sjc.silk_core_frame(
-            ob0, st["sLPC"][jidx][:, 0], midk("exc"), midk("A"), midk("B"),
-            midk("gains"), midk("inv"), midk("lag"), midk("voiced"),
-            midk("rewhiten"), midk("adj"), midk("match"),
-            fs_khz=fs, nb_subfr=4, order=order)
-        new_ob0 = jnp.concatenate(
-            [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
-            axis=-1)
-
-        # ---- side channel (masked) ----
-        has_side = jnp.asarray(np.array(
-            [sp_of(b)["side"] is not None for b in range(cap)]))
-        reset = jnp.asarray(np.array(
-            [bool(sp_of(b)["side_reset"]) for b in range(cap)]))
-
-        def sidek(key):
-            return stack(lambda sp: (sp["side"] or dummy)[key])
-
-        ob1_old = st["outBuf"][jidx][:, 1]
-        sl1_old = st["sLPC"][jidx][:, 1]
-        ob1 = jnp.where(reset[:, None], 0, ob1_old)
-        sl1 = jnp.where(reset[:, None], 0, sl1_old)
-        xq_side, sLPC1 = sjc.silk_core_frame(
-            ob1, sl1, sidek("exc"), sidek("A"), sidek("B"), sidek("gains"),
-            sidek("inv"), sidek("lag"), sidek("voiced"), sidek("rewhiten"),
-            sidek("adj"), sidek("match"), fs_khz=fs, nb_subfr=4,
+        flags2 = padded(np.stack([has_side, reset],
+                                 axis=1).astype(np.int32)).T.copy()
+        out48, st2 = _silk2_pool_step(
+            st, jnp.asarray(idxs),
+            *(jnp.asarray(v) for v in pack(mid)),
+            *(jnp.asarray(v) for v in pack(side)), jnp.asarray(flags2),
+            jnp.asarray(padded(pred.astype(np.int32))), fs=fs,
             order=order)
-        new_ob1 = jnp.where(
-            has_side[:, None],
-            jnp.concatenate([ob1[:, frame:ltp], xq_side,
-                             jnp.zeros((cap, frame), dtype=I32)], axis=-1),
-            ob1_old)
-        new_sl1 = jnp.where(has_side[:, None], sLPC1, sl1_old)
-        xq_side = jnp.where(has_side[:, None], xq_side, 0)
-
-        # ---- MS -> LR unmix + resample both channels ----
-        L, R, nm, ns = ms_to_lr_batch(
-            st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
-            xq_mid, xq_side, stack(lambda sp: sp["pred"]),
-            fs_khz=fs, frame_length=frame)
-        resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
-        out48, sIIR, sFIR, delay = sjc.resample_to_48k(
-            st["sIIR"][jidx].reshape(2 * cap, 6),
-            st["sFIR"][jidx].reshape(2 * cap, 8),
-            st["delay"][jidx].reshape(2 * cap, fs), resin,
-            fs_in_khz=fs, in_len=frame)
-
-        st["outBuf"] = st["outBuf"].at[jidx].set(
-            jnp.stack([new_ob0, new_ob1], axis=1))
-        st["sLPC"] = st["sLPC"].at[jidx].set(
-            jnp.stack([sLPC0, new_sl1], axis=1))
-        st["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
-        st["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
-        st["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
-        st["pred_prev"] = st["pred_prev"].at[jidx].set(
-            stack(lambda sp: sp["pred"]))
-        st["sMid"] = st["sMid"].at[jidx].set(nm)
-        st["sSide"] = st["sSide"].at[jidx].set(ns)
-        out = np.asarray(out48.reshape(cap, 2, -1)[:n]).astype(np.int16)
-        return {items[b][0]: out[b].T for b in range(n)}
+        self.silk2_buckets[fs] = st2
+        return out48
 
     def warmup(self):
         """Pre-compile the device buckets this pool will hit (both CELT
         transient variants + each SILK rate at full capacity), so the
         first real frames run at steady-state speed."""
-        if any(p[0] in ("celt", "hybrid") for p in self.path):
+        if any(p[0] in ("celt", "hybrid", "hybrid2") for p in self.path):
             cap = self._cap_celt
             from . import batch_celt as bc
+            C = 2 if self.channels == 2 else 1
             st = bc.make_state(cap, self.channels)
-            z = jnp.zeros((cap, 1, 960), dtype=I32)
+            z = jnp.zeros((cap, C, 960), dtype=I32)
             e = jnp.zeros((cap, 2, NB_EBANDS), dtype=I32)
-            v = jnp.zeros(cap, dtype=I32)
-            c = tuple(jnp.full(cap, 15, dtype=I32) for _ in range(6))
-            for tr in (False, True):
-                celt_synth_step(st["decode_mem"], st["preemph"], z, e, v,
-                                jnp.full(cap, 21, dtype=I32), c, c,
-                                LM=3, C=1, CC=self.channels, transient=tr)
+            sec = np.zeros((14, cap), dtype=np.int32)
+            sec[1] = 21
+            pcm, _dm, _pre = _celt_pool_step(
+                st["decode_mem"], st["preemph"],
+                jnp.arange(cap, dtype=I32), z, e, jnp.asarray(sec),
+                jnp.zeros(cap, dtype=bool), LM=3, C=C, CC=self.channels)
+            np.asarray(pcm)   # prime the int16 D2H path too
         for fs, cap in self._cap_silk.items():
             st = self._silk_bucket(fs)
             frame = 20 * fs
@@ -1008,6 +1358,7 @@ class StreamPool:
         a (bucket-key -> launches) histogram of the device buckets hit —
         the observability surface for a farm deployment (the reference has
         only per-frame serial logging, src/Audio.cpp)."""
+        self._flush()
         active = sum(1 for i in range(self.n)
                      if self.positions[i] < len(self.streams[i].jobs))
         out = dict(self._stats, buckets=dict(self._stats["buckets"]),
@@ -1018,6 +1369,7 @@ class StreamPool:
         """Return the PCM decoded since the last drain (list of
         (n_i, channels) int16 per stream) and clear the buffers — the
         serving-style consumption API (bounded memory on endless streams)."""
+        self._flush()
         out = [np.concatenate(p) if p else
                np.zeros((0, self.channels), dtype=np.int16)
                for p in self.pcm_out]
@@ -1027,6 +1379,7 @@ class StreamPool:
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the complete decode state (device pytrees, native host
         structs, scalar decoders, cursors) for preemptible-safe resume."""
+        self._flush()
         from ..utils import checkpoint
         checkpoint.save(self, path)
 
@@ -1056,6 +1409,7 @@ class StreamPool:
                         fec_set.add(i)
             if not self.step(lost, fec_set):
                 break
+        self._flush()
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

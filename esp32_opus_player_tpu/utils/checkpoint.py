@@ -36,6 +36,8 @@ def _stream_digest(stream) -> tuple:
 
 def snapshot(pool) -> dict:
     """Capture the pool's complete decode state as a picklable dict."""
+    if hasattr(pool, "_flush"):
+        pool._flush()   # materialize pipelined device launches first
     ck = dict(
         version=CKPT_VERSION,
         n=pool.n,
@@ -98,6 +100,7 @@ def restore(pool, ck: dict) -> None:
     if digests != ck["digests"]:
         raise ValueError("checkpoint sources differ from this pool's")
 
+    pool._pending = []   # a restored pool has no in-flight launches
     pool.positions = list(ck["positions"])
     pool.path = list(ck["path"])
     pool.pcm_out = [[np.asarray(a) for a in per] for per in ck["pcm_out"]]
@@ -110,7 +113,9 @@ def restore(pool, ck: dict) -> None:
     pool._conc_energy = dict(ck.get("conc_energy", {}))
     pool._plc_trk = {i: pickle.loads(b)
                      for i, b in ck.get("plc_trackers", {}).items()}
-    pool._silk2_hosts = {}
+    # restore INTO the pool's existing stereo hosts — group-backed pools
+    # alias rows of the batch StateArray, so replacing the dict would
+    # strand the restored state outside the buffer the batch engine reads
     for i, (r0, r1, dom) in ck.get("silk2_hosts", {}).items():
         h = pool._silk2_host(i)
         _memmove_checked(h.st[0], r0)

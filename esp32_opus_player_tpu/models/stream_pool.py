@@ -80,6 +80,10 @@ def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
     start, end = sec[0], sec[1]
     comb1 = tuple(sec[2 + k] for k in range(6))
     comb2 = tuple(sec[8 + k] for k in range(6))
+    # X/bandE ship as int16 (halves H2D bytes + saves a host-side cast);
+    # the upcast is free on device
+    X = X.astype(jnp.int32)
+    bandE = bandE.astype(jnp.int32)
     dm = dm_all[jidx]
     pre = pre_all[jidx]
     outs = [celt_synth_step(dm, pre, X, bandE, start, end, comb1, comb2,
@@ -500,8 +504,8 @@ class StreamPool:
         N, C = g.spf, g.C
         LM = self._LM_OF_SPF[N]
         sidx = [g.idxs[r] for r in sel]
-        X = g.X[sel].astype(np.int32).reshape(-1, C, N)
-        bandE = g.bandE[sel].astype(np.int32).reshape(-1, 2, NB_EBANDS)
+        X = g.X[sel].reshape(-1, C, N)                 # int16, device upcasts
+        bandE = g.bandE[sel].reshape(-1, 2, NB_EBANDS)
         dev = self._celt_launch(
             sidx, X, bandE, g.start[sel].copy(), params[sel, 15].copy(),
             params[sel, 3:9].T.copy(), params[sel, 9:15].T.copy(), LM, C,
@@ -970,19 +974,19 @@ class StreamPool:
         celt_pcm: dict[int, np.ndarray] = {}
         silk_pcm: dict[int, np.ndarray] = {}
         for dev, sidx in pend["celt"]:
-            arr = np.asarray(dev).astype(np.int16)   # (cap, CC, N)
+            arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 celt_pcm[i] = arr[r].T
         parts: dict[int, list] = {}
         for dev, sidx in pend["silk"]:
-            arr = np.asarray(dev).astype(np.int16)   # (cap, L48)
+            arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 parts.setdefault(i, []).append(arr[r])
         for i, ps in parts.items():
             silk_pcm[i] = (ps[0] if len(ps) == 1
                            else np.concatenate(ps))[:, None]
         for dev, sidx in pend["silk2"]:
-            arr = np.asarray(dev).astype(np.int16)   # (cap, 2, L48)
+            arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 silk_pcm[i] = arr[r].T
         meta = pend["meta"]
@@ -1020,16 +1024,17 @@ class StreamPool:
         n = len(items)
         sidx = [it[0] for it in items]
         transient = np.array([bool(it[1]["transient"]) for it in items])
-        X = np.zeros((n, C, N), dtype=np.int32)
-        bandE = np.zeros((n, 2, NB_EBANDS), dtype=np.int32)
+        X = np.zeros((n, C, N), dtype=np.int16)
+        bandE = np.zeros((n, 2, NB_EBANDS), dtype=np.int16)
         start = np.zeros(n, dtype=np.int32)
         end = np.zeros(n, dtype=np.int32)
         comb1 = np.zeros((6, n), dtype=np.int32)
         comb2 = np.zeros((6, n), dtype=np.int32)
         for b, (_i, si) in enumerate(items):
-            X[b] = np.asarray(si["X"][:C * N], dtype=np.int32).reshape(C, N)
+            X[b] = np.asarray(si["X"][:C * N],
+                              dtype=np.int16).reshape(C, N)
             bandE[b] = np.asarray(si["bandE"],
-                                  dtype=np.int32).reshape(2, NB_EBANDS)
+                                  dtype=np.int16).reshape(2, NB_EBANDS)
             start[b] = si["start"]
             end[b] = si["end"]
             comb1[:, b] = si["comb1"]
@@ -1304,8 +1309,8 @@ class StreamPool:
             from . import batch_celt as bc
             C = 2 if self.channels == 2 else 1
             st = bc.make_state(cap, self.channels)
-            z = jnp.zeros((cap, C, 960), dtype=I32)
-            e = jnp.zeros((cap, 2, NB_EBANDS), dtype=I32)
+            z = jnp.zeros((cap, C, 960), dtype=jnp.int16)
+            e = jnp.zeros((cap, 2, NB_EBANDS), dtype=jnp.int16)
             sec = np.zeros((14, cap), dtype=np.int32)
             sec[1] = 21
             pcm, _dm, _pre = _celt_pool_step(

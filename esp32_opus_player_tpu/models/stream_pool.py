@@ -110,7 +110,10 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
 
     iv: (cap, 4, 4) int32 = [gains, inv, lag, adj];
     bools: (cap, 3, 4) bool = [voiced, rewhiten, match];
-    glue: (3, cap) int32 = [flags, conc_energy, conc_shift]."""
+    glue: (cap,) bool first-good-frame-after-loss flags — the reference
+    energy of the concealed frame lives ON DEVICE in st["conc_e"/
+    "conc_s"] (scattered there by the conceal step), so gluing costs no
+    host round-trip."""
     from ..ops.silk import jax_plc as jplc
     ltp = 20 * fs
     outBuf = st["outBuf"][jidx]
@@ -123,8 +126,8 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
     # (silk_PLC_glue_frames :3138)
     xq_out = xq
     if has_glue:
-        xq_out = jplc.glue_frames(xq, glue[1], glue[2],
-                                  glue[0].astype(bool), frame=frame)
+        xq_out = jplc.glue_frames(xq, st["conc_e"][jidx],
+                                  st["conc_s"][jidx], glue, frame=frame)
     hist = jnp.concatenate([outBuf[:, frame:ltp], xq], axis=-1)
     new_outbuf = jnp.concatenate(
         [hist, jnp.zeros((xq.shape[0], 20 * fs), dtype=I32)], axis=-1)
@@ -239,7 +242,6 @@ class StreamPool:
         if rfc_plc and compat_ref:
             raise ValueError("rfc_plc requires compat_ref=False")
         self.rfc_plc = rfc_plc
-        self._conc_energy: dict[int, tuple] = {}
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
@@ -581,6 +583,8 @@ class StreamPool:
                 outBuf=jnp.zeros((B, ltp + frame), dtype=I32),
                 sLPC=jnp.zeros((B, MAX_LPC_ORDER), dtype=I32),
                 cng=jnp.zeros((B, MAX_LPC_ORDER), dtype=I32),
+                conc_e=jnp.zeros(B, dtype=I32),
+                conc_s=jnp.zeros(B, dtype=I32),
                 sIIR=jnp.zeros((B, 6), dtype=I32),
                 sFIR=jnp.zeros((B, 8), dtype=I32),
                 delay=jnp.zeros((B, fs), dtype=I32),
@@ -1130,13 +1134,10 @@ class StreamPool:
         bools = padded(np.stack([cols["voiced"], cols["rewhiten"],
                                  cols["match"]], axis=1).astype(bool))
         if glue is not None:
-            flags, ce, cs = glue
-            garr = np.stack([flags.astype(np.int32), ce, cs])
-            if pad:
-                garr = np.concatenate(
-                    [garr, np.zeros((3, pad), dtype=np.int32)], axis=1)
+            garr = np.concatenate([glue, np.zeros(pad, dtype=bool)]) \
+                if pad else glue
         else:
-            garr = np.zeros((3, cap), dtype=np.int32)
+            garr = np.zeros(cap, dtype=bool)
         out48, st2 = _silk_pool_step(
             st, jnp.asarray(idxs), jnp.asarray(exc), jnp.asarray(A),
             jnp.asarray(B), jnp.asarray(iv), jnp.asarray(bools),
@@ -1146,13 +1147,12 @@ class StreamPool:
         return out48
 
     def _glue_arrays(self, sidx):
-        """First good frame after a concealment run: flags + the
-        concealed frame's stored energy drive the device glue kernel.
-        Returns None when no stream in the bucket needs gluing."""
+        """First good frame after a concealment run: per-row flags for
+        the device glue kernel (the concealed frame's reference energy is
+        already on device in the bucket's conc_e/conc_s state). Returns
+        None when no stream in the bucket needs gluing."""
         n = len(sidx)
         flags = np.zeros(n, dtype=bool)
-        ce = np.zeros(n, dtype=np.int32)
-        cs = np.zeros(n, dtype=np.int32)
         for b, i in enumerate(sidx):
             if self.silk_hosts is not None:
                 ch = self._plc_trk.get(i)
@@ -1165,11 +1165,10 @@ class StreamPool:
                 ch = silk.channel_states[0]
             if getattr(ch, "plc_last_frame_lost", 0):
                 flags[b] = True
-                ce[b], cs[b] = self._conc_energy.get(i, (0, 0))
                 ch.plc_last_frame_lost = 0
         if not flags.any():
             return None
-        return flags, ce, cs
+        return flags
 
     def _silk_plc_group(self, items, fs: int, nfr: int = 1,
                         frame_ms: int = 20, pend=None):
@@ -1220,11 +1219,11 @@ class StreamPool:
                 xq, stack("cng_exc"), stack("cng_a")[:, :order],
                 stack("cng_gain"), state0,
                 jnp.ones(cap, dtype=bool), frame=frame, order=order)
+            # the glue reference energy of the concealed frame stays on
+            # device (no host round-trip; silk_PLC_glue_frames :3138)
             ce, cs = jplc.frame_energy(xq_out, frame=frame)
-            ce_np, cs_np = np.asarray(ce), np.asarray(cs)
-            for b in range(n):
-                self._conc_energy[sidx[b]] = (int(ce_np[b]),
-                                              int(cs_np[b]))
+            st["conc_e"] = st["conc_e"].at[jidx].set(ce)
+            st["conc_s"] = st["conc_s"].at[jidx].set(cs)
 
             sMid = st["sMid"][jidx]
             resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],

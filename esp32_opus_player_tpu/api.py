@@ -40,17 +40,32 @@ class OpusFile:
         else:
             self.stream = opusfile.open_file(path_or_bytes)
         head = self.stream.head
+        self._multistream = head.stream_count > 1 or head.channel_count > 2
         self.config = config or DecoderConfig(
-            channels=min(head.channel_count, 2))
-        self.decoder = OpusDecoder(self.config.channels,
-                                   compat_ref=self.config.compat_ref)
-        if self.config.phase_inversion_disabled:
-            self.decoder.celt.disable_inv = 1
+            channels=head.channel_count if self._multistream
+            else min(head.channel_count, 2))
+        self.decoder = self._make_decoder()
         self._job_idx = 0
         self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
         self._gain_q8 = (head.output_gain if self.config.apply_header_gain
                          else 0) + self.config.gain_q8
+
+    def _make_decoder(self):
+        """Multichannel (family-1 surround / multi-stream) files decode
+        through OpusMSDecoder, like the reference's opusfile layer always
+        does (src/opusfile.cpp:1238) — but without its 2-channel cap."""
+        head = self.stream.head
+        if self._multistream:
+            from .models.ms_decoder import OpusMSDecoder
+            return OpusMSDecoder(head.channel_count, head.stream_count,
+                                 head.coupled_count, head.mapping,
+                                 compat_ref=self.config.compat_ref)
+        dec = OpusDecoder(self.config.channels,
+                          compat_ref=self.config.compat_ref)
+        if self.config.phase_inversion_disabled:
+            dec.celt.disable_inv = 1
+        return dec
 
     @property
     def channel_count(self) -> int:
@@ -134,10 +149,7 @@ class OpusFile:
         pcm_offset = max(0, min(int(pcm_offset), cum[-1]))
         pre_target = max(0, pcm_offset - OP_HOLE_DISCARD_MS * 48)
         j0 = bisect.bisect_right(cum, pre_target) - 1
-        self.decoder = OpusDecoder(self.config.channels,
-                                   compat_ref=self.config.compat_ref)
-        if self.config.phase_inversion_disabled:
-            self.decoder.celt.disable_inv = 1
+        self.decoder = self._make_decoder()
         self._job_idx = j0
         self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)

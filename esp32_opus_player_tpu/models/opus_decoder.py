@@ -126,17 +126,20 @@ class OpusDecoder:
         return audiosize
 
     def decode(self, data: bytes | None, pcm_out=None,
-               frame_size: int | None = None, decode_fec: bool = False):
+               frame_size: int | None = None, decode_fec: bool = False,
+               self_delimited: bool = False):
         """opus_decode_native (src/opus_decoder.cpp:280) — returns int16
         numpy array (n, channels). data=None triggers PLC; decode_fec=True
         recovers the previous (lost) frame from this packet's in-band FEC
         (SILK LBRR, silk_Decode lostFlag=2 — reachable in the reference's
-        silk layer at src/silk.cpp:1682 but never wired to its app)."""
+        silk layer at src/silk.cpp:1682 but never wired to its app).
+        self_delimited: parse with the self-delimiting framing used for
+        all but the last elementary stream of a multistream packet."""
         if data is None or len(data) == 0:
             return self._decode_plc(frame_size)
         if decode_fec:
             return self._decode_fec(data, frame_size)
-        parsed = pkt.parse_packet(data)
+        parsed = pkt.parse_packet(data, self_delimited=self_delimited)
         spf = parsed.frame_size
         count = len(parsed.frames)
         self.mode = parsed.mode

@@ -1,0 +1,99 @@
+"""Multistream decoder (mapping family 1): 5.1 surround, bit-exact.
+
+Golden PCM is assembled from the UNMODIFIED reference binary decoding
+each elementary stream in isolation (the reference's own multistream walk
+shares one global codec state across sub-decoders — a pruning artifact —
+so per-stream oracle runs + the reference's channel-routing semantics,
+opus_multistream_decode_native src/opus_decoder.cpp:826, give the true
+multichannel golden). Final ranges are cross-checked against libopus's
+opus_multistream_decoder (entropy path, exact for float and fixed).
+"""
+import json
+
+import numpy as np
+import pytest
+
+from esp32_opus_player_tpu.host import opusfile
+from esp32_opus_player_tpu.models.ms_decoder import OpusMSDecoder
+from esp32_opus_player_tpu import OpusFile, DecoderConfig
+
+from conftest import FIXTURES, GOLDEN, fixture_path
+
+NAMES = ["ms51_silk_wb_20ms", "ms51_music_fb_20ms"]
+
+
+def _load(name):
+    s = opusfile.parse_stream(fixture_path(name).read_bytes())
+    gold = np.fromfile(GOLDEN / f"{name}.pcm",
+                       dtype=np.int16).reshape(-1, 6)
+    ranges = json.loads((GOLDEN / f"{name}.ranges.json").read_text())
+    return s, gold, ranges
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_ms51_bitexact_and_ranges(name):
+    s, gold, ranges = _load(name)
+    h = s.head
+    assert (h.channel_count, h.stream_count, h.coupled_count) == (6, 4, 2)
+    dec = OpusMSDecoder(h.channel_count, h.stream_count, h.coupled_count,
+                        h.mapping, compat_ref=True)
+    outs = []
+    for k, job in enumerate(s.jobs):
+        out = dec.decode(job.data)
+        assert dec.final_range == ranges[k]["final_range"], k
+        outs.append(out)
+    got = np.concatenate(outs)
+    assert got.shape == gold.shape
+    assert np.array_equal(got, gold)
+
+
+def test_ms51_through_file_api(manifest):
+    """OpusFile routes >2ch family-1 files through the MS decoder and
+    applies pre-skip — the op_read_stereo-equivalent surface without the
+    reference's OP_NCHANNELS_MAX=2 cap."""
+    name = "ms51_silk_wb_20ms"
+    f = OpusFile(fixture_path(name), DecoderConfig(channels=6,
+                                                   compat_ref=True))
+    pcm = f.read_all()
+    gold = np.fromfile(GOLDEN / f"{name}.pcm",
+                       dtype=np.int16).reshape(-1, 6)
+    pre = manifest[name]["pre_skip"]
+    assert pcm.shape == (gold.shape[0] - pre, 6)
+    assert np.array_equal(pcm, gold[pre:])
+
+
+def test_ms_layout_validation():
+    # coupled > streams
+    with pytest.raises(ValueError):
+        OpusMSDecoder(2, 1, 2, b"\x00\x01")
+    # mapping entry beyond stream channels
+    with pytest.raises(ValueError):
+        OpusMSDecoder(2, 1, 0, b"\x00\x05")
+    # 255 = muted is always legal
+    d = OpusMSDecoder(3, 1, 1, b"\x00\x01\xff")
+    assert d.channels == 3
+
+
+def test_ms_muted_channel_and_plc():
+    """mapping 255 emits silence; data=None conceals on every
+    sub-decoder (opus_multistream_decode_native do_plc path :847)."""
+    s, _gold, _r = _load("ms51_silk_wb_20ms")
+    h = s.head
+    mapping = bytes(list(h.mapping[:5]) + [255])
+    dec = OpusMSDecoder(6, h.stream_count, h.coupled_count, mapping,
+                        compat_ref=True)
+    out = dec.decode(s.jobs[0].data)
+    assert np.all(out[:, 5] == 0)
+    assert np.any(out[:, 0] != 0)
+    conc = dec.decode(None)
+    assert conc.shape == (960, 6)
+
+
+def test_ms_packet_validation():
+    s, _gold, _r = _load("ms51_silk_wb_20ms")
+    h = s.head
+    dec = OpusMSDecoder(h.channel_count, h.stream_count, h.coupled_count,
+                        h.mapping, compat_ref=True)
+    from esp32_opus_player_tpu.host.packet import InvalidPacket
+    with pytest.raises(InvalidPacket):
+        dec.decode(s.jobs[0].data[:3])   # truncated below 2*streams-1

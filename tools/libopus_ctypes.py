@@ -153,3 +153,111 @@ class Decoder:
         if getattr(self, "_st", None) and destroy is not None:
             destroy(ctypes.c_void_p(self._st))
             self._st = None
+
+
+# --- multistream (surround) bindings, for family-1 fixture generation ---
+lib.opus_multistream_encoder_create.restype = ctypes.c_void_p
+lib.opus_multistream_encoder_create.argtypes = [
+    ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+lib.opus_multistream_encode.restype = ctypes.c_int32
+lib.opus_multistream_encode.argtypes = [
+    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+    ctypes.c_char_p, ctypes.c_int32]
+lib.opus_multistream_encoder_destroy.argtypes = [ctypes.c_void_p]
+lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+lib.opus_multistream_decoder_create.argtypes = [
+    ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+lib.opus_multistream_decode.restype = ctypes.c_int
+lib.opus_multistream_decode.argtypes = [
+    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+lib.opus_multistream_decoder_destroy.argtypes = [ctypes.c_void_p]
+
+
+class MSEncoder:
+    """opus_multistream_encoder with an explicit layout (family-1)."""
+
+    def __init__(self, fs: int, channels: int, streams: int,
+                 coupled: int, mapping: bytes,
+                 application: int = OPUS_APPLICATION_AUDIO):
+        err = ctypes.c_int(0)
+        self._st = lib.opus_multistream_encoder_create(
+            fs, channels, streams, coupled, bytes(mapping), application,
+            ctypes.byref(err))
+        if err.value != 0:
+            raise RuntimeError(f"ms_encoder_create -> {err.value}")
+        self.channels = channels
+
+    def ctl_set(self, request: int, value: int) -> None:
+        fn = lib.opus_multistream_encoder_ctl
+        fn.restype = ctypes.c_int
+        ret = fn(ctypes.c_void_p(self._st), ctypes.c_int(request),
+                 ctypes.c_int32(value))
+        if ret != 0:
+            raise RuntimeError(f"ms_encoder_ctl({request},{value})->{ret}")
+
+    def encode(self, pcm, frame_size: int) -> bytes:
+        import numpy as np
+        pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+        assert pcm.size == frame_size * self.channels
+        out = ctypes.create_string_buffer(16000)
+        n = lib.opus_multistream_encode(
+            ctypes.c_void_p(self._st),
+            pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            frame_size, out, 16000)
+        if n < 0:
+            raise RuntimeError(f"opus_multistream_encode -> {n}")
+        return out.raw[:n]
+
+    def __del__(self):
+        destroy = getattr(lib, "opus_multistream_encoder_destroy", None) \
+            if lib else None
+        if getattr(self, "_st", None) and destroy is not None:
+            destroy(ctypes.c_void_p(self._st))
+            self._st = None
+
+
+class MSDecoder:
+    """libopus multistream decoder (independent cross-check oracle)."""
+
+    def __init__(self, fs: int, channels: int, streams: int,
+                 coupled: int, mapping: bytes):
+        err = ctypes.c_int(0)
+        self._st = lib.opus_multistream_decoder_create(
+            fs, channels, streams, coupled, bytes(mapping),
+            ctypes.byref(err))
+        if err.value != 0:
+            raise RuntimeError(f"ms_decoder_create -> {err.value}")
+        self.channels = channels
+
+    def decode(self, packet: bytes | None, frame_size: int = 5760):
+        import numpy as np
+        out = np.empty(frame_size * self.channels, dtype=np.int16)
+        n = lib.opus_multistream_decode(
+            ctypes.c_void_p(self._st),
+            packet if packet is not None else None,
+            len(packet) if packet is not None else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            frame_size, 0)
+        if n < 0:
+            raise RuntimeError(f"opus_multistream_decode -> {n}")
+        return out[: n * self.channels].reshape(n, self.channels)
+
+    def final_range(self) -> int:
+        fn = lib.opus_multistream_decoder_ctl
+        fn.restype = ctypes.c_int
+        out = ctypes.c_uint32(0)
+        ret = fn(ctypes.c_void_p(self._st),
+                 ctypes.c_int(OPUS_GET_FINAL_RANGE), ctypes.byref(out))
+        if ret != 0:
+            raise RuntimeError(f"ms_decoder_ctl(final_range) -> {ret}")
+        return out.value
+
+    def __del__(self):
+        destroy = getattr(lib, "opus_multistream_decoder_destroy", None) \
+            if lib else None
+        if getattr(self, "_st", None) and destroy is not None:
+            destroy(ctypes.c_void_p(self._st))
+            self._st = None

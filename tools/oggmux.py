@@ -73,7 +73,9 @@ def opus_tags(vendor: str = "tpu-opus-fixture") -> bytes:
 def mux(packets: list[bytes], durations48k: list[int], *, channels: int,
         pre_skip: int, serialno: int = 0x6F707573, input_rate: int = 48000,
         mapping_family: int = 0, end_trim: int = 0,
-        packets_per_page: int = 25) -> bytes:
+        packets_per_page: int = 25, stream_count: int = 1,
+        coupled_count: int | None = None,
+        mapping: bytes | None = None) -> bytes:
     """Assemble a complete single-link Ogg/Opus stream.
 
     durations48k: per-packet output duration in 48 kHz samples (from TOC).
@@ -81,7 +83,10 @@ def mux(packets: list[bytes], durations48k: list[int], *, channels: int,
     """
     assert len(packets) == len(durations48k)
     out = [build_page([opus_head(channels, pre_skip, input_rate,
-                                 mapping_family=mapping_family)],
+                                 mapping_family=mapping_family,
+                                 stream_count=stream_count,
+                                 coupled_count=coupled_count,
+                                 mapping=mapping)],
                       serialno=serialno, pageno=0, granulepos=0, bos=True),
            build_page([opus_tags()], serialno=serialno, pageno=1,
                       granulepos=0)]

@@ -275,6 +275,7 @@ class NativeSilkHost:
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     signal_type=int(misc[0]), lag_prev=int(misc[3]),
                     ltp_scale=int(misc[4]), nlsf=misc[8:24].copy(),
+                    rng=int(misc[6]) & 0xFFFFFFFF,
                     ec_state=[int(v) & 0xFFFFFFFF for v in ec])
 
     def packet(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -310,7 +311,8 @@ class NativeSilkHost:
                      exc=exc[f * fl:(f + 1) * fl],
                      signal_type=int(misc[f, 0]),
                      lag_prev=int(misc[f, 3]), ltp_scale=int(misc[f, 4]),
-                     nlsf=misc[f, 8:24].copy())
+                     nlsf=misc[f, 8:24].copy(),
+                     rng=int(misc[f, 6]) & 0xFFFFFFFF)
                 for f in range(n)]
 
     def fec_frame(self, data: bytes, fs_khz: int, payload_ms: int = 20):
@@ -344,7 +346,8 @@ class NativeSilkHost:
                     rewhiten=flags[4:8].astype(bool),
                     match=flags[8:12].astype(bool), adj=adj, exc=exc,
                     signal_type=int(misc[0]), lag_prev=int(misc[3]),
-                    ltp_scale=int(misc[4]), nlsf=misc[8:24].copy())
+                    ltp_scale=int(misc[4]), nlsf=misc[8:24].copy(),
+                    rng=int(misc[6]) & 0xFFFFFFFF)
 
 
 class NativeSilkStereoHost:
@@ -410,7 +413,8 @@ class NativeSilkStereoHost:
         out = dict(mid=todict(mb),
                    side=todict(sb) if info[0] else None,
                    pred=np.asarray(info[3:5], dtype=np.int32),
-                   side_reset=bool(info[1]))
+                   side_reset=bool(info[1]),
+                   rng=int(ec[6]) & 0xFFFFFFFF)
         if hybrid:
             out["ec_state"] = [int(v) & 0xFFFFFFFF for v in ec]
         return out

@@ -704,6 +704,8 @@ static int frame_to_params(EcDec& ec, SilkHostState* st, int decode_lbrr,
     misc_out[3] = st->lagPrev;
     misc_out[4] = ltp_scale_q14;   // PLC-state tracking (silk_PLC_update)
     misc_out[5] = st->VAD_flags[frame_index];
+    misc_out[6] = (i32)ec.rng;     // OPUS_GET_FINAL_RANGE conformance probe
+    misc_out[7] = ec.tell();
     for (int i = 0; i < MAX_LPC_ORDER; i++)   // per-frame NLSF for the
         misc_out[8 + i] = st->prevNLSF_Q15[i];  // CNG smoothing mirror
     return 0;

@@ -97,6 +97,7 @@ def silk_host_frame(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
     exc = host_exc(ch, pulses)
     p = _assemble_params(ch, ctrl, exc)
     _finish_frame(ch, ctrl)
+    p["rng"] = dec.rng & 0xFFFFFFFF   # OPUS_GET_FINAL_RANGE probe
     return p
 
 
@@ -473,6 +474,7 @@ def silk_host_packet(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
         exc = host_exc(ch, pulses)
         p = _assemble_params(ch, ctrl, exc)
         _finish_frame(ch, ctrl)
+        p["rng"] = dec.rng & 0xFFFFFFFF
         out.append(p)
     return out
 
@@ -549,7 +551,7 @@ def silk_host_stereo_packet(h: SilkDecoder, dec: RangeDecoder,
         cs1.nFramesDecoded += 1
     h.prev_decode_only_middle = dom
     return dict(mid=mid, side=side, pred=np.asarray(ms_pred_q13, dtype=I32),
-                side_reset=side_reset)
+                side_reset=side_reset, rng=dec.rng & 0xFFFFFFFF)
 
 
 def silk_host_frame_fec(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
@@ -587,6 +589,7 @@ def silk_host_frame_fec(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
     exc = host_exc(ch, pulses)
     p = _assemble_params(ch, ctrl, exc)
     _finish_frame(ch, ctrl)
+    p["rng"] = dec.rng & 0xFFFFFFFF   # OPUS_GET_FINAL_RANGE probe
     return p
 
 

@@ -330,6 +330,10 @@ class StreamPool:
         # native outputs (batch_silk.NativePlcTracker)
         self._plc_trk: dict[int, object] = {}
         self._silk2_hosts: dict[int, object] = {}
+        # per-stream OPUS_GET_FINAL_RANGE after the last decoded packet
+        # (SILK-only streams: the range coder lives per frame, so the
+        # host phase exports rng explicitly)
+        self._last_rng: dict[int, int] = {}
         # deferred-materialization queue: device launches from step t are
         # fetched at the END of step t+pipeline_depth, so the host symbol
         # phases of the next `depth` steps overlap the device execution
@@ -489,6 +493,15 @@ class StreamPool:
             skind = {"celt": "celt", "silk": "silk", "silk2": "silk",
                      "hybrid": "hybrid", "hybrid2": "hybrid"}[kind]
             self._stats[f"frames_{skind}"] += int(sel.size)
+            if kind == "silk":
+                rngs = g.ec[sel, 6] if g.nfr == 1 \
+                    else g.buf.misc[sel, -1, 6]
+                for r, v in zip(sel, rngs):
+                    self._last_rng[int(idxs[r])] = int(v) & 0xFFFFFFFF
+            elif kind == "silk2":
+                for r in sel:
+                    self._last_rng[int(idxs[r])] = \
+                        int(g.ec[r, 6]) & 0xFFFFFFFF
             disc = g.table.disc[sel, pos[sel]]
             trim = g.table.trim[sel, pos[sel]]
             for r, lo, te in zip(sel, disc, trim):
@@ -914,6 +927,8 @@ class StreamPool:
                     (i, plist))
             elif kind in ("silk", "silk_fec"):
                 fs, frame_ms, plist = payload
+                if plist and plist[-1].get("rng") is not None:
+                    self._last_rng[i] = plist[-1]["rng"]
                 silk_groups.setdefault((fs, frame_ms, len(plist)),
                                        []).append((i, plist))
             elif kind == "silk_plc":
@@ -922,6 +937,8 @@ class StreamPool:
                                       []).append((i, preps))
             elif kind == "silk2":
                 fs, sp = payload
+                if sp.get("rng") is not None:
+                    self._last_rng[i] = sp["rng"]
                 silk2_groups.setdefault(fs, []).append((i, sp))
             elif kind == "silk2_mute":
                 pend["mute"].add(i)
@@ -1345,16 +1362,14 @@ class StreamPool:
         out = []
         for i in range(self.n):
             kind = self.path[i][0]
-            if kind == "celt" and self.native:
-                out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
-            elif kind in ("silk", "silk2", "hybrid", "hybrid2") \
-                    and self.native:
-                if kind in ("hybrid", "hybrid2"):
-                    out.append(int(self.celt_hosts[i].st.rng) & 0xFFFFFFFF)
-                else:
-                    out.append(None)  # silk-only: rng lives in ec per frame
-            else:
+            if kind == "scalar":
                 out.append(self.scalar[i].final_range)
+            elif kind in ("celt", "hybrid", "hybrid2"):
+                h = self.celt_hosts[i]
+                r = int(h.st.rng) if self.native else int(h.rng)
+                out.append(r & 0xFFFFFFFF)
+            else:   # silk, silk2: exported by the host symbol phase
+                out.append(self._last_rng.get(i))
         return out
 
     def stats(self) -> dict:

@@ -53,6 +53,7 @@ def snapshot(pool) -> dict:
         silk2_buckets={fs: {k: np.asarray(v) for k, v in st.items()}
                        for fs, st in pool.silk2_buckets.items()},
         stats=dict(pool._stats, buckets=dict(pool._stats["buckets"])),
+        last_rng=dict(getattr(pool, "_last_rng", {})),
         plc_trackers={i: pickle.dumps(t)
                       for i, t in getattr(pool, "_plc_trk", {}).items()},
         silk2_hosts={i: (bytes(h.st[0]), bytes(h.st[1]), h.prev_dom)
@@ -109,6 +110,7 @@ def restore(pool, ck: dict) -> None:
     pool.silk2_buckets = {fs: {k: jnp.asarray(v) for k, v in st.items()}
                           for fs, st in ck.get("silk2_buckets", {}).items()}
     pool._stats = dict(ck["stats"], buckets=dict(ck["stats"]["buckets"]))
+    pool._last_rng = dict(ck.get("last_rng", {}))
     pool._plc_trk = {i: pickle.loads(b)
                      for i, b in ck.get("plc_trackers", {}).items()}
     # restore INTO the pool's existing stereo hosts — group-backed pools

@@ -46,16 +46,20 @@ class OpusFile:
             else min(head.channel_count, 2))
         self.decoder = self._make_decoder()
         self._job_idx = 0
+        self._cur_link = 0
         self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
         self._gain_q8 = (head.output_gain if self.config.apply_header_gain
                          else 0) + self.config.gain_q8
 
-    def _make_decoder(self):
+    def _make_decoder(self, link: int = 0):
         """Multichannel (family-1 surround / multi-stream) files decode
         through OpusMSDecoder, like the reference's opusfile layer always
-        does (src/opusfile.cpp:1238) — but without its 2-channel cap."""
-        head = self.stream.head
+        does (src/opusfile.cpp:1238) — but without its 2-channel cap.
+        link: chain link index (each link is an independent stream, so a
+        fresh decoder per link — op_make_decode_ready, :671)."""
+        heads = self.stream.link_heads or [self.stream.head]
+        head = heads[min(link, len(heads) - 1)]
         if self._multistream:
             from .models.ms_decoder import OpusMSDecoder
             return OpusMSDecoder(head.channel_count, head.stream_count,
@@ -91,6 +95,16 @@ class OpusFile:
         while self._job_idx < len(self.stream.jobs):
             job = self.stream.jobs[self._job_idx]
             self._job_idx += 1
+            if job.link != self._cur_link:
+                # chain boundary: new link = independent stream — fresh
+                # decoder, new header gain (src/opusfile.cpp:835-1133)
+                self._cur_link = job.link
+                self.decoder = self._make_decoder(job.link)
+                heads = self.stream.link_heads
+                self._gain_q8 = (heads[job.link].output_gain
+                                 if self.config.apply_header_gain else 0) \
+                    + self.config.gain_q8
+                self._hole_discard = 0
             if job.hole_before:
                 # hole policy: decode continues; discard 80 ms to
                 # re-converge (src/opusfile.cpp:1022-1046)
@@ -149,7 +163,8 @@ class OpusFile:
         pcm_offset = max(0, min(int(pcm_offset), cum[-1]))
         pre_target = max(0, pcm_offset - OP_HOLE_DISCARD_MS * 48)
         j0 = bisect.bisect_right(cum, pre_target) - 1
-        self.decoder = self._make_decoder()
+        self._cur_link = self.stream.jobs[j0].link
+        self.decoder = self._make_decoder(self._cur_link)
         self._job_idx = j0
         self._hole_discard = 0
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
@@ -208,6 +223,7 @@ class StreamingOpusFile:
         self._buffer = None
         self._gain_q8 = 0
         self._hole_discard = 0
+        self._link_done = False
         self.eos = False
 
     def feed(self, data: bytes) -> None:
@@ -240,12 +256,26 @@ class StreamingOpusFile:
             page = self._sync.pageout()
             if page is None:
                 return
-            if self.head is None:
+            if self.head is None or (self._link_done and page.bos
+                                     and page.body[:8] == b"OpusHead"):
                 if page.bos and page.body[:8] == b"OpusHead":
+                    # new (or first) chain link: fresh decoder + per-link
+                    # pre-skip/granule tracking (op_fetch_and_process_page
+                    # chain boundaries, src/opusfile.cpp:835-1133)
                     self._stream = ogg.OggStream(serialno=page.serialno)
                     for p in self._stream.pagein(page):
                         self.head = opusfile.OpusHead.parse(p.data)
+                    buf = self._buffer
                     self._init_decoder()
+                    if buf is not None and len(buf):
+                        self._buffer = buf   # keep undrained PCM
+                    self._tags_done = False
+                    self._pcm_start = None
+                    self._cum_dur = 0
+                    self._trim_left = 0
+                    self._hole_discard = 0
+                    self._link_done = False
+                    self.eos = False
                 continue
             if page.serialno != self._stream.serialno:
                 continue
@@ -293,6 +323,7 @@ class StreamingOpusFile:
                 self._pcm_start = max(page.granulepos - self._cum_dur, 0)
             if page.eos:
                 self.eos = True
+                self._link_done = True
 
     def _decode_packet(self, p):
         from .host import packet as pkt2

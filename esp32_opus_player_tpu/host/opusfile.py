@@ -87,6 +87,8 @@ class DecodeJob:
     trim_end: int = 0         # end-trim from the final granulepos
     granulepos: int = -1
     hole_before: bool = False
+    link: int = 0             # chain link index (op_fetch_and_process_page
+    #                           chain boundaries, src/opusfile.cpp:835-1133)
 
     @property
     def keep(self) -> int:
@@ -95,13 +97,20 @@ class DecodeJob:
 
 @dataclass
 class OggOpusStream:
-    """Parsed single-link Ogg/Opus stream: header + timestamped decode jobs."""
+    """Parsed Ogg/Opus stream (one or more chained links): headers +
+    timestamped decode jobs. jobs carry their link index; decoders must
+    reset at link boundaries (each link is an independent stream)."""
     head: OpusHead
     tags_vendor: str
     jobs: list[DecodeJob]
     pcm_start: int = 0
     pcm_end: int = -1
     bytes_skipped: int = 0
+    link_heads: list = field(default_factory=list)
+
+    @property
+    def n_links(self) -> int:
+        return max(len(self.link_heads), 1)
 
     @property
     def total_samples(self) -> int:
@@ -109,51 +118,55 @@ class OggOpusStream:
 
 
 def _collect_packets(data: bytes):
-    """Demux all pages; select the first Opus BOS stream like
-    op_fetch_headers_impl (:106-259)."""
+    """Demux all pages into LINKS; within each link, select the first
+    Opus BOS stream like op_fetch_headers_impl (:106-259). A new link
+    begins at a BOS OpusHead page after the current link\'s EOS
+    (chain handling of op_fetch_and_process_page, :835-1133)."""
     sync = ogg.OggSync()
     sync.write(data)
     sync.set_eof()
+    links: list[tuple[OpusHead, list]] = []
     opus_stream: ogg.OggStream | None = None
     head: OpusHead | None = None
-    packets: list[ogg.OggPacket] = []
-    seen_serialnos: set[int] = set()
+    link_done = False
     while True:
         page = sync.pageout()
         if page is None:
             break
-        if head is None:
-            if not page.bos:
-                if opus_stream is None:
-                    raise NotOpusError("no BOS page found")
-                # fallthrough: non-BOS page before a header completed
-            if page.bos:
-                seen_serialnos.add(page.serialno)
-                body_start = page.body[:8]
-                if body_start == b"OpusHead" and opus_stream is None:
-                    opus_stream = ogg.OggStream(serialno=page.serialno)
-                    for p in opus_stream.pagein(page):
-                        head = OpusHead.parse(p.data)
-                continue
-        if opus_stream is not None and page.serialno == opus_stream.serialno:
-            packets.extend(opus_stream.pagein(page))
-    if head is None:
+        if head is None or (link_done and page.bos
+                            and page.body[:8] == b"OpusHead"):
+            if head is None and not page.bos and opus_stream is None:
+                raise NotOpusError("no BOS page found")
+            if page.bos and page.body[:8] == b"OpusHead" \
+                    and (opus_stream is None or link_done):
+                opus_stream = ogg.OggStream(serialno=page.serialno)
+                for p in opus_stream.pagein(page):
+                    head = OpusHead.parse(p.data)
+                links.append((head, []))
+                link_done = False
+            continue
+        if opus_stream is not None and page.serialno == opus_stream.serialno \
+                and not link_done:
+            links[-1][1].extend(opus_stream.pagein(page))
+            if page.eos:
+                link_done = True
+    if not links:
         raise NotOpusError("no Opus stream found")
-    return head, packets, sync.bytes_skipped
+    return links, sync.bytes_skipped
 
 
-def parse_stream(data: bytes) -> OggOpusStream:
-    head, packets, skipped = _collect_packets(data)
-    if not packets:
-        raise BadHeaderError("no packets after OpusHead")
-    # first packet after the header is OpusTags (content skipped, like the
-    # stubbed tags parse at :226)
-    tags_pkt = packets[0]
+def _link_jobs(head: OpusHead, packets, link: int):
+    """Timestamp one link's packets into DecodeJobs: pre-skip spread,
+    initial PCM offset (op_find_initial_pcm_offset :486-633), end-trim
+    from the final granulepos (:1056-1092)."""
+    tags_pkt = packets[0] if packets else None
     vendor = ""
-    if tags_pkt.data[:8] == b"OpusTags":
+    if tags_pkt is not None and tags_pkt.data[:8] == b"OpusTags":
         vlen = struct.unpack_from("<I", tags_pkt.data, 8)[0]
         vendor = tags_pkt.data[12:12 + vlen].decode("utf-8", "replace")
-    audio = packets[1:]
+        audio = packets[1:]
+    else:
+        audio = packets
 
     jobs: list[DecodeJob] = []
     for p in audio:
@@ -163,12 +176,10 @@ def parse_stream(data: bytes) -> OggOpusStream:
             continue  # undecodable packet: skipped (treated as a hole)
         jobs.append(DecodeJob(data=p.data, duration=dur,
                               granulepos=p.granulepos,
-                              hole_before=p.hole_before))
+                              hole_before=p.hole_before, link=link))
     if not jobs:
-        raise BadHeaderError("no audio packets")
+        return vendor, [], 0, -1
 
-    # initial PCM offset (op_find_initial_pcm_offset :486-633): the first
-    # page's granulepos minus the duration of its packets
     first_gp_idx = next((i for i, j in enumerate(jobs)
                          if j.granulepos >= 0), None)
     pcm_start = 0
@@ -185,17 +196,13 @@ def parse_stream(data: bytes) -> OggOpusStream:
         j.discard_front = d
         remaining -= d
 
-    # end-trim from the final granulepos (op_fetch_and_process_page end-trim
-    # propagation :1056-1092)
     last_gp = next((j.granulepos for j in reversed(jobs)
                     if j.granulepos >= 0), -1)
     if last_gp >= 0:
         cum = pcm_start
-        total_end = None
         for j in jobs:
             cum += j.duration
-        total_end = cum
-        overshoot = total_end - last_gp
+        overshoot = cum - last_gp
         if overshoot > 0:
             for j in reversed(jobs):
                 if overshoot <= 0:
@@ -203,10 +210,32 @@ def parse_stream(data: bytes) -> OggOpusStream:
                 t = min(overshoot, j.duration - j.trim_end)
                 j.trim_end += t
                 overshoot -= t
+    return vendor, jobs, pcm_start, last_gp
 
-    return OggOpusStream(head=head, tags_vendor=vendor, jobs=jobs,
-                         pcm_start=pcm_start, pcm_end=last_gp,
-                         bytes_skipped=skipped)
+
+def parse_stream(data: bytes) -> OggOpusStream:
+    links, skipped = _collect_packets(data)
+    all_jobs: list[DecodeJob] = []
+    link_heads: list[OpusHead] = []
+    vendor0 = ""
+    pcm_start0 = 0
+    last_gp = -1
+    for li, (head, packets) in enumerate(links):
+        vendor, jobs, pcm_start, gp = _link_jobs(head, packets,
+                                                 len(link_heads))
+        if not jobs:
+            continue
+        link_heads.append(head)
+        all_jobs.extend(jobs)
+        if len(link_heads) == 1:
+            vendor0, pcm_start0 = vendor, pcm_start
+        last_gp = gp
+    if not all_jobs:
+        raise BadHeaderError("no audio packets")
+    return OggOpusStream(head=link_heads[0], tags_vendor=vendor0,
+                         jobs=all_jobs, pcm_start=pcm_start0,
+                         pcm_end=last_gp, bytes_skipped=skipped,
+                         link_heads=link_heads)
 
 
 def open_file(path) -> OggOpusStream:

@@ -258,7 +258,13 @@ class StreamPool:
 
         # classify each stream once
         self.path = []
+        self._scalar_link = [0] * self.n
         for s in self.streams:
+            if s.n_links > 1:
+                # chained streams need decoder resets at link boundaries
+                # (src/opusfile.cpp:835-1133) — scalar path handles that
+                self.path.append(("scalar",))
+                continue
             kinds = set()
             fss = set()
             bws = set()
@@ -739,6 +745,12 @@ class StreamPool:
                     csi = host.decode_with_ec(dec, None, 960,
                                               defer_synthesis=True)
             return ("hybrid", i, (sp, csi), job)
+        if job.link != self._scalar_link[i]:
+            # chain boundary: fresh decoder for the new link
+            from .opus_decoder import OpusDecoder
+            self.scalar[i] = OpusDecoder(self.channels,
+                                         compat_ref=self.compat_ref)
+            self._scalar_link[i] = job.link
         pcm = self.scalar[i].decode(job.data)
         return ("scalar", i, pcm, job)
 

@@ -50,7 +50,9 @@ def test_demux_resyncs_after_corruption(manifest):
 
 
 def test_packet_parse_roundtrip(manifest):
-    for name in manifest:
+    for name, meta in manifest.items():
+        if meta.get("streams", 1) > 1:
+            continue   # multistream packets use self-delimited framing
         s = opusfile.open_file(fixture_path(name))
         for j in s.jobs[:20]:
             parsed = pkt.parse_packet(j.data)

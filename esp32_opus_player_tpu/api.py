@@ -51,6 +51,10 @@ class OpusFile:
         self._buffer = np.zeros((0, self.config.channels), dtype=np.int16)
         self._gain_q8 = (head.output_gain if self.config.apply_header_gain
                          else 0) + self.config.gain_q8
+        # bitrate accumulators (bytes_tracked/samples_tracked,
+        # src/opusfile.h:87-88, updated :550,875,1249-1270)
+        self.bytes_tracked = 0
+        self.samples_tracked = 0
 
     def _make_decoder(self, link: int = 0):
         """Multichannel (family-1 surround / multi-stream) files decode
@@ -110,6 +114,8 @@ class OpusFile:
                 # re-converge (src/opusfile.cpp:1022-1046)
                 self._hole_discard = OP_HOLE_DISCARD_MS * 48
             pcm = self.decoder.decode(job.data)
+            self.bytes_tracked += len(job.data)
+            self.samples_tracked += len(pcm)
             lo = job.discard_front
             hole = min(self._hole_discard, max(0, len(pcm) - lo))
             self._hole_discard -= hole
@@ -119,6 +125,49 @@ class OpusFile:
                 continue
             return self._apply_gain(pcm[lo:hi])
         return None
+
+    # -- ctl read-outs (opus_decoder_ctl GETs, src/opus_decoder.cpp:361-454,
+    # and the opusfile bitrate trackers) --------------------------------
+    def bitrate_instant(self) -> int:
+        """Average bitrate (bits/s) of the data decoded since the last
+        call, then reset — op_bitrate_instant semantics (the reference
+        keeps the accumulators at src/opusfile.h:87-88)."""
+        if self.samples_tracked == 0:
+            return 0
+        bps = self.bytes_tracked * 8 * 48000 // self.samples_tracked
+        self.bytes_tracked = 0
+        self.samples_tracked = 0
+        return bps
+
+    @property
+    def final_range(self) -> int:
+        """OPUS_GET_FINAL_RANGE (:375) — the conformance probe."""
+        return self.decoder.final_range
+
+    @property
+    def bandwidth(self) -> int:
+        """OPUS_GET_BANDWIDTH (:367): last packet's audio bandwidth."""
+        d = self.decoder
+        if hasattr(d, "decoders"):   # multistream: first stream (:945)
+            d = d.decoders[0]
+        return int(d.bandwidth)
+
+    @property
+    def last_packet_duration(self) -> int:
+        """OPUS_GET_LAST_PACKET_DURATION (:430)."""
+        return self.decoder.last_packet_duration
+
+    @property
+    def pitch(self) -> int:
+        """OPUS_GET_PITCH (:396): SILK prevPitchLag, or the CELT
+        postfilter period for CELT-only streams."""
+        from .host.packet import Mode
+        d = self.decoder
+        if hasattr(d, "decoders"):
+            d = d.decoders[0]
+        if d.prev_mode == Mode.CELT_ONLY:
+            return int(d.celt.postfilter_period)
+        return int(d.silk.prevPitchLag) if d.silk is not None else 0
 
     def read(self, n_samples: int = 2048) -> np.ndarray:
         """Return up to n_samples frames of PCM, (n, channels) int16.

@@ -21,6 +21,66 @@ from . import packet as pkt
 
 OP_HOLE_DISCARD_MS = 80  # re-convergence discard after a hole (:1022-1046)
 
+INT64_MAX = (1 << 63) - 1
+INT64_MIN = -(1 << 63)
+
+
+class GranposError(ValueError):
+    """OP_EINVAL from the granule-position math (result out of range)."""
+
+
+def granpos_add(src_gp: int, delta: int) -> int:
+    """Overflow-safe granule position + delta with the 64-bit WRAPPING
+    semantics of op_granpos_add (reference src/opusfile.cpp:299-331):
+    positive granule positions wrap through INT64_MIN and keep counting;
+    -1 must never be produced (it means 'invalid'). Raises GranposError
+    where the reference returns OP_EINVAL."""
+    assert src_gp != -1
+    if delta > 0:
+        if src_gp < 0 and src_gp >= -1 - delta:
+            raise GranposError("granpos add would hit -1")
+        if src_gp > INT64_MAX - delta:
+            delta -= (INT64_MAX - src_gp) + 1
+            src_gp = INT64_MIN
+    elif delta < 0:
+        if src_gp >= 0 and src_gp < -delta:
+            raise GranposError("granpos add would underflow past 0")
+        if src_gp < INT64_MIN - delta:
+            delta += (src_gp - INT64_MIN) + 1
+            src_gp = INT64_MAX
+    return src_gp + delta
+
+
+def granpos_diff(gp_a: int, gp_b: int) -> int:
+    """Wrap-aware gp_a - gp_b (op_granpos_diff, :345-384)."""
+    assert gp_a != -1 and gp_b != -1
+    a_neg, b_neg = gp_a < 0, gp_b < 0
+    if a_neg ^ b_neg:
+        if a_neg:
+            da = (INT64_MIN - gp_a) - 1
+            db = INT64_MAX - gp_b
+            if INT64_MAX + da < db:
+                raise GranposError("granpos diff overflow")
+            return db - da
+        da = gp_a + INT64_MIN
+        db = INT64_MIN - gp_b
+        if da < INT64_MIN - db:
+            raise GranposError("granpos diff underflow")
+        return da + db
+    return gp_a - gp_b
+
+
+def granpos_cmp(gp_a: int, gp_b: int) -> int:
+    """Wrap-aware ordering (op_granpos_cmp, :386-401): negative granule
+    positions are wrapped continuations ABOVE the positive range."""
+    assert gp_a != -1 and gp_b != -1
+    if gp_a < 0:
+        if gp_b >= 0:
+            return 1
+    elif gp_b < 0:
+        return -1
+    return (gp_a > gp_b) - (gp_b > gp_a)
+
 
 class NotOpusError(ValueError):
     pass
@@ -181,11 +241,17 @@ def _link_jobs(head: OpusHead, packets, link: int):
         return vendor, [], 0, -1
 
     first_gp_idx = next((i for i, j in enumerate(jobs)
-                         if j.granulepos >= 0), None)
+                         if j.granulepos != -1), None)
     pcm_start = 0
     if first_gp_idx is not None:
         dur_to_first = sum(j.duration for j in jobs[:first_gp_idx + 1])
-        pcm_start = max(jobs[first_gp_idx].granulepos - dur_to_first, 0)
+        try:
+            pcm_start = granpos_add(jobs[first_gp_idx].granulepos,
+                                    -dur_to_first)
+        except GranposError:
+            pcm_start = 0   # gp smaller than the leading duration (:560)
+        if pcm_start >= 0 and granpos_cmp(pcm_start, 0) < 0:
+            pcm_start = 0
 
     # pre-skip discard spread over the first packets (:1242-1275)
     remaining = head.pre_skip
@@ -197,12 +263,15 @@ def _link_jobs(head: OpusHead, packets, link: int):
         remaining -= d
 
     last_gp = next((j.granulepos for j in reversed(jobs)
-                    if j.granulepos >= 0), -1)
-    if last_gp >= 0:
+                    if j.granulepos != -1), -1)
+    if last_gp != -1:
         cum = pcm_start
-        for j in jobs:
-            cum += j.duration
-        overshoot = cum - last_gp
+        try:
+            for j in jobs:
+                cum = granpos_add(cum, j.duration)
+            overshoot = granpos_diff(cum, last_gp)
+        except GranposError:
+            overshoot = 0   # un-trimmable wrap edge: keep everything
         if overshoot > 0:
             for j in reversed(jobs):
                 if overshoot <= 0:

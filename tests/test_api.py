@@ -142,3 +142,20 @@ def test_seek_sample_accurate():
         b = ref[off:off + 2000]
         n = min(len(a), len(b))
         assert n > 0 and np.array_equal(a[:n], b[:n]), off
+
+
+def test_ctl_getters_and_bitrate():
+    """OPUS_GET_* read-outs + the opusfile bitrate trackers
+    (src/opus_decoder.cpp:361-454, src/opusfile.h:87-88)."""
+    f = OpusFile(fixture_path("silk_wb_mono_20ms"),
+                 DecoderConfig(channels=1, compat_ref=True))
+    f.read(48000)
+    assert f.bandwidth == 1103            # OPUS_BANDWIDTH_WIDEBAND
+    assert f.last_packet_duration == 960
+    assert f.final_range != 0
+    assert f.pitch > 0                    # voiced fixture: SILK lag
+    bps = f.bitrate_instant()
+    assert 4000 < bps < 200000
+    assert f.bitrate_instant() == 0       # accumulators reset
+    f.read(1 << 20)
+    assert f.bitrate_instant() > 0

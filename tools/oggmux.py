@@ -40,8 +40,11 @@ def build_page(packets: list[bytes], *, serialno: int, pageno: int,
     body = b"".join(packets)
     header_type = (0x01 if continued else 0) | (0x02 if bos else 0) | \
                   (0x04 if eos else 0)
+    gp64 = granulepos & 0xFFFFFFFFFFFFFFFF        # two's-complement wrap
+    if gp64 >= 1 << 63:
+        gp64 -= 1 << 64
     hdr = struct.pack("<4sBBqIII", b"OggS", 0, header_type,
-                      granulepos & 0xFFFFFFFFFFFFFFFF, serialno, pageno, 0)
+                      gp64, serialno, pageno, 0)
     hdr += bytes([len(segs)]) + segs
     page = hdr + body
     crc = ogg_crc(page)

@@ -53,14 +53,39 @@ class OggPage:
         return n
 
 
+def _load_native_scan():
+    """Native page scanner (host/native/ogg_host.cpp): capture sync +
+    slice-by-8 CRC over a whole buffer in one call — the live-ingest
+    fast path (the per-byte Python CRC loop is ~1000x slower). Falls
+    back to the pure-Python scanner when the library is unavailable."""
+    try:
+        import ctypes
+        from .native import load
+        lib = load()
+        if not getattr(lib, "_ogg_bound", False):
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.ogg_page_scan.restype = ctypes.c_int32
+            lib.ogg_page_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, i64p, i32p, i32p, i64p,
+                i32p, i32p, i32p, ctypes.c_int32, i64p, i64p]
+            lib._ogg_bound = True
+        return lib
+    except Exception:   # pragma: no cover - build/env specific
+        return None
+
+
 class OggSync:
     """Byte stream -> verified pages. Mirrors ogg_sync_* behavior:
-    scans for 'OggS', validates header + CRC, skips garbage."""
+    scans for 'OggS', validates header + CRC, skips garbage. Page
+    scanning + CRC run in the native engine when available."""
 
-    def __init__(self) -> None:
+    def __init__(self, native: bool = True) -> None:
         self._buf = bytearray()
         self._eof = False
         self.bytes_skipped = 0
+        self._queue: list[OggPage] = []
+        self._lib = _load_native_scan() if native else None
 
     def write(self, data: bytes) -> None:
         self._buf.extend(data)
@@ -71,6 +96,59 @@ class OggSync:
     def pageout(self):
         """Return the next verified OggPage, or None if more data is needed.
         Invalid bytes are skipped (counted in bytes_skipped)."""
+        if self._lib is not None:
+            return self._pageout_native()
+        return self._pageout_py()
+
+    def _pageout_native(self):
+        import ctypes
+        import numpy as np
+        if self._queue:
+            return self._queue.pop(0)
+        buf = self._buf
+        if not buf:
+            return None
+        cap = 256
+        offs = np.zeros(cap, dtype=np.int64)
+        hdr = np.zeros(cap, dtype=np.int32)
+        body = np.zeros(cap, dtype=np.int32)
+        gps = np.zeros(cap, dtype=np.int64)
+        serial = np.zeros(cap, dtype=np.int32)
+        pageno = np.zeros(cap, dtype=np.int32)
+        flags = np.zeros(cap, dtype=np.int32)
+        consumed = ctypes.c_int64(0)
+        skipped = ctypes.c_int64(0)
+        raw = bytes(buf)
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def p32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        n = self._lib.ogg_page_scan(
+            raw, len(raw), p64(offs), p32(hdr), p32(body), p64(gps),
+            p32(serial), p32(pageno), p32(flags), cap,
+            ctypes.byref(consumed), ctypes.byref(skipped))
+        self.bytes_skipped += int(skipped.value)
+        for k in range(n):
+            o, hl, bl = int(offs[k]), int(hdr[k]), int(body[k])
+            ht = int(flags[k])
+            self._queue.append(OggPage(
+                version=0,
+                continued=bool(ht & 0x01),
+                bos=bool(ht & 0x02),
+                eos=bool(ht & 0x04),
+                granulepos=int(gps[k]),
+                serialno=int(serial[k]) & 0xFFFFFFFF,
+                pageno=int(pageno[k]) & 0xFFFFFFFF,
+                lacing=raw[o + 27:o + hl],
+                body=raw[o + hl:o + hl + bl],
+            ))
+        del buf[:consumed.value]
+        return self._queue.pop(0) if self._queue else None
+
+    def _pageout_py(self):
         buf = self._buf
         while True:
             idx = buf.find(b"OggS")

@@ -1,0 +1,219 @@
+"""Single-program multi-chip StreamPool: one jitted step over a device
+mesh, state sharded on the streams axis (SURVEY.md §2.7).
+
+Unlike PoolFarm (pool-per-device with separate programs), this variant
+compiles ONE program whose stream-axis tensors carry a NamedSharding over
+the mesh — GSPMD partitions every kernel with zero collectives, because
+Opus decode has no cross-stream math. Design choices that make the
+partitioning trivial (and TPU-idiomatic):
+
+  * every stream is PINNED to its shard: the step is a FULL-batch launch
+    (no gather/scatter indexing across the batch, which would induce
+    all-to-alls) — exhausted/inactive rows are masked on device, so the
+    compiled step never changes shape;
+  * the host symbol phase stays the batched C++ engine (one call per
+    step), producing contiguous per-row tensors that device_put shards.
+
+Covers the uniform high-volume farm shapes (CELT-only and mono-SILK
+pools, BASELINE configs 1/2/4 at pod scale); heterogeneous pools
+compose as one ShardedStreamPool per kind, or fall back to PoolFarm.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P, NamedSharding
+
+from ..host import opusfile
+from ..models import batch_celt, host_groups as hg
+from ..models.batch_celt import celt_synth_step
+from ..models.silk_decoder import MAX_LPC_ORDER
+from ..ops.silk import jax_core as sjc
+from ..ops.celt.jax_synthesis import I32
+from .mesh import make_stream_mesh, stream_sharding
+
+_ENDBAND_OF_BW = {1101: 13, 1102: 17, 1103: 17, 1104: 19, 1105: 21}
+_FS_OF_BW = {1101: 8, 1102: 12, 1103: 16, 1104: 16, 1105: 16}
+
+
+@functools.partial(jax.jit, static_argnames=("LM", "C", "CC"),
+                   donate_argnums=(0, 1))
+def _celt_sharded_step(dm, pre, X, bandE, secT, tr, active, *,
+                       LM: int, C: int, CC: int):
+    """Full-batch CELT step: no row indexing, so the streams axis
+    partitions with zero collectives. Inactive rows keep their state.
+    secT: (n, 14) int32 — stream axis leading so it shards like the
+    rest; transposed on device."""
+    sec = secT.T
+    start, end = sec[0], sec[1]
+    comb1 = tuple(sec[2 + k] for k in range(6))
+    comb2 = tuple(sec[8 + k] for k in range(6))
+    X = X.astype(jnp.int32)
+    bandE = bandE.astype(jnp.int32)
+    outs = [celt_synth_step(dm, pre, X, bandE, start, end, comb1, comb2,
+                            LM=LM, C=C, CC=CC, transient=t)
+            for t in (False, True)]
+    pcm = jnp.where(tr[:, None, None], outs[1][0], outs[0][0])
+    dm2 = jnp.where(tr[:, None, None], outs[1][1], outs[0][1])
+    pre2 = jnp.where(tr[:, None], outs[1][2], outs[0][2])
+    dm2 = jnp.where(active[:, None, None], dm2, dm)
+    pre2 = jnp.where(active[:, None], pre2, pre)
+    return pcm.astype(jnp.int16), dm2, pre2
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "nb", "order", "frame"),
+                   donate_argnums=(0,))
+def _silk_sharded_step(st, exc, A, B, iv, bools, active, *,
+                       fs: int, nb: int, order: int, frame: int):
+    """Full-batch mono-SILK step (core synthesis + resample to 48 k)."""
+    ltp = 20 * fs
+    outBuf = st["outBuf"]
+    xq, sLPC2 = sjc.silk_core_frame(
+        outBuf[:, :ltp + frame], st["sLPC"], exc, A, B,
+        iv[:, 0], iv[:, 1], iv[:, 2], bools[:, 0], bools[:, 1],
+        iv[:, 3], bools[:, 2], fs_khz=fs, nb_subfr=nb, order=order)
+    hist = jnp.concatenate([outBuf[:, frame:ltp], xq], axis=-1)
+    new_outbuf = jnp.concatenate(
+        [hist, jnp.zeros((xq.shape[0], 20 * fs), dtype=I32)], axis=-1)
+    sMid = st["sMid"]
+    resin = jnp.concatenate([sMid[:, 1:2], xq[:, :-1]], axis=-1)
+    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+        st["sIIR"], st["sFIR"], st["delay"], resin,
+        fs_in_khz=fs, in_len=frame)
+    m1 = active[:, None]
+    st2 = dict(st)
+    st2["outBuf"] = jnp.where(m1, new_outbuf, st["outBuf"])
+    st2["sLPC"] = jnp.where(m1, sLPC2, st["sLPC"])
+    st2["sMid"] = jnp.where(m1, xq[:, frame - 2:frame], st["sMid"])
+    st2["sIIR"] = jnp.where(m1, sIIR, st["sIIR"])
+    st2["sFIR"] = jnp.where(m1, sFIR, st["sFIR"])
+    st2["delay"] = jnp.where(m1, delay, st["delay"])
+    return out48.astype(jnp.int16), st2
+
+
+class ShardedStreamPool:
+    """Decode N uniform streams with ONE jitted step over a mesh.
+
+    sources must be a uniform pool (all CELT 20 ms, or all mono SILK of
+    one internal rate); n must divide evenly over the mesh devices."""
+
+    def __init__(self, sources, mesh=None, channels: int = 1,
+                 compat_ref: bool = True):
+        from ..host.packet import (Mode, get_samples_per_frame,
+                                   get_bandwidth, get_nb_frames)
+        self.mesh = mesh if mesh is not None else make_stream_mesh()
+        self.streams = [opusfile.parse_stream(
+            s if isinstance(s, (bytes, bytearray))
+            else open(s, "rb").read()) for s in sources]
+        self.n = len(self.streams)
+        ndev = self.mesh.devices.size
+        if self.n % ndev:
+            raise ValueError(f"{self.n} streams do not shard evenly over "
+                             f"{ndev} devices")
+        self.channels = channels
+        self.compat_ref = compat_ref
+        self.positions = [0] * self.n
+        self.pcm_out = [[] for _ in range(self.n)]
+        self._sh = stream_sharding(self.mesh)
+
+        # classify: the pool must be uniform
+        kinds = set()
+        for s in self.streams:
+            for j in s.jobs:
+                p0 = j.data[0]
+                mode = Mode.CELT_ONLY if p0 & 0x80 else (
+                    Mode.HYBRID if (p0 & 0x60) == 0x60 else Mode.SILK_ONLY)
+                kinds.add((mode, get_samples_per_frame(p0),
+                           get_nb_frames(j.data),
+                           _FS_OF_BW.get(int(get_bandwidth(p0)), 16)))
+        if len(kinds) != 1:
+            raise ValueError(f"non-uniform pool: {kinds}")
+        mode, spf, nfr, fs = next(iter(kinds))
+        if spf != 960 or nfr != 1:
+            raise ValueError("sharded pool supports 20 ms single-frame "
+                             "packets")
+        jls = [s.jobs for s in self.streams]
+        if mode == Mode.CELT_ONLY:
+            self.kind = "celt"
+            end = 21 if compat_ref else _ENDBAND_OF_BW.get(
+                int(get_bandwidth(self.streams[0].jobs[0].data[0])), 21)
+            self.group = hg.CeltGroup(list(range(self.n)), jls, 960,
+                                      channels, 0, [end] * self.n)
+            state = batch_celt.make_state(self.n, channels)
+            self.state = {k: jax.device_put(v, self._sh)
+                          for k, v in state.items()}
+        elif mode == Mode.SILK_ONLY and channels == 1:
+            self.kind = "silk"
+            self.fs = fs
+            self.group = hg.SilkGroup(list(range(self.n)), jls, fs, 20)
+            frame = ltp = 20 * fs
+            st = dict(
+                outBuf=jnp.zeros((self.n, ltp + frame), dtype=I32),
+                sLPC=jnp.zeros((self.n, MAX_LPC_ORDER), dtype=I32),
+                sIIR=jnp.zeros((self.n, 6), dtype=I32),
+                sFIR=jnp.zeros((self.n, 8), dtype=I32),
+                delay=jnp.zeros((self.n, fs), dtype=I32),
+                sMid=jnp.zeros((self.n, 2), dtype=I32),
+            )
+            self.state = {k: jax.device_put(v, self._sh)
+                          for k, v in st.items()}
+        else:
+            raise ValueError(f"unsupported sharded pool kind: {mode}")
+
+    def _put(self, a):
+        return jax.device_put(a, self._sh)
+
+    def step(self) -> bool:
+        g = self.group
+        pos = np.asarray(self.positions, dtype=np.int64)
+        active = pos < g.table.n_packets
+        if not active.any():
+            return False
+        ok = g.decode(pos, active)
+        sel = np.nonzero(ok)[0]
+        if self.kind == "celt":
+            params = g.params
+            sec = np.concatenate(
+                [g.start[None], params[:, 15][None].astype(np.int32),
+                 params[:, 3:9].T, params[:, 9:15].T], 0).astype(np.int32)
+            pcm, dm, pre = _celt_sharded_step(
+                self.state["decode_mem"], self.state["preemph"],
+                self._put(g.X.reshape(self.n, g.C, 960)),
+                self._put(g.bandE.reshape(self.n, 2, 21)),
+                self._put(np.ascontiguousarray(sec.T)),
+                self._put(params[:, 1].astype(bool)), self._put(ok),
+                LM=3, C=g.C, CC=self.channels)
+            self.state["decode_mem"], self.state["preemph"] = dm, pre
+            out = np.asarray(pcm)
+        else:
+            b = g.buf
+            iv = np.stack([b.gains, b.inv, b.lag, b.adj],
+                          axis=1).astype(np.int32)
+            bools = np.stack([b.flags[:, 0:4], b.flags[:, 4:8],
+                              b.flags[:, 8:12]], axis=1).astype(bool)
+            out48, st2 = _silk_sharded_step(
+                self.state, self._put(b.exc), self._put(b.A),
+                self._put(b.B), self._put(iv), self._put(bools),
+                self._put(ok), fs=self.fs, nb=4, order=16
+                if self.fs == 16 else 10, frame=20 * self.fs)
+            self.state = st2
+            out = np.asarray(out48)
+        for r in sel:
+            k = int(pos[r])
+            job = self.streams[r].jobs[k]
+            pcm_r = out[r].T if self.kind == "celt" else out[r][:, None]
+            lo, hi = job.discard_front, pcm_r.shape[0] - job.trim_end
+            self.pcm_out[r].append(pcm_r[lo:max(hi, lo)].astype(np.int16))
+            self.positions[r] = k + 1
+        return True
+
+    def run(self):
+        while self.step():
+            pass
+        return [np.concatenate(p) if p else
+                np.zeros((0, self.channels), dtype=np.int16)
+                for p in self.pcm_out]

@@ -279,15 +279,17 @@ def apply_plc_transition(p, trk) -> None:
     p["inv"][0] = m.LSHIFT32(m.SMULWB(inv, int(p["ltp_scale"])), 2)
 
 
-def silk_plc_host_params(h, fs_khz: int):
-    """Host half of silk_PLC_conceal (:2973) for one mono 20 ms lost
-    frame: the rand-seed walk, per-subframe LTP decay and pitch drift,
-    bandwidth expansion of the previous LPC, and the CNG excitation/gain
-    prep — everything sequential. Returns the device-kernel inputs for
-    ops/silk/jax_plc.silk_plc_conceal_frame (+ cng_add) and mutates the
-    host channel state exactly like a scalar concealed frame.
+def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
+    """Host half of silk_PLC_conceal (:2973) for one lost 20 ms frame
+    of one CHANNEL: the rand-seed walk, per-subframe LTP decay and pitch
+    drift, bandwidth expansion of the previous LPC, and the CNG
+    excitation/gain prep — everything sequential. Returns the
+    device-kernel inputs for ops/silk/jax_plc.silk_plc_conceal_frame
+    (+ cng_add) and mutates the host channel state exactly like a scalar
+    concealed frame.
 
-    h: a SilkDecoder (python-host pools) or a NativePlcTracker."""
+    h: a SilkDecoder (python-host pools) or a NativePlcTracker;
+    ch_idx selects the mid/side channel state on a SilkDecoder."""
     from ..ops.silk import macros as m
     from ..ops.silk import plc as sp
     from ..ops.silk.nlsf import bwexpander, lpc_inverse_pred_gain, nlsf2a
@@ -295,12 +297,12 @@ def silk_plc_host_params(h, fs_khz: int):
     if isinstance(h, NativePlcTracker):
         ch = h
     else:
-        ch = h.channel_states[0]
+        ch = h.channel_states[ch_idx]
         ch.nFramesDecoded = 0
         ch.nFramesPerPacket = 1
         # nb_subfr follows the stream's payload (2 for 10 ms frames),
         # already configured by the caller's set_raw_params
-        h._set_fs(0, fs_khz, 48000)
+        h._set_fs(ch_idx, fs_khz, 48000)
     nb = ch.nb_subfr
     subfr = ch.subfr_length
     order = ch.LPC_order

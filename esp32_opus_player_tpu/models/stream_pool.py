@@ -146,15 +146,20 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
     return out48.astype(jnp.int16), st2
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "order"),
+@functools.partial(jax.jit, static_argnames=("fs", "order", "has_glue"),
                    donate_argnums=(0,))
 def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
-                     s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred, *,
-                     fs: int, order: int):
+                     s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
+                     glue, *, fs: int, order: int, has_glue: bool = False):
     """One fused stereo-SILK device frame over a bucket: mid core, masked
     side core, MS->LR unmix, both channels resampled.
-    side_flags: (2, cap) int32 = [has_side, side_reset]."""
+    side_flags: (2, cap) int32 = [has_side, side_reset];
+    glue: (cap, 2) bool per-channel first-good-frame-after-loss flags —
+    the concealed-frame reference energy lives in st["conc_e"/"conc_s"]
+    (silk_PLC_glue_frames :3138, applied per channel before MS->LR like
+    the scalar per-channel _decode_frame)."""
     from ..ops.silk.jax_stereo import ms_to_lr_batch
+    from ..ops.silk import jax_plc as jplc
     frame = 20 * fs
     ltp = 20 * fs
     cap = m_exc.shape[0]
@@ -186,6 +191,16 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     new_sl1 = jnp.where(has_side[:, None], sLPC1, sl1_old)
     xq_side = jnp.where(has_side[:, None], xq_side, 0)
 
+    if has_glue:
+        # outBuf rolls the RAW signal; the audible (MS->LR) signal is
+        # glue-smoothed per channel on the first good frame after loss
+        ce = st["conc_e"][jidx]
+        cs = st["conc_s"][jidx]
+        xq_mid = jplc.glue_frames(xq_mid, ce[:, 0], cs[:, 0], glue[:, 0],
+                                  frame=frame)
+        xq_side = jplc.glue_frames(xq_side, ce[:, 1], cs[:, 1],
+                                   glue[:, 1], frame=frame)
+
     L, R, nm, ns = ms_to_lr_batch(
         st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
         xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
@@ -201,6 +216,84 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
         jnp.stack([new_ob0, new_ob1], axis=1))
     st2["sLPC"] = st["sLPC"].at[jidx].set(
         jnp.stack([sLPC0, new_sl1], axis=1))
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
+    st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
+    st2["pred_prev"] = st["pred_prev"].at[jidx].set(pred)
+    st2["sMid"] = st["sMid"].at[jidx].set(nm)
+    st2["sSide"] = st["sSide"].at[jidx].set(ns)
+    return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "order"),
+                   donate_argnums=(0,))
+def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
+                         m_cng_exc, m_cng_a, m_first,
+                         s_rand, s_A, s_B4, s_lag4, s_g,
+                         s_cng_exc, s_cng_a, s_first,
+                         has_side, pred, *, fs: int, order: int):
+    """Fused stereo concealment: silk_PLC conceal + CNG per channel
+    (side masked like the scalar has_side policy), MS->LR with the
+    PREVIOUS predictors, both channels resampled — the batched stereo
+    loss path (silk_Decode lostFlag=1 with nChannelsInternal=2,
+    reference src/silk.cpp:1481/2973/1342).
+
+    m_g/s_g: (cap, 3) int32 = [inv_gain, prev_gain, cng_gain]."""
+    from ..ops.silk import jax_plc as jplc
+    from ..ops.silk.jax_stereo import ms_to_lr_batch
+    frame = 20 * fs
+    ltp = 20 * fs
+    cap = m_rand.shape[0]
+    ob = st["outBuf"][jidx]
+    sl = st["sLPC"][jidx]
+    cng = st["cng"][jidx]
+
+    def conceal(ch, rand, A, B4, lag4, g3, cexc, ca, first):
+        xq, sl2 = jplc.silk_plc_conceal_frame(
+            ob[:, ch, :ltp + frame], sl[:, ch], rand, A[:, :order], B4,
+            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=4, order=order)
+        hist = jnp.concatenate([ob[:, ch, frame:ltp], xq], axis=-1)
+        new_ob = jnp.concatenate(
+            [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
+        state0 = jnp.where(first[:, None], 0, cng[:, ch])
+        xq_out, cng2 = jplc.cng_add(
+            xq, cexc, ca[:, :order], g3[:, 2], state0,
+            jnp.ones(cap, dtype=bool), frame=frame, order=order)
+        ce, cs_ = jplc.frame_energy(xq_out, frame=frame)
+        return xq_out, new_ob, sl2, cng2, ce, cs_
+
+    m = conceal(0, m_rand, m_A, m_B4, m_lag4, m_g, m_cng_exc, m_cng_a,
+                m_first)
+    sd_ = conceal(1, s_rand, s_A, s_B4, s_lag4, s_g, s_cng_exc, s_cng_a,
+                  s_first)
+    hs1 = has_side[:, None]
+    xq_mid = m[0]
+    xq_side = jnp.where(hs1, sd_[0], 0)
+    new_ob = jnp.stack([m[1], jnp.where(hs1, sd_[1], ob[:, 1])], axis=1)
+    new_sl = jnp.stack([m[2], jnp.where(hs1, sd_[2], sl[:, 1])], axis=1)
+    new_cng = jnp.stack([m[3], jnp.where(hs1, sd_[3], cng[:, 1])], axis=1)
+    old_ce, old_cs = st["conc_e"][jidx], st["conc_s"][jidx]
+    new_ce = jnp.stack([m[4], jnp.where(has_side, sd_[4], old_ce[:, 1])],
+                       axis=1)
+    new_cs = jnp.stack([m[5], jnp.where(has_side, sd_[5], old_cs[:, 1])],
+                       axis=1)
+
+    L, R, nm, ns = ms_to_lr_batch(
+        st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
+        xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
+    resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
+    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+        st["sIIR"][jidx].reshape(2 * cap, 6),
+        st["sFIR"][jidx].reshape(2 * cap, 8),
+        st["delay"][jidx].reshape(2 * cap, fs), resin,
+        fs_in_khz=fs, in_len=frame)
+
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(new_ob)
+    st2["sLPC"] = st["sLPC"].at[jidx].set(new_sl)
+    st2["cng"] = st["cng"].at[jidx].set(new_cng)
+    st2["conc_e"] = st["conc_e"].at[jidx].set(new_ce)
+    st2["conc_s"] = st["conc_s"].at[jidx].set(new_cs)
     st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
     st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
     st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
@@ -335,6 +428,8 @@ class StreamPool:
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
         self._plc_trk: dict[int, object] = {}
+        self._plc_trk2: dict[tuple, object] = {}   # (stream, channel)
+        self._last_pred: dict[int, np.ndarray] = {}
         self._silk2_hosts: dict[int, object] = {}
         # per-stream OPUS_GET_FINAL_RANGE after the last decoded packet
         # (SILK-only streams: the range coder lives per frame, so the
@@ -412,9 +507,9 @@ class StreamPool:
                 if nfr == 1:   # code-3 multi-frame packets stay generic
                     by_key.setdefault(("silk", fs, payload_ms),
                                       []).append(i)
-            elif k == "silk2":
+            elif k == "silk2" and not self.rfc_plc:
                 by_key.setdefault(("silk2", p[1]), []).append(i)
-            elif k == "hybrid2":
+            elif k == "hybrid2" and not self.rfc_plc:
                 by_key.setdefault(("hybrid2",), []).append(i)
         for key, idxs in sorted(by_key.items()):
             jls = [self.streams[i].jobs for i in idxs]
@@ -566,6 +661,9 @@ class StreamPool:
             self.silk2_buckets[fs] = dict(
                 outBuf=jnp.zeros((B, 2, ltp + frame), dtype=I32),
                 sLPC=jnp.zeros((B, 2, MAX_LPC_ORDER), dtype=I32),
+                cng=jnp.zeros((B, 2, MAX_LPC_ORDER), dtype=I32),
+                conc_e=jnp.zeros((B, 2), dtype=I32),
+                conc_s=jnp.zeros((B, 2), dtype=I32),
                 sIIR=jnp.zeros((B, 2, 6), dtype=I32),
                 sFIR=jnp.zeros((B, 2, 8), dtype=I32),
                 delay=jnp.zeros((B, 2, fs), dtype=I32),
@@ -622,6 +720,35 @@ class StreamPool:
             from .batch_silk import NativePlcTracker
             self._plc_trk[i] = NativePlcTracker(fs, frame_ms)
         return self._plc_trk[i]
+
+    def _plc_tracker2(self, i: int, ch: int, fs: int):
+        key = (i, ch)
+        if key not in self._plc_trk2:
+            from .batch_silk import NativePlcTracker
+            self._plc_trk2[key] = NativePlcTracker(fs, 20)
+        return self._plc_trk2[key]
+
+    def _track_stereo_good(self, i: int, sp, fs: int):
+        """rfc_plc stereo bookkeeping on a good frame: remember the
+        stereo predictors (a later loss reuses them, silk_Decode's
+        lost branch keeps sStereo.pred), apply the post-loss transitions
+        to the native outputs, and feed the per-channel concealment
+        trackers (python pools keep this state inside the SilkDecoder
+        channel states)."""
+        from .batch_silk import apply_plc_transition
+        self._last_pred[i] = np.asarray(sp["pred"], dtype=np.int32)
+        if not self.native:
+            return
+        if sp["side_reset"]:
+            self._plc_trk2.pop((i, 1), None)   # side restarts from reset
+        host = self._silk2_host(i)
+        for ch, key in ((0, "mid"), (1, "side")):
+            pch = sp[key]
+            if pch is None:
+                continue
+            trk = self._plc_tracker2(i, ch, fs)
+            apply_plc_transition(pch, trk)
+            trk.good_frame(pch, host.st[ch])
 
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
@@ -684,6 +811,8 @@ class StreamPool:
                 silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
                 sp = silk_host_stereo_packet(
                     silk, RangeDecoder(parsed.frames[0]), fs)
+            if self.rfc_plc:
+                self._track_stereo_good(i, sp, fs)
             return ("silk2", i, (fs, sp), job)
         if kind == "hybrid2":
             # stereo hybrid (BASELINE config 3): stereo SILK symbol
@@ -708,6 +837,8 @@ class StreamPool:
                     dec.dec_bit_logp(12)  # redundancy flag
                 csi = host.decode_with_ec(dec, None, 960,
                                           defer_synthesis=True)
+            if self.rfc_plc:
+                self._track_stereo_good(i, sp, 16)
             return ("hybrid2", i, (sp, csi), job)
         if kind == "hybrid":
             # shared range coder: SILK symbols first, then the CELT engine
@@ -821,11 +952,37 @@ class StreamPool:
                     # silk_Decode on loss (:455) in the native struct too
                     self.silk_hosts[i].st.LastGainIndex = 10
                 return ("silk_plc", i, (fs, frame_ms, preps), job)
+            if self.rfc_plc and kind in ("silk2", "hybrid2"):
+                # stereo loss: conceal mid always, side only when the
+                # previous frame had one (has_side = !prev_decode_only_
+                # middle, silk_Decode :390); MS->LR keeps the previous
+                # predictors; all internal channels un-clamp their gain
+                from .batch_silk import silk_plc_host_params
+                fs = self.path[i][1] if kind == "silk2" else 16
+                if self.native:
+                    host = self._silk2_host(i)
+                    prev_dom = host.prev_dom
+                    m_prep = silk_plc_host_params(
+                        self._plc_tracker2(i, 0, fs), fs)
+                    s_prep = None if prev_dom else silk_plc_host_params(
+                        self._plc_tracker2(i, 1, fs), fs)
+                    for st_ in host.st:
+                        st_.LastGainIndex = 10
+                else:
+                    silk = self.scalar[i]._get_silk()
+                    silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+                    prev_dom = silk.prev_decode_only_middle
+                    m_prep = silk_plc_host_params(silk, fs, 0)
+                    s_prep = None if prev_dom else                         silk_plc_host_params(silk, fs, 1)
+                    for ch in range(2):
+                        silk.channel_states[ch].LastGainIndex = 10
+                pred = self._last_pred.get(
+                    i, np.zeros(2, dtype=np.int32))
+                return ("silk2_plc", i, (fs, m_prep, s_prep, pred), job)
             raise NotImplementedError(
-                "RFC-mode batched loss needs rfc_plc=True (mono "
-                "10/20/40/60 ms SILK/hybrid); stereo and CELT-only kinds "
-                "stay unsupported — decode those lossy RFC streams via "
-                "OpusDecoder")
+                "RFC-mode batched loss needs rfc_plc=True; with it every "
+                "batched kind (mono 10/20/40/60 ms SILK/hybrid, stereo "
+                "SILK/hybrid, CELT) conceals on the batched path")
         if kind == "celt":
             return ("celt_lost", i, None, job)
         if kind == "silk":
@@ -905,7 +1062,8 @@ class StreamPool:
         self._stats["frames"] += len(results) + n_fast
         _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
                     "silk2": "silk", "silk2_mute": "hybrid",
-                    "hybrid2": "hybrid", "silk_plc": "silk"}
+                    "hybrid2": "hybrid", "silk_plc": "silk",
+                    "silk2_plc": "silk"}
         for kind, i, _p, job in results:
             if i in lost:
                 self._stats["frames_lost"] += 1
@@ -921,6 +1079,7 @@ class StreamPool:
         silk_groups: dict[tuple, list] = {}
         silk2_groups: dict[int, list] = {}
         plc_groups: dict[int, list] = {}
+        plc2_groups: dict[int, list] = {}
         for kind, i, payload, job in results:
             pend["meta"][i] = (job.discard_front, job.trim_end)
             if kind == "scalar":
@@ -947,6 +1106,10 @@ class StreamPool:
                 fs, frame_ms, preps = payload
                 plc_groups.setdefault((fs, frame_ms, len(preps)),
                                       []).append((i, preps))
+            elif kind == "silk2_plc":
+                fs, m_prep, s_prep, pred = payload
+                plc2_groups.setdefault(fs, []).append(
+                    (i, (m_prep, s_prep, pred)))
             elif kind == "silk2":
                 fs, sp = payload
                 if sp.get("rng") is not None:
@@ -979,6 +1142,8 @@ class StreamPool:
             self._silk2_group(items, fs, pend)
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
+        for fs, items in plc2_groups.items():
+            self._silk2_plc_group(items, fs, pend)
         # start the D2H copies NOW (async): they stream back in the
         # background while the next steps' host phases run, so the
         # materialize `depth` steps later finds the data already on host
@@ -1270,6 +1435,60 @@ class StreamPool:
             st["delay"] = st["delay"].at[jidx].set(delay)
             pend["silk"].append((out48, sidx))
 
+    def _silk2_plc_group(self, items, fs: int, pend):
+        """Batched stereo concealment: per-channel host preps -> the
+        fused conceal/CNG/MS->LR/resample step. items: (stream_idx,
+        (mid_prep, side_prep_or_None, prev_pred))."""
+        n = len(items)
+        sidx = [it[0] for it in items]
+        cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
+        bk = ("silk2_plc", fs, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        pad = cap - n
+        idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
+        order = 16 if fs == 16 else 10
+        frame = 20 * fs
+        dummy = dict(rand=np.zeros(frame, dtype=np.int32),
+                     A=np.zeros(MAX_LPC_ORDER, dtype=np.int32),
+                     B4=np.zeros((4, 5), dtype=np.int32),
+                     lag4=np.full(4, 2 * fs, dtype=np.int32),
+                     inv_gain=np.int32(1), prev_gain=np.int32(1),
+                     cng_exc=np.zeros(frame, dtype=np.int32),
+                     cng_a=np.zeros(MAX_LPC_ORDER, dtype=np.int32),
+                     cng_gain=np.int32(0), cng_first=True)
+
+        def prep_of(b, ch):
+            it = items[b if b < n else 0][1]
+            p = it[0] if ch == 0 else it[1]
+            return p if p is not None else dummy
+
+        def cols(ch):
+            ps = [prep_of(b, ch) for b in range(cap)]
+            g3 = np.stack([[int(p["inv_gain"]), int(p["prev_gain"]),
+                            int(p["cng_gain"])] for p in ps]
+                          ).astype(np.int32)
+            return (jnp.asarray(np.stack([p["rand"] for p in ps])),
+                    jnp.asarray(np.stack([p["A"] for p in ps])),
+                    jnp.asarray(np.stack([p["B4"] for p in ps])),
+                    jnp.asarray(np.stack([p["lag4"] for p in ps])),
+                    jnp.asarray(g3),
+                    jnp.asarray(np.stack([p["cng_exc"] for p in ps])),
+                    jnp.asarray(np.stack([p["cng_a"] for p in ps])),
+                    jnp.asarray(np.array([bool(p["cng_first"])
+                                          for p in ps])))
+
+        has_side = np.array(
+            [(items[b if b < n else 0][1][1] is not None)
+             for b in range(cap)])
+        pred = np.stack([np.asarray(items[b if b < n else 0][1][2],
+                                    dtype=np.int32) for b in range(cap)])
+        st = self._silk2_bucket(fs)
+        out48, st2 = _silk2_plc_pool_step(
+            st, jnp.asarray(idxs), *cols(0), *cols(1),
+            jnp.asarray(has_side), jnp.asarray(pred), fs=fs, order=order)
+        self.silk2_buckets[fs] = st2
+        pend["silk2"].append((out48, sidx))
+
     def _silk2_group(self, items, fs: int, pend):
         """Generic adapter: stereo per-stream param dicts -> columnar
         mid/side arrays -> _silk2_launch."""
@@ -1286,12 +1505,36 @@ class StreamPool:
         reset = np.array([bool(it[1]["side_reset"]) for it in items])
         pred = np.stack([np.asarray(it[1]["pred"], dtype=np.int32)
                          for it in items])
+        glue = self._glue_arrays2(sidx) if self.rfc_plc else None
         dev = self._silk2_launch(sidx, mid, side, has_side, reset, pred,
-                                 fs)
+                                 fs, glue=glue)
         pend["silk2"].append((dev, sidx))
 
+    def _glue_arrays2(self, sidx):
+        """Per-channel glue flags for stereo streams (first good frame
+        after a concealment run). Returns (n, 2) bool or None."""
+        n = len(sidx)
+        flags = np.zeros((n, 2), dtype=bool)
+        for b, i in enumerate(sidx):
+            for ch in range(2):
+                if self.native:
+                    t = self._plc_trk2.get((i, ch))
+                    if t is None:
+                        continue
+                else:
+                    silk = self.scalar[i].silk
+                    if silk is None:
+                        continue
+                    t = silk.channel_states[ch]
+                if getattr(t, "plc_last_frame_lost", 0):
+                    flags[b, ch] = True
+                    t.plc_last_frame_lost = 0
+        if not flags.any():
+            return None
+        return flags
+
     def _silk2_launch(self, sidx, mid, side, has_side, reset, pred,
-                      fs: int):
+                      fs: int, glue=None):
         """Batched stereo SILK: mid core launch for all rows, side core
         launch masked per row (no-side rows keep state and contribute a
         zero side frame, mirroring silk_Decode :397-415), device MS->LR
@@ -1319,12 +1562,15 @@ class StreamPool:
 
         flags2 = padded(np.stack([has_side, reset],
                                  axis=1).astype(np.int32)).T.copy()
+        garr = padded(glue) if glue is not None \
+            else np.zeros((cap, 2), dtype=bool)
         out48, st2 = _silk2_pool_step(
             st, jnp.asarray(idxs),
             *(jnp.asarray(v) for v in pack(mid)),
             *(jnp.asarray(v) for v in pack(side)), jnp.asarray(flags2),
-            jnp.asarray(padded(pred.astype(np.int32))), fs=fs,
-            order=order)
+            jnp.asarray(padded(pred.astype(np.int32))),
+            jnp.asarray(garr), fs=fs, order=order,
+            has_glue=glue is not None)
         self.silk2_buckets[fs] = st2
         return out48
 

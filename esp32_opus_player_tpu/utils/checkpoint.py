@@ -56,6 +56,11 @@ def snapshot(pool) -> dict:
         last_rng=dict(getattr(pool, "_last_rng", {})),
         plc_trackers={i: pickle.dumps(t)
                       for i, t in getattr(pool, "_plc_trk", {}).items()},
+        plc_trackers2={k: pickle.dumps(t)
+                       for k, t in getattr(pool, "_plc_trk2",
+                                           {}).items()},
+        last_pred={i: np.asarray(v)
+                   for i, v in getattr(pool, "_last_pred", {}).items()},
         silk2_hosts={i: (bytes(h.st[0]), bytes(h.st[1]), h.prev_dom)
                      for i, h in getattr(pool, "_silk2_hosts",
                                          {}).items()},
@@ -113,6 +118,10 @@ def restore(pool, ck: dict) -> None:
     pool._last_rng = dict(ck.get("last_rng", {}))
     pool._plc_trk = {i: pickle.loads(b)
                      for i, b in ck.get("plc_trackers", {}).items()}
+    pool._plc_trk2 = {k: pickle.loads(b)
+                      for k, b in ck.get("plc_trackers2", {}).items()}
+    pool._last_pred = {i: np.asarray(v)
+                       for i, v in ck.get("last_pred", {}).items()}
     # restore INTO the pool's existing stereo hosts — group-backed pools
     # alias rows of the batch StateArray, so replacing the dict would
     # strand the restored state outside the buffer the batch engine reads

@@ -123,3 +123,58 @@ def test_rfc_plc_multiframe_packets(name, native):
                       compat_ref=False, rfc_plc=True, native=native)
     out = pool.run(loss=lambda i, k: lossfn(k))[0]
     assert np.array_equal(out, _scalar_rfc_loss(name, lossfn)), name
+
+
+def _scalar_stereo_replay(name, lossfn):
+    from esp32_opus_player_tpu.host import opusfile as _of
+    from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+    s = _of.open_file(str(fixture_path(name)))
+    dec = OpusDecoder(2, compat_ref=False)
+    ref = []
+    for k, job in enumerate(s.jobs):
+        pcm = dec.decode(None) if lossfn(k) else dec.decode(job.data)
+        lo, hi = job.discard_front, pcm.shape[0] - job.trim_end
+        ref.append(pcm[lo:max(hi, lo)])
+    return np.concatenate(ref)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize("name,period", [
+    ("silk_wb_stereo_20ms", 6),
+    ("silk_nb_stereo_20ms", 5),
+    ("hybrid_fb_stereo_20ms", 7),
+])
+def test_pool_rfc_plc_stereo(native, name, period):
+    """Batched STEREO concealment (mid + masked side conceal/CNG,
+    MS->LR with the previous predictors) — bit-exact vs the scalar
+    decoder replaying the same loss (silk_Decode lostFlag=1 with
+    nChannelsInternal=2, src/silk.cpp:2973)."""
+    lossfn = lambda k: k > 0 and k % period == 0
+    pool = StreamPool([str(fixture_path(name))], channels=2,
+                      native=native, compat_ref=False, rfc_plc=True)
+    out = pool.run(loss=lambda i, k: lossfn(k))[0]
+    assert np.array_equal(out, _scalar_stereo_replay(name, lossfn))
+
+
+@pytest.mark.slow
+def test_pool_rfc_plc_stereo_burst_and_checkpoint(tmp_path):
+    """Burst loss on stereo + checkpoint/resume mid-concealment: the
+    per-channel trackers, conceal energy and predictors must survive."""
+    name = "silk_wb_stereo_20ms"
+    burst = set(range(18, 23))
+    lossfn = lambda k: k in burst
+    src = str(fixture_path(name))
+    golden = StreamPool([src], channels=2, native=True, compat_ref=False,
+                        rfc_plc=True).run(loss=lambda i, k: lossfn(k))[0]
+    pool = StreamPool([src], channels=2, native=True, compat_ref=False,
+                      rfc_plc=True)
+    for _ in range(20):   # stop INSIDE the concealment burst
+        pool.step({0} if lossfn(pool.positions[0]) else set())
+    ck = tmp_path / "st2.ckpt"
+    pool.save_checkpoint(str(ck))
+    fresh = StreamPool([src], channels=2, native=True, compat_ref=False,
+                       rfc_plc=True)
+    fresh.load_checkpoint(str(ck))
+    rest = fresh.run(loss=lambda i, k: lossfn(k))
+    assert np.array_equal(rest[0], golden)

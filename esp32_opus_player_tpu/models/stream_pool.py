@@ -99,6 +99,40 @@ def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
             pre_all.at[jidx].set(pre2))
 
 
+# One int16 staging row per stream: [idx_lo, idx_hi, tr, sec (14), pad,
+# bandE (42), X (C*N)]. Every CELT sideband value fits int16 (end<=21,
+# T<=1024, Q15 gains<=32767, tapset<=2), so the WHOLE per-step upload is
+# a single device_put — on a tunneled TPU each transfer pays a fixed
+# ~30 ms RPC latency, so 5 small uploads cost more than one 2 MB one.
+_CELT_HDR = 18
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "d2h_chunks"),
+                   donate_argnums=(0, 1))
+def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
+                           CC: int, d2h_chunks: int = 4):
+    """Packed-staging variant of _celt_pool_step: stg (cap, 18+42+C*N)
+    int16. Returns pcm split into d2h_chunks row-chunks — the tunnel
+    moves ~1.5x more bytes/s with several concurrent D2H streams than
+    with one large fetch."""
+    cap = stg.shape[0]
+    s32 = stg.astype(jnp.int32)
+    jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
+    tr = s32[:, 2].astype(bool)
+    sec = s32[:, 3:17].T
+    bandE = stg[:, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS].reshape(
+        cap, 2, NB_EBANDS)
+    N = SHORT_MDCT_SIZE << LM
+    X = stg[:, _CELT_HDR + 2 * NB_EBANDS:].reshape(cap, C, N)
+    pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X, bandE,
+                                     sec, tr, LM=LM, C=C, CC=CC)
+    ck = cap // d2h_chunks
+    return tuple(pcm[k * ck:(k + 1) * ck] for k in range(d2h_chunks)) \
+        + ((pcm[d2h_chunks * ck:],) if d2h_chunks * ck < cap else ()) \
+        + (dm2, pre2)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fs", "nb", "order", "frame",
                                     "has_glue"),
@@ -306,8 +340,18 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
 class StreamPool:
     def __init__(self, sources, channels: int = 1, native: bool = True,
                  compat_ref: bool = True, host_threads: int = 0,
-                 fixed_buckets: bool = False, rfc_plc: bool = False):
+                 fixed_buckets: bool = False, rfc_plc: bool = False,
+                 output: str = "host", device_keep: int | None = None):
         """sources: list of paths/bytes of Ogg/Opus streams.
+
+        output: "host" streams every frame's PCM back to host memory
+        (the reference player's I2S-egress analog). "device" leaves the
+        PCM in HBM for on-chip consumers (feature pipelines, vocoder/ASR
+        stages on the same chip) — the host<->device link then carries
+        only the compact symbol tensors; fetch on demand with drain().
+        device_keep bounds the retained steps in "device" mode (oldest
+        PCM is dropped once a downstream consumer would have taken it);
+        None keeps everything until drain().
 
         rfc_plc=True (RFC mode only) enables REAL packet-loss concealment
         on the batched SILK/hybrid paths (silk_PLC conceal + CNG + glue,
@@ -335,6 +379,11 @@ class StreamPool:
         if rfc_plc and compat_ref:
             raise ValueError("rfc_plc requires compat_ref=False")
         self.rfc_plc = rfc_plc
+        if output not in ("host", "device"):
+            raise ValueError("output must be 'host' or 'device'")
+        self.output = output
+        self.device_keep = device_keep
+        self._dev_out: list = []
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
@@ -1147,12 +1196,15 @@ class StreamPool:
         # start the D2H copies NOW (async): they stream back in the
         # background while the next steps' host phases run, so the
         # materialize `depth` steps later finds the data already on host
-        for key in ("celt", "silk", "silk2"):
-            for dev, _sidx in pend[key]:
-                try:
-                    dev.copy_to_host_async()
-                except AttributeError:
-                    pass
+        if self.output == "host":
+            for key in ("celt", "silk", "silk2"):
+                for dev, _sidx in pend[key]:
+                    for part in (dev if isinstance(dev, tuple)
+                                 else (dev,)):
+                        try:
+                            part.copy_to_host_async()
+                        except AttributeError:
+                            pass
         # pipeline: fetch the step from `depth` steps ago while the last
         # `depth` steps' kernels execute asynchronously in the background
         self._pending.append(pend)
@@ -1167,12 +1219,27 @@ class StreamPool:
             self._materialize(p)
 
     def _materialize(self, pend):
+        """Retire one step's device launches: fetch + route (host
+        output), or hand the PCM to the on-device consumer window
+        (device output — kept until drain(), bounded by device_keep)."""
+        if self.output == "device":
+            self._dev_out.append(pend)
+            if self.device_keep is not None:
+                while len(self._dev_out) > self.device_keep:
+                    self._dev_out.pop(0)   # consumed downstream on-chip
+            return
+        self._route(pend)
+
+    def _route(self, pend):
         """Fetch one step's device launches and route PCM per stream
         (hybrid saturating mix, mutes, pre-skip/end-trim)."""
         celt_pcm: dict[int, np.ndarray] = {}
         silk_pcm: dict[int, np.ndarray] = {}
         for dev, sidx in pend["celt"]:
-            arr = np.asarray(dev).astype(np.int16, copy=False)
+            if isinstance(dev, tuple):   # packed step: concurrent chunks
+                arr = np.concatenate([np.asarray(p) for p in dev])
+            else:
+                arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 celt_pcm[i] = arr[r].T
         parts: dict[int, list] = {}
@@ -1252,32 +1319,34 @@ class StreamPool:
         bk = ("celt", LM, C, CC, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         pad = cap - n
+        N = SHORT_MDCT_SIZE << LM
         idxs = np.asarray(list(sidx) + [sidx[0]] * pad, dtype=np.int32)
-        tr = np.asarray(transient, dtype=bool)
+        sec = np.concatenate([start[None], end[None], comb1, comb2],
+                             axis=0).astype(np.int32)
+        # ONE packed int16 staging upload per bucket per step (header +
+        # bandE + X): each transfer on a tunneled TPU pays a fixed RPC
+        # latency, so five small uploads cost more than one big one.
+        stg = np.empty((cap, _CELT_HDR + 2 * NB_EBANDS + C * N),
+                       dtype=np.int16)
+        stg[:n, 0] = (idxs[:n] & 0xFFFF).astype(np.uint16).view(np.int16)
+        stg[:n, 1] = (idxs[:n] >> 16).astype(np.int16)
+        stg[:n, 2] = np.asarray(transient, dtype=np.int16)
+        stg[:n, 3:17] = sec.T.astype(np.int16)
+        stg[:n, 17] = 0
+        stg[:n, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS] = \
+            bandE.reshape(n, 2 * NB_EBANDS)
+        stg[:n, _CELT_HDR + 2 * NB_EBANDS:] = X.reshape(n, C * N)
         if pad:
             # pad rows duplicate row 0 entirely (same inputs AND same
             # state row), so the duplicate-index scatter writes identical
             # values and stays deterministic
-            X = np.concatenate([X, np.repeat(X[:1], pad, 0)])
-            bandE = np.concatenate([bandE, np.repeat(bandE[:1], pad, 0)])
-            start = np.concatenate([start, np.repeat(start[:1], pad)])
-            end = np.concatenate([end, np.repeat(end[:1], pad)])
-            comb1 = np.concatenate([comb1, np.repeat(comb1[:, :1], pad,
-                                                     1)], 1)
-            comb2 = np.concatenate([comb2, np.repeat(comb2[:, :1], pad,
-                                                     1)], 1)
-            tr = np.concatenate([tr, np.repeat(tr[:1], pad)])
-        sec = np.concatenate([start[None], end[None], comb1, comb2],
-                             axis=0).astype(np.int32)
-        # explicit H2D: the implicit numpy->device arg path is ~70x
-        # slower on the tunneled TPU platform than jnp.asarray
-        pcm, dm_all, pre_all = _celt_pool_step(
+            stg[n:] = stg[0]
+        outs = _celt_pool_step_packed(
             self.state["decode_mem"], self.state["preemph"],
-            jnp.asarray(idxs), jnp.asarray(X), jnp.asarray(bandE),
-            jnp.asarray(sec), jnp.asarray(tr), LM=LM, C=C, CC=CC)
-        self.state["decode_mem"] = dm_all
-        self.state["preemph"] = pre_all
-        return pcm
+            jnp.asarray(stg), LM=LM, C=C, CC=CC)
+        self.state["decode_mem"] = outs[-2]
+        self.state["preemph"] = outs[-1]
+        return outs[:-2]
 
     # ------------------------------------------------------------------
     _SILK_KEYS = ("exc", "A", "B", "gains", "inv", "lag", "voiced",
@@ -1583,15 +1652,15 @@ class StreamPool:
             from . import batch_celt as bc
             C = 2 if self.channels == 2 else 1
             st = bc.make_state(cap, self.channels)
-            z = jnp.zeros((cap, C, 960), dtype=jnp.int16)
-            e = jnp.zeros((cap, 2, NB_EBANDS), dtype=jnp.int16)
-            sec = np.zeros((14, cap), dtype=np.int32)
-            sec[1] = 21
-            pcm, _dm, _pre = _celt_pool_step(
-                st["decode_mem"], st["preemph"],
-                jnp.arange(cap, dtype=I32), z, e, jnp.asarray(sec),
-                jnp.zeros(cap, dtype=bool), LM=3, C=C, CC=self.channels)
-            np.asarray(pcm)   # prime the int16 D2H path too
+            stg = np.zeros((cap, _CELT_HDR + 2 * NB_EBANDS + C * 960),
+                           dtype=np.int16)
+            stg[:, 0] = np.arange(cap, dtype=np.int16)
+            stg[:, 4] = 21   # end band
+            outs = _celt_pool_step_packed(
+                st["decode_mem"], st["preemph"], jnp.asarray(stg),
+                LM=3, C=C, CC=self.channels)
+            for p in outs[:-2]:
+                np.asarray(p)   # prime the int16 D2H path too
         for fs, cap in self._cap_silk.items():
             st = self._silk_bucket(fs)
             frame = 20 * fs
@@ -1642,11 +1711,27 @@ class StreamPool:
                    streams=self.n, active_streams=active)
         return out
 
+    def sync(self):
+        """Block until every dispatched device step has executed (the
+        state pytrees chain step-to-step, so readiness of the newest
+        state proves the whole pipeline ran). Used to bound timing
+        windows in device-output mode, where nothing else blocks."""
+        self._flush()
+        import jax
+        jax.block_until_ready(self.state["decode_mem"])
+        for st in list(self.silk_buckets.values()) \
+                + list(self.silk2_buckets.values()):
+            jax.block_until_ready(st["outBuf"])
+
     def drain(self):
         """Return the PCM decoded since the last drain (list of
         (n_i, channels) int16 per stream) and clear the buffers — the
         serving-style consumption API (bounded memory on endless streams)."""
         self._flush()
+        if self._dev_out:
+            held, self._dev_out = self._dev_out, []
+            for pend in held:
+                self._route(pend)
         out = [np.concatenate(p) if p else
                np.zeros((0, self.channels), dtype=np.int16)
                for p in self.pcm_out]
@@ -1687,6 +1772,10 @@ class StreamPool:
             if not self.step(lost, fec_set):
                 break
         self._flush()
+        if self._dev_out:   # device-output mode: fetch everything held
+            held, self._dev_out = self._dev_out, []
+            for pend in held:
+                self._route(pend)
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

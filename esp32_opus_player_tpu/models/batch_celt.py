@@ -95,6 +95,58 @@ def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
     return pcm, dm, preemph
 
 
+def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
+                         comb1, comb2, tr, *, LM: int, C: int, CC: int,
+                         chunk: int = 13):
+    """Per-row transient flag without doubling the frame cost.
+
+    The transient flag only changes the iMDCT block structure, so only
+    the synthesis fork needs both variants; the comb postfilter and the
+    deemphasis (the expensive recurrences) run ONCE on the selected
+    signal. comb(select(a, b)) == select(comb(a), comb(b)) row-wise, so
+    this is bit-identical to running the full step per variant
+    (reference block loop src/celt.cpp:2057; comb :848; deemph :1988)."""
+    N = SHORT_MDCT_SIZE << LM
+    dm = jnp.roll(decode_mem, -N, axis=-1)
+    freqs = []
+    for c in range(C):
+        freqs.append(js.denormalise_bands_b(
+            X[:, c], bandE[:, c], start, end, 1 << LM))
+    if CC == 1 and C == 2:
+        freqs = [(freqs[0] >> 1) + (freqs[1] >> 1)]
+    for cc in range(CC):
+        freq = freqs[min(cc, len(freqs) - 1)]
+        hist = dm[:, cc, DECODE_BUFFER_SIZE - N:
+                  DECODE_BUFFER_SIZE - N + OVERLAP // 2]
+        regions = [js.celt_imdct_frame(freq, hist, LM, t)
+                   for t in (False, True)]
+        region = jnp.where(tr[:, None], regions[1], regions[0])
+        finished = jnp.clip(region[..., :N], -SIG_SAT, SIG_SAT)
+        tail = region[..., N:]
+        dm = dm.at[:, cc, DECODE_BUFFER_SIZE - N:DECODE_BUFFER_SIZE].set(
+            finished)
+        dm = dm.at[:, cc, DECODE_BUFFER_SIZE:
+                   DECODE_BUFFER_SIZE + OVERLAP // 2].set(tail)
+
+    T0a, T1a, g0a, g1a, ta0, ta1 = comb1
+    T0b, T1b, g0b, g1b, tb0, tb1 = comb2
+    for cc in range(CC):
+        buf = dm[:, cc, :]
+        buf = js.comb_filter_batch(buf, DECODE_BUFFER_SIZE - N,
+                                   SHORT_MDCT_SIZE, T0a, T1a, g0a, g1a,
+                                   ta0, ta1, chunk=chunk)
+        if LM != 0:
+            buf = js.comb_filter_batch(
+                buf, DECODE_BUFFER_SIZE - N + SHORT_MDCT_SIZE,
+                N - SHORT_MDCT_SIZE, T0b, T1b, g0b, g1b, tb0, tb1,
+                chunk=chunk)
+        dm = dm.at[:, cc, :].set(buf)
+
+    syn = dm[:, :, DECODE_BUFFER_SIZE - N:DECODE_BUFFER_SIZE]
+    pcm, preemph = js.deemphasis_batch(syn, preemph)
+    return pcm, dm, preemph
+
+
 class BatchedCELTDecoder:
     """Decode many CELT streams with batched device synthesis.
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..host import opusfile
 from ..host.packet import Mode, parse_packet
 from . import batch_celt
-from .batch_celt import NB_EBANDS, celt_synth_step
+from .batch_celt import NB_EBANDS, celt_synth_step, celt_synth_step_dual
 from .batch_silk import silk_host_frame
 from .silk_decoder import MAX_LPC_ORDER
 from ..ops.silk import jax_core as sjc
@@ -64,10 +64,10 @@ def _pow2_cap(n: int) -> int:
 # separate calls) cost ~35 ms/step at B=256; fused it is ~1 ms.
 
 @functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC"),
+                   static_argnames=("LM", "C", "CC", "chunk"),
                    donate_argnums=(0, 1))
 def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
-                    LM: int, C: int, CC: int):
+                    LM: int, C: int, CC: int, chunk: int = 13):
     """sec: (14, cap) int32 = [start, end, comb1 (6 rows), comb2 (6)];
     tr: (cap,) bool per-row transient flag.
 
@@ -86,12 +86,9 @@ def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
     bandE = bandE.astype(jnp.int32)
     dm = dm_all[jidx]
     pre = pre_all[jidx]
-    outs = [celt_synth_step(dm, pre, X, bandE, start, end, comb1, comb2,
-                            LM=LM, C=C, CC=CC, transient=t)
-            for t in (False, True)]
-    pcm = jnp.where(tr[:, None, None], outs[1][0], outs[0][0])
-    dm2 = jnp.where(tr[:, None, None], outs[1][1], outs[0][1])
-    pre2 = jnp.where(tr[:, None], outs[1][2], outs[0][2])
+    pcm, dm2, pre2 = celt_synth_step_dual(
+        dm, pre, X, bandE, start, end, comb1, comb2, tr,
+        LM=LM, C=C, CC=CC, chunk=chunk)
     # int16 out halves the D2H bytes (pcm is int16-range by construction);
     # the very first int16 transfer on a tunneled TPU is slow (layout-path
     # warmup) — warmup() primes it
@@ -108,10 +105,12 @@ _CELT_HDR = 18
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC", "d2h_chunks"),
+                   static_argnames=("LM", "C", "CC", "d2h_chunks",
+                                    "chunk"),
                    donate_argnums=(0, 1))
 def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
-                           CC: int, d2h_chunks: int = 4):
+                           CC: int, d2h_chunks: int = 4,
+                           chunk: int = 13):
     """Packed-staging variant of _celt_pool_step: stg (cap, 18+42+C*N)
     int16. Returns pcm split into d2h_chunks row-chunks — the tunnel
     moves ~1.5x more bytes/s with several concurrent D2H streams than
@@ -126,7 +125,8 @@ def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
     N = SHORT_MDCT_SIZE << LM
     X = stg[:, _CELT_HDR + 2 * NB_EBANDS:].reshape(cap, C, N)
     pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X, bandE,
-                                     sec, tr, LM=LM, C=C, CC=CC)
+                                     sec, tr, LM=LM, C=C, CC=CC,
+                                     chunk=chunk)
     ck = cap // d2h_chunks
     return tuple(pcm[k * ck:(k + 1) * ck] for k in range(d2h_chunks)) \
         + ((pcm[d2h_chunks * ck:],) if d2h_chunks * ck < cap else ()) \
@@ -1341,9 +1341,15 @@ class StreamPool:
             # state row), so the duplicate-index scatter writes identical
             # values and stays deterministic
             stg[n:] = stg[0]
+        # feedback-safe comb chunk: the scan may leap min(T)-2 samples
+        # per iteration; two static sizes only (both precompiled by
+        # warmup, so per-frame flapping never recompiles)
+        minT = int(np.minimum(np.maximum(sec[2:4], 15),
+                              np.maximum(sec[8:10], 15)).min())
+        chunk = 62 if minT - 2 >= 62 else 13
         outs = _celt_pool_step_packed(
             self.state["decode_mem"], self.state["preemph"],
-            jnp.asarray(stg), LM=LM, C=C, CC=CC)
+            jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk)
         self.state["decode_mem"] = outs[-2]
         self.state["preemph"] = outs[-1]
         return outs[:-2]
@@ -1651,16 +1657,18 @@ class StreamPool:
             cap = self._cap_celt
             from . import batch_celt as bc
             C = 2 if self.channels == 2 else 1
-            st = bc.make_state(cap, self.channels)
             stg = np.zeros((cap, _CELT_HDR + 2 * NB_EBANDS + C * 960),
                            dtype=np.int16)
             stg[:, 0] = np.arange(cap, dtype=np.int16)
             stg[:, 4] = 21   # end band
-            outs = _celt_pool_step_packed(
-                st["decode_mem"], st["preemph"], jnp.asarray(stg),
-                LM=3, C=C, CC=self.channels)
-            for p in outs[:-2]:
-                np.asarray(p)   # prime the int16 D2H path too
+            for chunk in (13, 62):   # both comb-chunk variants
+                st = bc.make_state(cap, self.channels)
+                outs = _celt_pool_step_packed(
+                    st["decode_mem"], st["preemph"], jnp.asarray(stg),
+                    LM=3, C=C, CC=self.channels, chunk=chunk)
+            if self.output == "host":
+                for p in outs[:-2]:
+                    np.asarray(p)   # prime the int16 D2H path too
         for fs, cap in self._cap_silk.items():
             st = self._silk_bucket(fs)
             frame = 20 * fs

@@ -97,7 +97,7 @@ def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
 
 def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
                          comb1, comb2, tr, *, LM: int, C: int, CC: int,
-                         chunk: int = 13):
+                         chunk: int = 13, pallas_fft: bool | None = None):
     """Per-row transient flag without doubling the frame cost.
 
     The transient flag only changes the iMDCT block structure, so only
@@ -106,6 +106,14 @@ def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
     signal. comb(select(a, b)) == select(comb(a), comb(b)) row-wise, so
     this is bit-identical to running the full step per variant
     (reference block loop src/celt.cpp:2057; comb :848; deemph :1988)."""
+    if pallas_fft is None:
+        # the in-VMEM FFT kernel is TPU-only; the XLA path serves as
+        # the portable fallback (both bit-exact)
+        pallas_fft = jax.default_backend() == "tpu"
+    if pallas_fft:
+        from ..ops.celt.pallas_fft import celt_imdct_frame_pallas as imdct
+    else:
+        imdct = js.celt_imdct_frame
     N = SHORT_MDCT_SIZE << LM
     dm = jnp.roll(decode_mem, -N, axis=-1)
     freqs = []
@@ -118,8 +126,7 @@ def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
         freq = freqs[min(cc, len(freqs) - 1)]
         hist = dm[:, cc, DECODE_BUFFER_SIZE - N:
                   DECODE_BUFFER_SIZE - N + OVERLAP // 2]
-        regions = [js.celt_imdct_frame(freq, hist, LM, t)
-                   for t in (False, True)]
+        regions = [imdct(freq, hist, LM, t) for t in (False, True)]
         region = jnp.where(tr[:, None], regions[1], regions[0])
         finished = jnp.clip(region[..., :N], -SIG_SAT, SIG_SAT)
         tail = region[..., N:]

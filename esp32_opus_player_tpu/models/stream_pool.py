@@ -106,27 +106,42 @@ _CELT_HDR = 18
 
 @functools.partial(jax.jit,
                    static_argnames=("LM", "C", "CC", "d2h_chunks",
-                                    "chunk"),
+                                    "chunk", "identity"),
                    donate_argnums=(0, 1))
 def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
                            CC: int, d2h_chunks: int = 4,
-                           chunk: int = 13):
+                           chunk: int = 13, identity: bool = False):
     """Packed-staging variant of _celt_pool_step: stg (cap, 18+42+C*N)
     int16. Returns pcm split into d2h_chunks row-chunks — the tunnel
     moves ~1.5x more bytes/s with several concurrent D2H streams than
-    with one large fetch."""
+    with one large fetch.
+
+    identity=True: the bucket covers the whole pool in row order
+    (jidx == arange), so the per-row state gather/scatter — a dynamic
+    8.9 MB-each-way index operation — is skipped entirely (the host
+    checks the index array before choosing this variant)."""
     cap = stg.shape[0]
     s32 = stg.astype(jnp.int32)
-    jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
     tr = s32[:, 2].astype(bool)
     sec = s32[:, 3:17].T
     bandE = stg[:, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS].reshape(
         cap, 2, NB_EBANDS)
     N = SHORT_MDCT_SIZE << LM
     X = stg[:, _CELT_HDR + 2 * NB_EBANDS:].reshape(cap, C, N)
-    pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X, bandE,
-                                     sec, tr, LM=LM, C=C, CC=CC,
-                                     chunk=chunk)
+    if identity:
+        start, end = sec[0], sec[1]
+        comb1 = tuple(sec[2 + k] for k in range(6))
+        comb2 = tuple(sec[8 + k] for k in range(6))
+        pcm, dm2, pre2 = celt_synth_step_dual(
+            dm_all, pre_all, X.astype(jnp.int32),
+            bandE.astype(jnp.int32), start, end, comb1, comb2, tr,
+            LM=LM, C=C, CC=CC, chunk=chunk)
+        pcm = pcm.astype(jnp.int16)
+    else:
+        jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
+        pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X,
+                                         bandE, sec, tr, LM=LM, C=C,
+                                         CC=CC, chunk=chunk)
     ck = cap // d2h_chunks
     return tuple(pcm[k * ck:(k + 1) * ck] for k in range(d2h_chunks)) \
         + ((pcm[d2h_chunks * ck:],) if d2h_chunks * ck < cap else ()) \
@@ -1347,9 +1362,12 @@ class StreamPool:
         minT = int(np.minimum(np.maximum(sec[2:4], 15),
                               np.maximum(sec[8:10], 15)).min())
         chunk = 62 if minT - 2 >= 62 else 13
+        identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
+                    and np.array_equal(idxs, np.arange(cap)))
         outs = _celt_pool_step_packed(
             self.state["decode_mem"], self.state["preemph"],
-            jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk)
+            jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk,
+            identity=identity)
         self.state["decode_mem"] = outs[-2]
         self.state["preemph"] = outs[-1]
         return outs[:-2]
@@ -1661,11 +1679,13 @@ class StreamPool:
                            dtype=np.int16)
             stg[:, 0] = np.arange(cap, dtype=np.int16)
             stg[:, 4] = 21   # end band
+            ident = cap == self.state["decode_mem"].shape[0]
             for chunk in (13, 62):   # both comb-chunk variants
                 st = bc.make_state(cap, self.channels)
                 outs = _celt_pool_step_packed(
                     st["decode_mem"], st["preemph"], jnp.asarray(stg),
-                    LM=3, C=C, CC=self.channels, chunk=chunk)
+                    LM=3, C=C, CC=self.channels, chunk=chunk,
+                    identity=ident)
             if self.output == "host":
                 for p in outs[:-2]:
                     np.asarray(p)   # prime the int16 D2H path too

@@ -521,5 +521,5 @@ def deemphasis_batch(syn, mem):
         pcm = jnp.clip((tmp + 2048) >> 12, -32768, 32767)
         return mval, pcm
 
-    mem, pcm = jax.lax.scan(step, mem, x)
+    mem, pcm = jax.lax.scan(step, mem, x, unroll=16)
     return jnp.moveaxis(pcm, 0, -1), mem

@@ -74,3 +74,26 @@ def test_pallas_deemphasis_matches_scan():
     p1, m1 = deemphasis_batch(syn, mem)
     p2, m2 = deemphasis_pallas(syn, mem, interpret=True)
     assert jnp.array_equal(p1, p2) and jnp.array_equal(m1, m2)
+
+
+@pytest.mark.parametrize("LM,transient", [(3, False), (3, True),
+                                          (1, True), (0, False)])
+def test_pallas_fft_imdct_matches_xla(LM, transient):
+    """The in-VMEM Pallas FFT core must reproduce the XLA iMDCT path
+    bit-exactly (interpret mode here; tools/check_pallas_tpu.py runs
+    the same comparison compiled on a real chip)."""
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.celt import jax_synthesis as js
+    from esp32_opus_player_tpu.ops.celt.pallas_fft import \
+        celt_imdct_frame_pallas
+    rng = np.random.default_rng(2)
+    B = 8
+    N = 120 << LM
+    freq = jnp.asarray(rng.integers(-(1 << 20), 1 << 20, (B, N)),
+                       dtype=jnp.int32)
+    hist = jnp.asarray(rng.integers(-(1 << 20), 1 << 20, (B, 60)),
+                       dtype=jnp.int32)
+    ref = js.celt_imdct_frame(freq, hist, LM, transient)
+    got = celt_imdct_frame_pallas(freq, hist, LM, transient,
+                                  interpret=True)
+    assert jnp.array_equal(ref, got)

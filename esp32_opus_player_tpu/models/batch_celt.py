@@ -97,7 +97,8 @@ def celt_synth_step(decode_mem, preemph, X, bandE, start, end,
 
 def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
                          comb1, comb2, tr, *, LM: int, C: int, CC: int,
-                         chunk: int = 13, pallas_fft: bool | None = None):
+                         chunk: int = 13, pallas_fft: bool | None = None,
+                         downsample: int = 1):
     """Per-row transient flag without doubling the frame cost.
 
     The transient flag only changes the iMDCT block structure, so only
@@ -150,7 +151,8 @@ def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
         dm = dm.at[:, cc, :].set(buf)
 
     syn = dm[:, :, DECODE_BUFFER_SIZE - N:DECODE_BUFFER_SIZE]
-    pcm, preemph = js.deemphasis_batch(syn, preemph)
+    pcm, preemph = js.deemphasis_batch(syn, preemph,
+                                       downsample=downsample)
     return pcm, dm, preemph
 
 

@@ -179,11 +179,14 @@ class _TrackerCtrl:
     silk_PLC_update / silk_CNG good-frame bookkeeping."""
 
     def __init__(self, p, order):
-        self.Gains_Q16 = [int(v) for v in p["gains"]]
-        self.LTPCoef_Q14 = [int(v) for v in np.asarray(p["B"]).ravel()]
-        self.pitchL = [int(v) for v in p["lag"]]
-        self.PredCoef_Q12 = [list(int(v) for v in p["A"][0][:order]),
-                             list(int(v) for v in p["A"][1][:order])]
+        # .tolist() converts in one C pass (python-int semantics for the
+        # downstream wraparound math) — the per-element int() loop this
+        # replaces dominated the rfc_plc host phase
+        self.Gains_Q16 = np.asarray(p["gains"]).tolist()
+        self.LTPCoef_Q14 = np.asarray(p["B"]).ravel().tolist()
+        self.pitchL = np.asarray(p["lag"]).tolist()
+        self.PredCoef_Q12 = [np.asarray(p["A"][0][:order]).tolist(),
+                             np.asarray(p["A"][1][:order]).tolist()]
         self.LTP_scale_Q14 = int(p["ltp_scale"])
 
 
@@ -234,18 +237,30 @@ class NativePlcTracker:
         sp.cng_reset(self)
         sp.plc_reset(self)
 
-    def good_frame(self, p, native_st) -> None:
+    def good_frame(self, p, native_st=None) -> None:
         """Ingest one decoded (or FEC) frame's native outputs — the same
         bookkeeping _finish_frame does for the python host."""
         from ..ops.silk import plc as sp
+        from ..ops.silk.decode import TYPE_NO_VOICE_ACTIVITY
         ctrl = _TrackerCtrl(p, self.LPC_order)
         self.ind_signalType = int(p["signal_type"])
-        self.exc_Q14[:self.frame_length] = [int(v) for v in p["exc"]]
-        sp.plc(self, ctrl, None, 0, 0)      # update-only
+        self.exc_Q14[:self.frame_length] = \
+            np.asarray(p["exc"]).tolist()
+        if self.fs_kHz != self.plc_fs_kHz:   # silk_PLC fs-change reset
+            sp.plc_reset(self)
+            self.plc_fs_kHz = self.fs_kHz
+        sp.plc_update(self, ctrl)
         self.lossCnt = 0
         # per-frame NLSF (the struct only holds the packet's LAST frame)
-        self.prevNLSF_Q15 = [int(v) for v in p["nlsf"]]
-        sp.cng(self, ctrl, None, 0, 0)      # good-frame smoothing
+        self.prevNLSF_Q15 = np.asarray(p["nlsf"]).tolist()
+        # silk_CNG good branch: the smoothing body only runs after a
+        # no-activity frame; otherwise it just clears the synth state —
+        # inline that common case instead of paying the full call
+        if self.fs_kHz != self.cng_fs_kHz \
+                or self.prevSignalType == TYPE_NO_VOICE_ACTIVITY:
+            sp.cng(self, ctrl, None, 0, 0)
+        else:
+            self.cng_synth_state = [0] * MAX_LPC_ORDER
         self.prevSignalType = self.ind_signalType
         self.first_frame_after_reset = 0
         self.lagPrev = int(p["lag_prev"])

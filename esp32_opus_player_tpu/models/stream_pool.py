@@ -563,12 +563,15 @@ class StreamPool:
             k = p[0]
             if k == "celt":
                 by_key.setdefault(("celt", p[1]), []).append(i)
-            elif k == "hybrid" and not self.rfc_plc:
+            elif k == "hybrid":
                 by_key.setdefault(("hybrid",), []).append(i)
-            elif k == "silk" and not self.rfc_plc:
+            elif k == "silk":
                 fs, dfp, payload_ms = p[1], p[2], p[3]
                 nfr = dfp // max(1, (payload_ms * 48) // 960)
-                if nfr == 1:   # code-3 multi-frame packets stay generic
+                # code-3 multi-frame packets stay generic; rfc_plc pools
+                # batch 20 ms payloads (the tracker post-pass mirrors
+                # apply_plc_transition + good_frame over the group rows)
+                if nfr == 1 and (not self.rfc_plc or payload_ms == 20):
                     by_key.setdefault(("silk", fs, payload_ms),
                                       []).append(i)
             elif k == "silk2" and not self.rfc_plc:
@@ -641,8 +644,12 @@ class StreamPool:
             if kind == "celt":
                 self._emit_celt_fast(g, sel, pend)
             elif kind == "silk":
+                if self.rfc_plc:
+                    self._rfc_silk_post(g, sel)
                 self._emit_silk_fast(g, sel, pend)
             elif kind == "hybrid":
+                if self.rfc_plc:
+                    self._rfc_silk_post(g, sel)
                 self._emit_silk_fast(g, sel, pend)
                 self._emit_celt_fast(entry[2], sel, pend)
                 pend["hybrid"].update(g.idxs[r] for r in sel)
@@ -698,9 +705,34 @@ class StreamPool:
         for j in range(g.nfr):
             cols = g.buf.cols(j, g.nfr, g.frame_len)
             cols = {k: v[sel] for k, v in cols.items()}
+            glue = self._glue_arrays(sidx) \
+                if self.rfc_plc and j == 0 else None
             dev = self._silk_launch(sidx, cols, g.fs, frame_ms,
-                                    nfr_label=g.nfr)
+                                    glue=glue, nfr_label=g.nfr)
             pend["silk"].append((dev, sidx))
+
+    def _rfc_silk_post(self, g, sel):
+        """rfc_plc bookkeeping over a SilkGroup's freshly decoded rows:
+        the post-loss output transitions (LPC bandwidth expansion,
+        voiced->unvoiced PLC handoff — apply_plc_transition writes
+        straight into the group buffers) and the concealment-state
+        mirror (NativePlcTracker.good_frame), exactly what the generic
+        per-stream path does in _host_one."""
+        from .batch_silk import apply_plc_transition
+        b = g.buf
+        fs = g.fs
+        frame_ms = g.payload_ms if g.payload_ms <= 20 else 20
+        for r in sel:
+            i = int(g.idxs[r])
+            trk = self._plc_tracker(i, fs, frame_ms)
+            p = dict(A=b.A[r], B=b.B[r], gains=b.gains[r],
+                     inv=b.inv[r], lag=b.lag[r],
+                     voiced=b.flags[r, 0:4], rewhiten=b.flags[r, 4:8],
+                     exc=b.exc[r], signal_type=int(b.misc[r, 0]),
+                     lag_prev=int(b.misc[r, 3]),
+                     ltp_scale=int(b.misc[r, 4]), nlsf=b.misc[r, 8:24])
+            apply_plc_transition(p, trk)
+            trk.good_frame(p, None)
 
     def _emit_silk2_fast(self, g, sel, pend):
         sidx = [g.idxs[r] for r in sel]

@@ -508,11 +508,14 @@ def comb_filter_batch(buf, start: int, N: int, T0, T1, g0, g1, tapset0,
 # deemphasis
 # ---------------------------------------------------------------------------
 
-def deemphasis_batch(syn, mem):
+def deemphasis_batch(syn, mem, downsample: int = 1):
     """First-order IIR + Q12 rounding (src/celt.cpp:1988).
 
     syn: (B, C, N) int32. mem: (B, C) int32. Returns (pcm int16-range
-    (B, C, N) int32, new mem)."""
+    (B, C, N//downsample) int32, new mem). The IIR always runs at 48 kHz
+    and the output keeps every downsample-th sample — exactly the
+    reference's scratch-then-decimate structure (src/celt.cpp:2000-2013,
+    resampling_factor :817), so 24/16/12/8 kHz output is bit-exact."""
     x = jnp.moveaxis(syn, -1, 0)  # (N, B, C)
 
     def step(mval, xj):
@@ -522,4 +525,7 @@ def deemphasis_batch(syn, mem):
         return mval, pcm
 
     mem, pcm = jax.lax.scan(step, mem, x, unroll=16)
-    return jnp.moveaxis(pcm, 0, -1), mem
+    pcm = jnp.moveaxis(pcm, 0, -1)
+    if downsample > 1:
+        pcm = pcm[..., ::downsample]
+    return pcm, mem

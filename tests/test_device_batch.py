@@ -97,3 +97,27 @@ def test_pallas_fft_imdct_matches_xla(LM, transient):
     got = celt_imdct_frame_pallas(freq, hist, LM, transient,
                                   interpret=True)
     assert jnp.array_equal(ref, got)
+
+
+@pytest.mark.parametrize("downsample", [2, 3, 6])
+def test_deemphasis_downsample_matches_scalar(downsample):
+    """Device-side output decimation (48k -> 24/16/8 kHz) must match the
+    scalar deemphasis' scratch-then-decimate structure
+    (reference src/celt.cpp:1988-2055)."""
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.celt import synthesis as ss
+    from esp32_opus_player_tpu.ops.celt.jax_synthesis import \
+        deemphasis_batch
+    rng = np.random.default_rng(3)
+    B, N = 4, 960
+    syn = rng.integers(-30000000, 30000000, (B, 1, N)).astype(np.int64)
+    mem0 = rng.integers(-100000, 100000, (B, 1))
+    pcm_b, mem_b = deemphasis_batch(
+        jnp.asarray(syn, jnp.int32), jnp.asarray(mem0, jnp.int32),
+        downsample=downsample)
+    for b in range(B):
+        pcm_s = np.zeros(N // downsample, dtype=np.int32)
+        mem_s = [int(mem0[b, 0])]
+        ss.deemphasis([(syn[b, 0], 0)], pcm_s, N, 1, downsample, mem_s)
+        assert np.array_equal(np.asarray(pcm_b)[b, 0], pcm_s)
+        assert int(np.asarray(mem_b)[b, 0]) == mem_s[0]

@@ -14,6 +14,8 @@ host/native/ produces the same param dicts ~10-20x faster.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -294,6 +296,91 @@ def apply_plc_transition(p, trk) -> None:
     p["inv"][0] = m.LSHIFT32(m.SMULWB(inv, int(p["ltp_scale"])), 2)
 
 
+_M32 = 0xFFFFFFFF
+
+
+@functools.lru_cache(maxsize=8)
+def _lcg_tables(n: int):
+    """Powers/partial sums of the silk_RAND multiplier mod 2^32."""
+    pw = np.empty(n + 1, np.uint64)
+    sm = np.empty(n + 1, np.uint64)
+    pw[0] = 1
+    sm[0] = 0
+    for j in range(n):
+        pw[j + 1] = (pw[j] * np.uint64(m.RAND_MULTIPLIER)) \
+            & np.uint64(_M32)
+        sm[j + 1] = (sm[j] + pw[j]) & np.uint64(_M32)
+    return pw, sm
+
+
+def _lcg_seeds(seed0: int, n: int):
+    """The seeds after 1..n silk_RAND steps (closed-form LCG walk:
+    seed_k = a^k seed_0 + inc*(a^{k-1}+..+1) mod 2^32), as int32."""
+    pw, sm = _lcg_tables(n)
+    s0 = np.uint64(seed0 & _M32)
+    seeds = (pw[1:] * s0 + np.uint64(m.RAND_INCREMENT) * sm[1:]) \
+        & np.uint64(_M32)
+    return seeds.astype(np.uint32).view(np.int32)
+
+
+def _s32_np(x):
+    return ((x & _M32) ^ 0x80000000) - 0x80000000
+
+
+def _sum_sqr_shift_np(x, length: int):
+    """silk_sum_sqr_shift (src/silk.cpp:3839), vectorized bit-exactly:
+    pairwise int32-wrapping products, unsigned shift accumulation mod
+    2^32 (addition of the shifted terms is associative mod 2^32)."""
+    shft = 31 - m.CLZ32(length)
+    sq = x * x                                   # <= 2^30 each
+    pair = sq[0:length - 1:2] + sq[1:length:2]   # SMLABB_ovflw wrap...
+    tail = sq[length - 1] if length % 2 else None
+
+    def accumulate(sh):
+        nrg = np.uint64(length if sh == shft else 0)
+        nrg += ((pair.astype(np.uint64)) & np.uint64(_M32)) \
+            .__rshift__(np.uint64(sh)).sum()
+        if tail is not None:
+            nrg += np.uint64(int(tail) & _M32) >> np.uint64(sh)
+        return m.s32(int(nrg) & _M32)
+
+    nrg = accumulate(shft)
+    shft = max(0, shft + 3 - m.CLZ32(nrg))
+    # second pass starts from zero with the final shift
+    nrg2 = np.uint64(0)
+    nrg2 += ((pair.astype(np.uint64)) & np.uint64(_M32)) \
+        .__rshift__(np.uint64(shft)).sum()
+    if tail is not None:
+        nrg2 += np.uint64(int(tail) & _M32) >> np.uint64(shft)
+    return m.s32(int(nrg2) & _M32), shft
+
+
+def _plc_energy_np(ch, prev_gain_q10):
+    """silk_PLC_energy (:2957) vectorized (exact SMULWW/SAT16 chain)."""
+    sl = ch.subfr_length
+    exc = np.asarray(ch.exc_Q14, dtype=np.int64)
+    outs = []
+    for k in range(2):
+        seg = exc[(k + ch.nb_subfr - 2) * sl:
+                  (k + ch.nb_subfr - 1) * sl]
+        v = _s32_np((seg * int(prev_gain_q10[k])) >> 16) >> 8
+        v = np.clip(v, -32768, 32767)
+        outs.append(_sum_sqr_shift_np(v, sl))
+    (e1, s1), (e2, s2) = outs
+    return e1, s1, e2, s2
+
+
+def _cng_exc_np(exc_buf, length: int, rand_seed: int):
+    """silk_CNG_exc (:1305) vectorized via the closed-form seed walk."""
+    exc_mask = 255            # CNG_BUF_MASK_MAX
+    while exc_mask > length:
+        exc_mask >>= 1
+    seeds = _lcg_seeds(rand_seed, length)
+    idx = (seeds >> 24) & exc_mask
+    buf = np.asarray(exc_buf, dtype=I32)
+    return buf[idx], m.s32(int(seeds[-1]))
+
+
 def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
     """Host half of silk_PLC_conceal (:2973) for one lost 20 ms frame
     of one CHANNEL: the rand-seed walk, per-subframe LTP decay and pitch
@@ -333,7 +420,7 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
                      ch.plc_prevGain_Q16[1] >> 6]
     if ch.first_frame_after_reset:
         ch.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
-    e1, s1, e2, s2 = sp.plc_energy(ch, prev_gain_q10)
+    e1, s1, e2, s2 = _plc_energy_np(ch, prev_gain_q10)
     if (e1 >> s2) < (e2 >> s1):
         rand_off = max(0, (ch.plc_nb_subfr - 1) * ch.plc_subfr_length
                        - sp.RAND_BUF_SIZE)
@@ -377,14 +464,17 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
     B4 = np.zeros((nb, 5), dtype=I32)
     lag4 = np.zeros(nb, dtype=I32)
     rand_q12 = np.zeros(nb * subfr, dtype=I32)
+    exc_np = np.asarray(ch.exc_Q14, dtype=np.int64)
     for k in range(nb):
         B4[k] = B
         lag4[k] = lag
-        for i in range(subfr):
-            seed = m.silk_RAND(seed)
-            idx2 = (seed >> 25) & sp.RAND_BUF_MASK
-            rand_q12[k * subfr + i] = m.SMULWB(
-                int(ch.exc_Q14[rand_off + idx2]), rand_scale_q14)
+        # closed-form LCG walk + one vectorized gather replaces the
+        # per-sample python seed loop (silk_PLC_conceal :3000)
+        seeds = _lcg_seeds(seed, subfr)
+        seed = m.s32(int(seeds[-1]))
+        idx2 = (seeds >> 25) & sp.RAND_BUF_MASK
+        rand_q12[k * subfr:(k + 1) * subfr] = \
+            (exc_np[rand_off + idx2] * m.s16(rand_scale_q14)) >> 16
         B = [m.SMULBB(harm_gain_q15, b) >> 15 for b in B]
         if ch.ind_signalType != sd.TYPE_NO_VOICE_ACTIVITY:
             rand_scale_q14 = m.SMULBB(rand_scale_q14, rand_gain_q15) >> 15
@@ -422,9 +512,8 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
         gain_q16 = m.LSHIFT32(m.SQRT_APPROX(gain_q16), 8)
     gain_q10 = gain_q16 >> 6
     frame_len = ch.frame_length
-    cng_exc = np.zeros(frame_len, dtype=I32)
-    ch.cng_rand_seed = sp.cng_exc(cng_exc, 0, ch.cng_exc_buf_Q14,
-                                  frame_len, ch.cng_rand_seed)
+    cng_exc, ch.cng_rand_seed = _cng_exc_np(
+        ch.cng_exc_buf_Q14, frame_len, ch.cng_rand_seed)
     cng_a_q12 = np.zeros(MAX_LPC_ORDER, dtype=I32)
     cng_a_q12[:order] = nlsf2a(ch.cng_smth_NLSF_Q15, order)
 

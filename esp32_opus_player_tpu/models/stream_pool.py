@@ -195,6 +195,53 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
     return out48.astype(jnp.int16), st2
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "nb", "order", "frame"),
+                   donate_argnums=(0,))
+def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
+                        prev_gain, cng_exc, cng_a, cng_gain, first, *,
+                        fs: int, nb: int, order: int, frame: int):
+    """One fused mono-SILK concealment frame over a bucket: conceal
+    core + CNG add + glue-energy capture + resample, as a SINGLE
+    compiled program with the bucket state donated (the previous
+    expression as ~15 eager ops per launch dominated the loss-step host
+    time). Semantics identical to the eager chain (silk_PLC conceal
+    :2973, silk_CNG :1342, outBuf roll of the RAW signal, post-CNG
+    audible frame + its glue reference energy)."""
+    from ..ops.silk import jax_plc as jplc
+    ltp = 20 * fs
+    cap = rand.shape[0]
+    xq, sLPC = jplc.silk_plc_conceal_frame(
+        st["outBuf"][jidx][:, :ltp + frame], st["sLPC"][jidx],
+        rand, A, B4, lag4, inv_gain, prev_gain,
+        fs_khz=fs, nb_subfr=nb, order=order)
+    hist = jnp.concatenate([st["outBuf"][jidx][:, frame:ltp], xq],
+                           axis=-1)
+    new_outbuf = jnp.concatenate(
+        [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
+    state0 = jnp.where(first[:, None], 0, st["cng"][jidx])
+    xq_out, cng_state = jplc.cng_add(
+        xq, cng_exc, cng_a, cng_gain, state0,
+        jnp.ones(cap, dtype=bool), frame=frame, order=order)
+    ce, cs = jplc.frame_energy(xq_out, frame=frame)
+    sMid = st["sMid"][jidx]
+    resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
+    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+        st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
+        fs_in_khz=fs, in_len=frame)
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+    st2["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
+    st2["cng"] = st["cng"].at[jidx].set(cng_state)
+    st2["conc_e"] = st["conc_e"].at[jidx].set(ce)
+    st2["conc_s"] = st["conc_s"].at[jidx].set(cs)
+    st2["sMid"] = st["sMid"].at[jidx].set(xq_out[:, frame - 2:frame])
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+    st2["delay"] = st["delay"].at[jidx].set(delay)
+    return out48.astype(jnp.int16), st2
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "order", "has_glue"),
                    donate_argnums=(0,))
 def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
@@ -1498,11 +1545,8 @@ class StreamPool:
         order (src/silk.cpp:1974-2050). items carry nfr sequential
         conceal preps (a lost 40/60 ms packet conceals 2/3 internal
         frames with deepening lossCnt)."""
-        from ..ops.silk import jax_plc as jplc
-        st = self._silk_bucket(fs)
         nb = 2 if frame_ms == 10 else 4
         frame = frame_ms * fs
-        ltp = 20 * fs
         n = len(items)
         sidx = [it[0] for it in items]
         cap = self._cap_silk[fs] if self.fixed_buckets else _pow2_cap(n)
@@ -1517,47 +1561,17 @@ class StreamPool:
                         for b in range(cap)]
                 return jnp.asarray(np.stack(rows))
 
-            xq, sLPC = jplc.silk_plc_conceal_frame(
-                st["outBuf"][jidx][:, :ltp + frame], st["sLPC"][jidx],
-                stack("rand"), stack("A")[:, :order], stack("B4"),
-                stack("lag4"), stack("inv_gain"), stack("prev_gain"),
-                fs_khz=fs, nb_subfr=nb, order=order)
-
-            # outBuf rolls the raw concealed signal (pre-CNG)
-            hist = jnp.concatenate(
-                [st["outBuf"][jidx][:, frame:ltp], xq], axis=-1)
-            new_outbuf = jnp.concatenate(
-                [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
-
             first = np.array(
                 [bool((items[b][1] if b < n else items[0][1])
                       [j]["cng_first"]) for b in range(cap)])
-            state0 = jnp.where(jnp.asarray(first)[:, None], 0,
-                               st["cng"][jidx])
-            xq_out, cng_state = jplc.cng_add(
-                xq, stack("cng_exc"), stack("cng_a")[:, :order],
-                stack("cng_gain"), state0,
-                jnp.ones(cap, dtype=bool), frame=frame, order=order)
-            # the glue reference energy of the concealed frame stays on
-            # device (no host round-trip; silk_PLC_glue_frames :3138)
-            ce, cs = jplc.frame_energy(xq_out, frame=frame)
-            st["conc_e"] = st["conc_e"].at[jidx].set(ce)
-            st["conc_s"] = st["conc_s"].at[jidx].set(cs)
-
-            sMid = st["sMid"][jidx]
-            resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]],
-                                    axis=-1)
-            new_sMid = xq_out[:, frame - 2:frame]
-            out48, sIIR, sFIR, delay = sjc.resample_to_48k(
-                st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx],
-                resin, fs_in_khz=fs, in_len=frame)
-            st["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
-            st["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
-            st["cng"] = st["cng"].at[jidx].set(cng_state)
-            st["sMid"] = st["sMid"].at[jidx].set(new_sMid)
-            st["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
-            st["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
-            st["delay"] = st["delay"].at[jidx].set(delay)
+            out48, st2 = _silk_plc_pool_step(
+                self._silk_bucket(fs), jidx, stack("rand"),
+                stack("A")[:, :order], stack("B4"), stack("lag4"),
+                stack("inv_gain"), stack("prev_gain"),
+                stack("cng_exc"), stack("cng_a")[:, :order],
+                stack("cng_gain"), jnp.asarray(first),
+                fs=fs, nb=nb, order=order, frame=frame)
+            self.silk_buckets[fs] = st2
             pend["silk"].append((out48, sidx))
 
     def _silk2_plc_group(self, items, fs: int, pend):

@@ -206,20 +206,28 @@ def silk_core_frame(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
         exc_k = exc[:, k * subfr:k * subfr + subfr]
         pres = jnp.where(voiced[:, None], res, exc_k)
 
-        # ---- LPC synthesis recurrence (per-sample scan) -------------------
-        def lpc_step(carry, x):
-            state = carry                     # (B, 16) most recent last
-            pred = jnp.full((Bsz,), order >> 1, dtype=I32)
-            for j in range(order):
-                pred = smlawb(pred, state[:, MAX_LPC_ORDER - 1 - j],
-                              Ak[:, j])
-            v = add_sat32(x, lshift_sat32(pred, 4))
-            state = jnp.concatenate([state[:, 1:], v[:, None]], axis=1)
-            return state, v
+        # ---- LPC synthesis recurrence ------------------------------------
+        if jax.default_backend() == "tpu":
+            # in-VMEM Pallas kernel: the 16-row state ring rotates as a
+            # trace-time list (zero data movement per sample)
+            from .pallas_core import lpc_synth_pallas
+            vs, sLPC = lpc_synth_pallas(pres, Ak[:, :order], sLPC,
+                                        order=order)
+        else:
+            def lpc_step(carry, x):
+                state = carry                 # (B, 16) most recent last
+                pred = jnp.full((Bsz,), order >> 1, dtype=I32)
+                for j in range(order):
+                    pred = smlawb(pred, state[:, MAX_LPC_ORDER - 1 - j],
+                                  Ak[:, j])
+                v = add_sat32(x, lshift_sat32(pred, 4))
+                state = jnp.concatenate([state[:, 1:], v[:, None]],
+                                        axis=1)
+                return state, v
 
-        sLPC, vs = jax.lax.scan(lpc_step, sLPC,
-                                jnp.moveaxis(pres, -1, 0), unroll=16)
-        vs = jnp.moveaxis(vs, 0, -1)          # (B, subfr)
+            sLPC, vs = jax.lax.scan(lpc_step, sLPC,
+                                    jnp.moveaxis(pres, -1, 0), unroll=16)
+            vs = jnp.moveaxis(vs, 0, -1)      # (B, subfr)
         xq_k = sat16(rshift_round(smulww(vs, gain_q10[:, None]), 8))
         xq = jax.lax.dynamic_update_slice(xq, xq_k, (0, k * subfr))
 
@@ -319,9 +327,13 @@ def resample_to_48k(sIIR, sFIR, delay_buf, inp, *, fs_in_khz: int,
         outs = []
         off = 0
         remaining = block.shape[-1]
+        if jax.default_backend() == "tpu":
+            from .pallas_core import up2_hq_pallas as up2
+        else:
+            up2 = up2_hq_scan
         while True:
             n_in = min(remaining, batch_size)
-            up, sIIR = up2_hq_scan(sIIR, block[:, off:off + n_in])
+            up, sIIR = up2(sIIR, block[:, off:off + n_in])
             buf = jnp.concatenate([sFIR, up], axis=-1)
             outs.append(iir_fir_interpol(buf, n_in << 17, inv_ratio))
             sFIR = buf[:, 2 * n_in:2 * n_in + 8]

@@ -139,17 +139,23 @@ def silk_plc_conceal_frame(outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4,
     # ---- LPC synthesis over the frame (state = sLPC, like :3100) ------
     vals = sLTP_Q14[:, lm:lm + frame]
 
-    def lpc_step(state, x):
-        pred = jnp.full((Bsz,), order >> 1, dtype=I32)
-        for j in range(order):
-            pred = smlawb(pred, state[:, MAX_LPC_ORDER - 1 - j],
-                          A_Q12[:, j])
-        v = add_sat32(x, lshift_sat32(pred, 4))
-        state = jnp.concatenate([state[:, 1:], v[:, None]], axis=1)
-        return state, v
+    if jax.default_backend() == "tpu":
+        from .pallas_core import lpc_synth_pallas
+        vs, sLPC = lpc_synth_pallas(vals, A_Q12[:, :order], sLPC0,
+                                    order=order)
+    else:
+        def lpc_step(state, x):
+            pred = jnp.full((Bsz,), order >> 1, dtype=I32)
+            for j in range(order):
+                pred = smlawb(pred, state[:, MAX_LPC_ORDER - 1 - j],
+                              A_Q12[:, j])
+            v = add_sat32(x, lshift_sat32(pred, 4))
+            state = jnp.concatenate([state[:, 1:], v[:, None]], axis=1)
+            return state, v
 
-    sLPC, vs = jax.lax.scan(lpc_step, sLPC0, jnp.moveaxis(vals, -1, 0))
-    vs = jnp.moveaxis(vs, 0, -1)
+        sLPC, vs = jax.lax.scan(lpc_step, sLPC0,
+                                jnp.moveaxis(vals, -1, 0))
+        vs = jnp.moveaxis(vs, 0, -1)
     xq = sat16(rshift_round(smulww(vs, prev_gain_q10_1[:, None]), 8))
     return xq, sLPC
 

@@ -121,3 +121,46 @@ def test_deemphasis_downsample_matches_scalar(downsample):
         ss.deemphasis([(syn[b, 0], 0)], pcm_s, N, 1, downsample, mem_s)
         assert np.array_equal(np.asarray(pcm_b)[b, 0], pcm_s)
         assert int(np.asarray(mem_b)[b, 0]) == mem_s[0]
+
+
+def test_pallas_lpc_synth_matches_scan():
+    """The in-VMEM LPC recurrence kernel vs the lax.scan expression."""
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.silk import jax_core as sjc
+    from esp32_opus_player_tpu.ops.silk.pallas_core import \
+        lpc_synth_pallas
+    rng = np.random.default_rng(5)
+    B, n, order = 8, 80, 16
+    pres = jnp.asarray(rng.integers(-(1 << 24), 1 << 24, (B, n)),
+                       jnp.int32)
+    A = jnp.asarray(rng.integers(-20000, 20000, (B, order)), jnp.int32)
+    st0 = jnp.asarray(rng.integers(-(1 << 24), 1 << 24, (B, 16)),
+                      jnp.int32)
+
+    def ref_scan(pres, A, st0):
+        def step(state, x):
+            pred = jnp.full((B,), order >> 1, jnp.int32)
+            for j in range(order):
+                pred = sjc.smlawb(pred, state[:, 15 - j], A[:, j])
+            v = sjc.add_sat32(x, sjc.lshift_sat32(pred, 4))
+            return jnp.concatenate([state[:, 1:], v[:, None]], 1), v
+        st, vs = __import__("jax").lax.scan(
+            step, st0, jnp.moveaxis(pres, -1, 0))
+        return jnp.moveaxis(vs, 0, -1), st
+
+    vr, sr = ref_scan(pres, A, st0)
+    vp, sp_ = lpc_synth_pallas(pres, A, st0, order=order, interpret=True)
+    assert jnp.array_equal(vr, vp) and jnp.array_equal(sr, sp_)
+
+
+def test_pallas_up2_matches_scan():
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.silk.jax_core import up2_hq_scan
+    from esp32_opus_player_tpu.ops.silk.pallas_core import up2_hq_pallas
+    rng = np.random.default_rng(6)
+    B, n = 8, 144   # non-multiple of the 20-sample kernel block
+    inp = jnp.asarray(rng.integers(-30000, 30000, (B, n)), jnp.int32)
+    S = jnp.asarray(rng.integers(-(1 << 20), 1 << 20, (B, 6)), jnp.int32)
+    o1, s1 = up2_hq_scan(S, inp)
+    o2, s2 = up2_hq_pallas(S, inp, interpret=True)
+    assert jnp.array_equal(o1, o2) and jnp.array_equal(s1, s2)

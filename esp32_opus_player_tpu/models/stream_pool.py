@@ -1777,7 +1777,7 @@ class StreamPool:
         """Decode statistics: frame/byte/sample counters per path kind plus
         a (bucket-key -> launches) histogram of the device buckets hit —
         the observability surface for a farm deployment (the reference has
-        only per-frame serial logging, src/Audio.cpp)."""
+        only per-frame serial logging, src/main.cpp)."""
         self._flush()
         active = sum(1 for i in range(self.n)
                      if self.positions[i] < len(self.streams[i].jobs))

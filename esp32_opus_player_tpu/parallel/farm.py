@@ -13,7 +13,7 @@ memory traffic, no cross-shard movement). Loss/FEC schedules pass through
 per-stream with their global index.
 
 The reference plays exactly one stream on one core pair
-(reference src/Audio.cpp); a farm is a TPU-native addition.
+(reference src/main.cpp); a farm is a TPU-native addition.
 """
 from __future__ import annotations
 

@@ -1437,10 +1437,15 @@ class StreamPool:
             stg[n:] = stg[0]
         # feedback-safe comb chunk: the scan may leap min(T)-2 samples
         # per iteration; two static sizes only (both precompiled by
-        # warmup, so per-frame flapping never recompiles)
-        minT = int(np.minimum(np.maximum(sec[2:4], 15),
-                              np.maximum(sec[8:10], 15)).min())
-        chunk = 62 if minT - 2 >= 62 else 13
+        # warmup, so per-frame flapping never recompiles). Off-TPU the
+        # small-chunk variant alone is fine — one compile per bucket
+        # matters more than ~15% step time there (CPU CI).
+        if jax.default_backend() == "tpu":
+            minT = int(np.minimum(np.maximum(sec[2:4], 15),
+                                  np.maximum(sec[8:10], 15)).min())
+            chunk = 62 if minT - 2 >= 62 else 13
+        else:
+            chunk = 13
         identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
                     and np.array_equal(idxs, np.arange(cap)))
         outs = _celt_pool_step_packed(

@@ -524,7 +524,7 @@ def deemphasis_batch(syn, mem, downsample: int = 1):
         pcm = jnp.clip((tmp + 2048) >> 12, -32768, 32767)
         return mval, pcm
 
-    mem, pcm = jax.lax.scan(step, mem, x, unroll=16)
+    mem, pcm = jax.lax.scan(step, mem, x)
     pcm = jnp.moveaxis(pcm, 0, -1)
     if downsample > 1:
         pcm = pcm[..., ::downsample]

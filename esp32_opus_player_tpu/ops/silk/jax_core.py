@@ -226,7 +226,7 @@ def silk_core_frame(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
                 return state, v
 
             sLPC, vs = jax.lax.scan(lpc_step, sLPC,
-                                    jnp.moveaxis(pres, -1, 0), unroll=16)
+                                    jnp.moveaxis(pres, -1, 0))
             vs = jnp.moveaxis(vs, 0, -1)      # (B, subfr)
         xq_k = sat16(rshift_round(smulww(vs, gain_q10[:, None]), 8))
         xq = jax.lax.dynamic_update_slice(xq, xq_k, (0, k * subfr))
@@ -280,8 +280,7 @@ def up2_hq_scan(S, inp):
         return S, (sat16(rshift_round(oe, 10)),
                    sat16(rshift_round(oo, 10)))
 
-    S, (ev, od) = jax.lax.scan(step, S, jnp.moveaxis(inp, -1, 0),
-                            unroll=16)
+    S, (ev, od) = jax.lax.scan(step, S, jnp.moveaxis(inp, -1, 0))
     out = jnp.stack([jnp.moveaxis(ev, 0, -1), jnp.moveaxis(od, 0, -1)],
                     axis=-1).reshape(inp.shape[0], -1)
     return out, S

@@ -64,10 +64,12 @@ def _pow2_cap(n: int) -> int:
 # separate calls) cost ~35 ms/step at B=256; fused it is ~1 ms.
 
 @functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC", "chunk"),
+                   static_argnames=("LM", "C", "CC", "chunk",
+                                    "downsample"),
                    donate_argnums=(0, 1))
 def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
-                    LM: int, C: int, CC: int, chunk: int = 13):
+                    LM: int, C: int, CC: int, chunk: int = 13,
+                    downsample: int = 1):
     """sec: (14, cap) int32 = [start, end, comb1 (6 rows), comb2 (6)];
     tr: (cap,) bool per-row transient flag.
 
@@ -88,7 +90,7 @@ def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
     pre = pre_all[jidx]
     pcm, dm2, pre2 = celt_synth_step_dual(
         dm, pre, X, bandE, start, end, comb1, comb2, tr,
-        LM=LM, C=C, CC=CC, chunk=chunk)
+        LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample)
     # int16 out halves the D2H bytes (pcm is int16-range by construction);
     # the very first int16 transfer on a tunneled TPU is slow (layout-path
     # warmup) — warmup() primes it
@@ -106,11 +108,12 @@ _CELT_HDR = 18
 
 @functools.partial(jax.jit,
                    static_argnames=("LM", "C", "CC", "d2h_chunks",
-                                    "chunk", "identity"),
+                                    "chunk", "identity", "downsample"),
                    donate_argnums=(0, 1))
 def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
                            CC: int, d2h_chunks: int = 4,
-                           chunk: int = 13, identity: bool = False):
+                           chunk: int = 13, identity: bool = False,
+                           downsample: int = 1):
     """Packed-staging variant of _celt_pool_step: stg (cap, 18+42+C*N)
     int16. Returns pcm split into d2h_chunks row-chunks — the tunnel
     moves ~1.5x more bytes/s with several concurrent D2H streams than
@@ -135,13 +138,14 @@ def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
         pcm, dm2, pre2 = celt_synth_step_dual(
             dm_all, pre_all, X.astype(jnp.int32),
             bandE.astype(jnp.int32), start, end, comb1, comb2, tr,
-            LM=LM, C=C, CC=CC, chunk=chunk)
+            LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample)
         pcm = pcm.astype(jnp.int16)
     else:
         jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
         pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X,
                                          bandE, sec, tr, LM=LM, C=C,
-                                         CC=CC, chunk=chunk)
+                                         CC=CC, chunk=chunk,
+                                         downsample=downsample)
     ck = cap // d2h_chunks
     return tuple(pcm[k * ck:(k + 1) * ck] for k in range(d2h_chunks)) \
         + ((pcm[d2h_chunks * ck:],) if d2h_chunks * ck < cap else ()) \
@@ -403,8 +407,16 @@ class StreamPool:
     def __init__(self, sources, channels: int = 1, native: bool = True,
                  compat_ref: bool = True, host_threads: int = 0,
                  fixed_buckets: bool = False, rfc_plc: bool = False,
-                 output: str = "host", device_keep: int | None = None):
+                 output: str = "host", device_keep: int | None = None,
+                 out_fs: int = 48000):
         """sources: list of paths/bytes of Ogg/Opus streams.
+
+        out_fs: output sample rate (48000/24000/16000/12000/8000) for
+        CELT-only pools — the deemphasis stage decimates on device
+        exactly like the reference's downsample factor
+        (src/celt.cpp:1988-2055, resampling_factor :817), cutting the
+        PCM-egress bytes by the same factor. SILK/hybrid pools target
+        the 48 kHz API rate (their resampler bank is 48k-out).
 
         output: "host" streams every frame's PCM back to host memory
         (the reference player's I2S-egress analog). "device" leaves the
@@ -446,6 +458,9 @@ class StreamPool:
         self.output = output
         self.device_keep = device_keep
         self._dev_out: list = []
+        if out_fs not in (48000, 24000, 16000, 12000, 8000):
+            raise ValueError(f"unsupported out_fs {out_fs}")
+        self.downsample = 48000 // out_fs
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
@@ -535,6 +550,11 @@ class StreamPool:
                     self.path.append(("hybrid2", endband))
                     continue
             self.path.append(("scalar",))
+
+        if self.downsample > 1 and any(p[0] != "celt" for p in self.path):
+            raise ValueError(
+                "out_fs < 48000 requires a CELT-only pool (the SILK "
+                "resampler bank targets the 48 kHz API rate)")
 
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
@@ -1230,7 +1250,8 @@ class StreamPool:
             elif kind == "celt_lost":
                 # CELT loss: silence, state untouched (mirrors the scalar
                 # compat path — _decode_plc skips CELT entirely)
-                z = np.zeros((960, self.channels), dtype=np.int16)
+                z = np.zeros((960 // self.downsample, self.channels),
+                             dtype=np.int16)
                 pend["direct"].append((i, z))
             elif kind == "silk_mute":
                 # hybrid loss: SILK state advances over the empty
@@ -1369,6 +1390,14 @@ class StreamPool:
             self.pcm_out[i].append(self._trim(pcm, lo, te))
 
     def _trim(self, pcm, lo: int, te: int):
+        d = self.downsample
+        if d > 1:
+            # pcm holds 48k-indices {0, d, 2d, ...} of the frame; keep
+            # those >= lo and < N48 - te (same index set the reference's
+            # decimated decode at Fs=48k/d yields)
+            n48 = pcm.shape[0] * d
+            lo = -(-lo // d)
+            te = pcm.shape[0] - (-(-(n48 - te) // d))
         hi = pcm.shape[0] - te
         out = pcm[lo:max(hi, lo)]
         self._stats["samples_out"] += out.shape[0]
@@ -1451,7 +1480,7 @@ class StreamPool:
         outs = _celt_pool_step_packed(
             self.state["decode_mem"], self.state["preemph"],
             jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk,
-            identity=identity)
+            identity=identity, downsample=self.downsample)
         self.state["decode_mem"] = outs[-2]
         self.state["preemph"] = outs[-1]
         return outs[:-2]
@@ -1736,7 +1765,7 @@ class StreamPool:
                 outs = _celt_pool_step_packed(
                     st["decode_mem"], st["preemph"], jnp.asarray(stg),
                     LM=3, C=C, CC=self.channels, chunk=chunk,
-                    identity=ident)
+                    identity=ident, downsample=self.downsample)
             if self.output == "host":
                 for p in outs[:-2]:
                     np.asarray(p)   # prime the int16 D2H path too

@@ -31,3 +31,43 @@ def test_pool_matches_file_decode():
     for i, src in enumerate(srcs):
         ref = decode_file(src, DecoderConfig(channels=1, compat_ref=True))
         assert np.array_equal(outs[i], ref), src
+
+
+@pytest.mark.parametrize("out_fs", [24000, 16000, 8000])
+def test_pool_out_fs_downsampled_output(out_fs):
+    """CELT-only pools can emit decimated PCM straight off the device
+    (reference downsample semantics, src/celt.cpp:1988-2055): per frame
+    the kept samples are the 48k indices {0, d, 2d, ...}, pre-skip and
+    end-trim drop exactly the decimated samples whose 48k index falls
+    in the trimmed ranges."""
+    import numpy as np
+    from esp32_opus_player_tpu.host import opusfile
+    from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    from conftest import fixture_path
+    d = 48000 // out_fs
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    s = opusfile.open_file(src)
+    dec = OpusDecoder(1, compat_ref=True)
+    exp = []
+    for job in s.jobs:
+        pcm48 = dec.decode(job.data)          # (960, 1) int16
+        fr = pcm48[::d]
+        n48 = pcm48.shape[0]
+        lo = -(-job.discard_front // d)
+        keep = -(-(n48 - job.trim_end) // d)
+        exp.append(fr[lo:max(keep, lo)])
+    exp = np.concatenate(exp)
+    out = StreamPool([src] * 2, channels=1, native=True,
+                     compat_ref=True, out_fs=out_fs).run()
+    for o in out:
+        assert np.array_equal(o, exp)
+
+
+def test_pool_out_fs_rejects_silk():
+    import pytest as _pytest
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    from conftest import fixture_path
+    with _pytest.raises(ValueError):
+        StreamPool([str(fixture_path("silk_wb_mono_20ms"))], channels=1,
+                   out_fs=16000)

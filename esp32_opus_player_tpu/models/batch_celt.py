@@ -120,7 +120,8 @@ def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
     freqs = []
     for c in range(C):
         freqs.append(js.denormalise_bands_b(
-            X[:, c], bandE[:, c], start, end, 1 << LM))
+            X[:, c], bandE[:, c], start, end, 1 << LM,
+            downsample=downsample))
     if CC == 1 and C == 2:
         freqs = [(freqs[0] >> 1) + (freqs[1] >> 1)]
     for cc in range(CC):

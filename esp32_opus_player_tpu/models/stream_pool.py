@@ -1760,12 +1760,18 @@ class StreamPool:
             stg[:, 0] = np.arange(cap, dtype=np.int16)
             stg[:, 4] = 21   # end band
             ident = cap == self.state["decode_mem"].shape[0]
+            # compile BOTH packed variants (identity and gather/scatter):
+            # a padded or reordered bucket mid-stream selects the
+            # non-identity program, which would otherwise stall on a
+            # fresh compile — the exact hiccup warmup exists to prevent
+            variants = (True, False) if ident else (False,)
             for chunk in (13, 62):   # both comb-chunk variants
-                st = bc.make_state(cap, self.channels)
-                outs = _celt_pool_step_packed(
-                    st["decode_mem"], st["preemph"], jnp.asarray(stg),
-                    LM=3, C=C, CC=self.channels, chunk=chunk,
-                    identity=ident, downsample=self.downsample)
+                for idv in variants:
+                    st = bc.make_state(cap, self.channels)
+                    outs = _celt_pool_step_packed(
+                        st["decode_mem"], st["preemph"], jnp.asarray(stg),
+                        LM=3, C=C, CC=self.channels, chunk=chunk,
+                        identity=idv, downsample=self.downsample)
             if self.output == "host":
                 for p in outs[:-2]:
                     np.asarray(p)   # prime the int16 D2H path too

@@ -71,11 +71,16 @@ def exp2_frac(x):
     return 16383 + mult16_16_q15(frac, r)
 
 
-def denormalise_bands_b(X, bandLogE, start, end, M):
+def denormalise_bands_b(X, bandLogE, start, end, M, downsample: int = 1):
     """Vectorized denormalise (src/celt.cpp:948) for one channel.
 
     X: (B, N) int32 Q14 spectrum. bandLogE: (B, 21) int32 Q10 (logE).
     start/end: (B,) int32. Returns freq (B, N) int32.
+
+    downsample > 1 caps the spectral bound at N/downsample (the
+    reference's anti-alias clamp before decimated output,
+    src/celt.cpp:957) — without it high-band MDCT energy would alias
+    into the decimated PCM.
     """
     N = M * SHORT_MDCT_SIZE
     lg = bandLogE + (jnp.asarray(_EMEANS[:NB_EBANDS], dtype=I32)[None, :]
@@ -113,8 +118,10 @@ def denormalise_bands_b(X, bandLogE, start, end, M):
 
     band = bin_band[None, :]
     active = (band >= start[:, None]) & (band < end[:, None])
-    # bound zeroing: bins >= M*eBands[end] are cleared
+    # bound zeroing: bins >= min(M*eBands[end], N/downsample) are cleared
     ends = jnp.asarray(_EB, dtype=I32)[end] * M          # (B,)
+    if downsample > 1:
+        ends = jnp.minimum(ends, N // downsample)
     idx = jnp.arange(N, dtype=I32)[None, :]
     active = active & (idx < ends[:, None])
     return jnp.where(active, f, 0)

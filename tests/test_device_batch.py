@@ -76,7 +76,40 @@ def test_pallas_deemphasis_matches_scan():
     assert jnp.array_equal(p1, p2) and jnp.array_equal(m1, m2)
 
 
+@pytest.mark.parametrize("chunk", [13, 62])
+def test_comb_filter_chunk_variants_match_scalar(chunk):
+    """comb_filter_batch's feedback-safe chunk is a pure speed knob: the
+    large-chunk (62) variant the pool selects on TPU when min(T) >= 64
+    must be bit-identical to the always-safe 13 chunking AND to the
+    scalar reference comb (src/celt.cpp:848). Random lags are drawn
+    >= 64 so chunk=62 is legal."""
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.ops.celt import synthesis as ss
+    from esp32_opus_player_tpu.ops.celt.jax_synthesis import \
+        comb_filter_batch
+    rng = np.random.default_rng(7)
+    B, L, start, N = 8, 2168, 2048 - 960, 960
+    buf = rng.integers(-(1 << 24), 1 << 24, (B, L)).astype(np.int64)
+    T0 = rng.integers(64, 1024, B).astype(np.int32)
+    T1 = rng.integers(64, 1024, B).astype(np.int32)
+    g0 = rng.integers(0, 32768, B).astype(np.int32)
+    g1 = rng.integers(0, 32768, B).astype(np.int32)
+    t0 = rng.integers(0, 3, B).astype(np.int32)
+    t1 = rng.integers(0, 3, B).astype(np.int32)
+    got = comb_filter_batch(
+        jnp.asarray(buf, jnp.int32), start, N,
+        jnp.asarray(T0), jnp.asarray(T1), jnp.asarray(g0),
+        jnp.asarray(g1), jnp.asarray(t0), jnp.asarray(t1), chunk=chunk)
+    got = np.asarray(got)
+    for b in range(B):
+        ref = buf[b].copy()
+        ss.comb_filter(ref, start, start, int(T0[b]), int(T1[b]), N,
+                       int(g0[b]), int(g1[b]), int(t0[b]), int(t1[b]))
+        assert np.array_equal(got[b], ref.astype(np.int32)), b
+
+
 @pytest.mark.parametrize("LM,transient", [(3, False), (3, True),
+                                          (2, False), (1, False),
                                           (1, True), (0, False)])
 def test_pallas_fft_imdct_matches_xla(LM, transient):
     """The in-VMEM Pallas FFT core must reproduce the XLA iMDCT path

@@ -35,25 +35,32 @@ def test_pool_matches_file_decode():
 
 @pytest.mark.parametrize("out_fs", [24000, 16000, 8000])
 def test_pool_out_fs_downsampled_output(out_fs):
-    """CELT-only pools can emit decimated PCM straight off the device
-    (reference downsample semantics, src/celt.cpp:1988-2055): per frame
-    the kept samples are the 48k indices {0, d, 2d, ...}, pre-skip and
-    end-trim drop exactly the decimated samples whose 48k index falls
-    in the trimmed ranges."""
+    """CELT-only pools emit decimated PCM bit-exact to the REFERENCE
+    downsample path (src/celt.cpp:957 spectral bound + :1988-2055
+    decimated deemphasis), i.e. the scalar CELTDecoder run with
+    downsample=d — NOT a naive 48k-decode-then-decimate (those differ:
+    the reference zeroes bins >= N/downsample before the iMDCT).
+    Pre-skip and end-trim drop exactly the decimated samples whose 48k
+    index falls in the trimmed ranges."""
     import numpy as np
     from esp32_opus_player_tpu.host import opusfile
-    from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+    from esp32_opus_player_tpu.host.packet import parse_packet
+    from esp32_opus_player_tpu.host.range_decoder import RangeDecoder
+    from esp32_opus_player_tpu.models.celt_decoder import CELTDecoder
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     from conftest import fixture_path
     d = 48000 // out_fs
     src = str(fixture_path("celt_fb_mono_20ms"))
     s = opusfile.open_file(src)
-    dec = OpusDecoder(1, compat_ref=True)
+    cd = CELTDecoder(1, compat_ref=True)
+    cd.downsample = d
     exp = []
     for job in s.jobs:
-        pcm48 = dec.decode(job.data)          # (960, 1) int16
-        fr = pcm48[::d]
-        n48 = pcm48.shape[0]
+        parsed = parse_packet(job.data)
+        pcm = np.zeros(960 // d, dtype=np.int64)
+        cd.decode_with_ec(RangeDecoder(parsed.frames[0]), pcm, 960 // d)
+        fr = np.asarray(pcm, dtype=np.int16).reshape(-1, 1)
+        n48 = 960
         lo = -(-job.discard_front // d)
         keep = -(-(n48 - job.trim_end) // d)
         exp.append(fr[lo:max(keep, lo)])

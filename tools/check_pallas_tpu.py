@@ -57,6 +57,23 @@ def main():
           and np.array_equal(np.asarray(m1), np.asarray(m2)))
     failed += not ok
     print(f"deemphasis: {'BIT-EXACT' if ok else 'MISMATCH'}")
+    # comb chunk variants: the pool flips between 13 and 62 on TPU —
+    # both must agree compiled on silicon (lags drawn >= 64 so 62 is
+    # feedback-safe)
+    buf = jnp.asarray(rng.integers(-(1 << 24), 1 << 24, (B, 2168)),
+                      jnp.int32)
+    T0 = jnp.asarray(rng.integers(64, 1024, B), jnp.int32)
+    T1 = jnp.asarray(rng.integers(64, 1024, B), jnp.int32)
+    g0 = jnp.asarray(rng.integers(0, 32768, B), jnp.int32)
+    g1 = jnp.asarray(rng.integers(0, 32768, B), jnp.int32)
+    t0 = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
+    t1 = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
+    outs = [np.asarray(js.comb_filter_batch(
+        buf, 2048 - 960, 960, T0, T1, g0, g1, t0, t1, chunk=c))
+        for c in (13, 62)]
+    ok = np.array_equal(outs[0], outs[1])
+    failed += not ok
+    print(f"comb chunk 13 vs 62: {'BIT-EXACT' if ok else 'MISMATCH'}")
     if failed:
         sys.exit(f"{failed} kernel comparison(s) FAILED")
     print("all Pallas kernels bit-exact on", backend)

@@ -152,8 +152,15 @@ def celt_synth_step_dual(decode_mem, preemph, X, bandE, start, end,
         dm = dm.at[:, cc, :].set(buf)
 
     syn = dm[:, :, DECODE_BUFFER_SIZE - N:DECODE_BUFFER_SIZE]
-    pcm, preemph = js.deemphasis_batch(syn, preemph,
-                                       downsample=downsample)
+    if pallas_fft:
+        # in-VMEM IIR (time on sublanes) beats the 960-step XLA scan;
+        # TPU-gated like the FFT kernel, same bit-exact semantics
+        from ..ops.celt.pallas_kernels import deemphasis_pallas
+        pcm, preemph = deemphasis_pallas(syn, preemph,
+                                         downsample=downsample)
+    else:
+        pcm, preemph = js.deemphasis_batch(syn, preemph,
+                                           downsample=downsample)
     return pcm, dm, preemph
 
 

@@ -478,7 +478,18 @@ class StreamPool:
         # classify each stream once
         self.path = []
         self._scalar_link = [0] * self.n
+        self._ms_decs: dict[int, object] = {}
         for s in self.streams:
+            head = s.head
+            if head is not None and (head.stream_count > 1
+                                     or head.channel_count > 2):
+                # family-1 surround / multi-stream source: decode through
+                # the multistream layer like the reference's opusfile
+                # always does (src/opusfile.cpp:1238) — classifying from
+                # the first TOC byte would silently decode the composite
+                # packet as one elementary stream (garbage)
+                self.path.append(("ms",))
+                continue
             if s.n_links > 1:
                 # chained streams need decoder resets at link boundaries
                 # (src/opusfile.cpp:835-1133) — scalar path handles that
@@ -576,24 +587,31 @@ class StreamPool:
         self._pending: list = []
         self.pipeline_depth = 2
         self._groups: list = []
+        is_ms = [p[0] == "ms" for p in self.path]
         if native:
             from ..host.native import NativeCELTHost, NativeSilkHost
             self.celt_hosts: list = [None] * self.n
             self.silk_hosts: list = [None] * self.n
             self._build_groups()
             for i in range(self.n):
+                if is_ms[i]:
+                    continue
                 if self.celt_hosts[i] is None:
                     self.celt_hosts[i] = NativeCELTHost(channels)
                 if self.silk_hosts[i] is None:
                     self.silk_hosts[i] = NativeSilkHost()
         else:
             from .celt_decoder import CELTDecoder
-            self.celt_hosts = [CELTDecoder(channels, compat_ref=compat_ref)
-                               for _ in range(self.n)]
+            self.celt_hosts = [None if is_ms[i] else
+                               CELTDecoder(channels, compat_ref=compat_ref)
+                               for i in range(self.n)]
             self.silk_hosts = None
         from .opus_decoder import OpusDecoder
-        self.scalar = [OpusDecoder(channels, compat_ref=compat_ref)
-                       for _ in range(self.n)]
+        # ms rows decode through their OpusMSDecoder (no 1/2-channel
+        # scalar decoder exists for >2ch)
+        self.scalar = [None if is_ms[i] else
+                       OpusDecoder(channels, compat_ref=compat_ref)
+                       for i in range(self.n)]
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
         # that can ever hit each bucket); used always by warmup(), and as
@@ -913,6 +931,20 @@ class StreamPool:
             apply_plc_transition(pch, trk)
             trk.good_frame(pch, host.st[ch])
 
+    def _ms_decoder(self, i: int, link: int):
+        """Per-stream OpusMSDecoder for family-1 surround rows, recreated
+        at chain-link boundaries (op_make_decode_ready, opusfile.cpp:671).
+        """
+        if i not in self._ms_decs or link != self._scalar_link[i]:
+            from .ms_decoder import OpusMSDecoder
+            heads = self.streams[i].link_heads or [self.streams[i].head]
+            head = heads[min(link, len(heads) - 1)]
+            self._ms_decs[i] = OpusMSDecoder(
+                head.channel_count, head.stream_count, head.coupled_count,
+                head.mapping, compat_ref=self.compat_ref)
+            self._scalar_link[i] = link
+        return self._ms_decs[i]
+
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
         if self.positions[i] >= len(s.jobs):
@@ -920,6 +952,10 @@ class StreamPool:
         job = s.jobs[self.positions[i]]
         self.positions[i] += 1
         kind = self.path[i][0]
+        if kind == "ms":
+            dec = self._ms_decoder(i, job.link)
+            pcm = dec.decode(None if lost else job.data)
+            return ("scalar", i, pcm, job)
         if lost:
             return self._host_one_lost(i, kind, job, use_fec)
         if kind == "celt":
@@ -1805,6 +1841,9 @@ class StreamPool:
             kind = self.path[i][0]
             if kind == "scalar":
                 out.append(self.scalar[i].final_range)
+            elif kind == "ms":
+                d = self._ms_decs.get(i)
+                out.append(d.final_range if d is not None else None)
             elif kind in ("celt", "hybrid", "hybrid2"):
                 h = self.celt_hosts[i]
                 r = int(h.st.rng) if self.native else int(h.rng)

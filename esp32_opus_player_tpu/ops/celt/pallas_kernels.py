@@ -41,10 +41,16 @@ def _deemph_kernel(syn_ref, mem_ref, pcm_ref, mem_out_ref, *, n: int):
     mem_out_ref[0:1, :] = m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def deemphasis_pallas(syn, mem, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "downsample"))
+def deemphasis_pallas(syn, mem, interpret: bool = False,
+                      downsample: int = 1):
     """syn: (B, C, N) int32; mem: (B, C) int32.
-    Returns (pcm (B, C, N) int32 int16-range, mem')."""
+    Returns (pcm (B, C, N//downsample) int32 int16-range, mem').
+
+    downsample keeps every d-th output sample (the IIR always runs at
+    48 kHz — reference scratch-then-decimate, src/celt.cpp:2000-2013);
+    the decimation is a static row slice on the kernel's (N, rows)
+    output, free compared to the recurrence."""
     B, C, N = syn.shape
     rows = B * C
     pad = (-rows) % LANES
@@ -77,6 +83,8 @@ def deemphasis_pallas(syn, mem, interpret: bool = False):
         ),
         interpret=interpret,
     )(xt, mt)
-    pcm = pcm_t.T[:rows].reshape(B, C, N)
+    if downsample > 1:
+        pcm_t = pcm_t[::downsample]
+    pcm = pcm_t.T[:rows].reshape(B, C, N // downsample)
     mem2 = m_out[0, :rows].reshape(B, C)
     return pcm, mem2

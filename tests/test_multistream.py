@@ -97,3 +97,21 @@ def test_ms_packet_validation():
     from esp32_opus_player_tpu.host.packet import InvalidPacket
     with pytest.raises(InvalidPacket):
         dec.decode(s.jobs[0].data[:3])   # truncated below 2*streams-1
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_ms51_in_stream_pool(name):
+    """A >2ch family-1 source fed to a StreamPool must decode through
+    the multistream layer (reference always does,
+    src/opusfile.cpp:1238) — bit-exact vs a direct OpusMSDecoder walk —
+    instead of being misclassified from its first TOC byte."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    s, gold, ranges = _load(name)
+    pool = StreamPool([str(fixture_path(name))], channels=6,
+                      native=True, compat_ref=True)
+    assert pool.path[0][0] == "ms"
+    out = pool.run()[0]
+    # pool applies pre-skip/end-trim; gold is the raw frame concat
+    pre = s.jobs[0].discard_front
+    assert np.array_equal(out, gold[pre:pre + out.shape[0]])
+    assert pool.final_ranges()[0] == ranges[len(s.jobs) - 1]["final_range"]

@@ -35,6 +35,21 @@ def timeit(fn, *args, iters=10, name=""):
     return ms
 
 
+def timeit_carry(fn, state, iters=10, name=""):
+    """For steps that DONATE their state args: rebind each call."""
+    t0 = time.time()
+    state = fn(*state)
+    jax.block_until_ready(state)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        state = fn(*state)
+    jax.block_until_ready(state)
+    ms = (time.time() - t0) / iters * 1000
+    print(f"{name:34s} {ms:9.3f} ms   (compile {compile_s:.1f}s)")
+    return ms
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     from esp32_opus_player_tpu.models import batch_celt as bc
@@ -61,12 +76,12 @@ def main():
     st = bc.make_state(B, 1)
     dm, pre = st["decode_mem"], st["preemph"]
 
-    # --- full step baseline
+    # --- full step baseline (state is donated: carry it)
     def full(dm, pre):
         outs = _celt_pool_step_packed(dm, pre, sdev, LM=3, C=1, CC=1,
                                       chunk=62, identity=True)
         return outs[-2], outs[-1]
-    total = timeit(full, dm, pre, name="FULL packed step")
+    total = timeit_carry(full, (dm, pre), name="FULL packed step")
 
     X = jnp.asarray(rng.integers(-8192, 8192, (B, 960), dtype=np.int32))
     bandE = jnp.asarray(rng.integers(0, 1200, (B, 21), dtype=np.int32))

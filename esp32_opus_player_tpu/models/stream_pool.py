@@ -63,41 +63,6 @@ def _pow2_cap(n: int) -> int:
 # latency — round-1's launch sequence (gather ops + step + scatters as
 # separate calls) cost ~35 ms/step at B=256; fused it is ~1 ms.
 
-@functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC", "chunk",
-                                    "downsample"),
-                   donate_argnums=(0, 1))
-def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
-                    LM: int, C: int, CC: int, chunk: int = 13,
-                    downsample: int = 1):
-    """sec: (14, cap) int32 = [start, end, comb1 (6 rows), comb2 (6)];
-    tr: (cap,) bool per-row transient flag.
-
-    The transient flag changes the iMDCT block structure, which is a
-    static property of the compiled program — so BOTH variants run and
-    each row selects its own. Device FLOPs are ~free here; what is scarce
-    is kernel launches and PCM transfers, and folding the flag into data
-    keeps every step at exactly ONE launch per bucket with one compiled
-    program (no per-step transient split, no shape churn)."""
-    start, end = sec[0], sec[1]
-    comb1 = tuple(sec[2 + k] for k in range(6))
-    comb2 = tuple(sec[8 + k] for k in range(6))
-    # X/bandE ship as int16 (halves H2D bytes + saves a host-side cast);
-    # the upcast is free on device
-    X = X.astype(jnp.int32)
-    bandE = bandE.astype(jnp.int32)
-    dm = dm_all[jidx]
-    pre = pre_all[jidx]
-    pcm, dm2, pre2 = celt_synth_step_dual(
-        dm, pre, X, bandE, start, end, comb1, comb2, tr,
-        LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample)
-    # int16 out halves the D2H bytes (pcm is int16-range by construction);
-    # the very first int16 transfer on a tunneled TPU is slow (layout-path
-    # warmup) — warmup() primes it
-    return (pcm.astype(jnp.int16), dm_all.at[jidx].set(dm2),
-            pre_all.at[jidx].set(pre2))
-
-
 # One int16 staging row per stream: [idx_lo, idx_hi, tr, sec (14), pad,
 # bandE (42), X (C*N)]. Every CELT sideband value fits int16 (end<=21,
 # T<=1024, Q15 gains<=32767, tapset<=2), so the WHOLE per-step upload is
@@ -106,18 +71,18 @@ def _celt_pool_step(dm_all, pre_all, jidx, X, bandE, sec, tr, *,
 _CELT_HDR = 18
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC", "d2h_chunks",
-                                    "chunk", "identity", "downsample"),
-                   donate_argnums=(0, 1))
-def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
-                           CC: int, d2h_chunks: int = 4,
-                           chunk: int = 13, identity: bool = False,
-                           downsample: int = 1):
-    """Packed-staging variant of _celt_pool_step: stg (cap, 18+42+C*N)
-    int16. Returns pcm split into d2h_chunks row-chunks — the tunnel
-    moves ~1.5x more bytes/s with several concurrent D2H streams than
-    with one large fetch.
+def _celt_packed_frame(dm_all, pre_all, stg, *, LM: int, C: int, CC: int,
+                       chunk: int, identity: bool, downsample: int):
+    """One packed CELT frame over the pool state (trace-time body shared
+    by the per-frame step and the K-frame superstep). stg:
+    (cap, 18+42+C*N) int16. Returns (pcm int16, dm_all', pre_all').
+
+    The per-row transient flag changes the iMDCT block structure (a
+    static property of the compiled program), so BOTH variants run and
+    each row selects its own — device FLOPs are ~free here; scarce are
+    launches and transfers, and folding the flag into data keeps every
+    step at ONE launch per bucket. X/bandE ship int16 (halves H2D
+    bytes); pcm returns int16 (halves D2H bytes).
 
     identity=True: the bucket covers the whole pool in row order
     (jidx == arange), so the per-row state gather/scatter — a dynamic
@@ -131,25 +96,146 @@ def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
         cap, 2, NB_EBANDS)
     N = SHORT_MDCT_SIZE << LM
     X = stg[:, _CELT_HDR + 2 * NB_EBANDS:].reshape(cap, C, N)
+    start, end = sec[0], sec[1]
+    comb1 = tuple(sec[2 + k] for k in range(6))
+    comb2 = tuple(sec[8 + k] for k in range(6))
     if identity:
-        start, end = sec[0], sec[1]
-        comb1 = tuple(sec[2 + k] for k in range(6))
-        comb2 = tuple(sec[8 + k] for k in range(6))
         pcm, dm2, pre2 = celt_synth_step_dual(
             dm_all, pre_all, X.astype(jnp.int32),
             bandE.astype(jnp.int32), start, end, comb1, comb2, tr,
             LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample)
-        pcm = pcm.astype(jnp.int16)
-    else:
-        jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
-        pcm, dm2, pre2 = _celt_pool_step(dm_all, pre_all, jidx, X,
-                                         bandE, sec, tr, LM=LM, C=C,
-                                         CC=CC, chunk=chunk,
-                                         downsample=downsample)
+        return pcm.astype(jnp.int16), dm2, pre2
+    jidx = (s32[:, 0] & 0xFFFF) | (s32[:, 1] << 16)
+    dm = dm_all[jidx]
+    pre = pre_all[jidx]
+    pcm, dm2, pre2 = celt_synth_step_dual(
+        dm, pre, X.astype(jnp.int32), bandE.astype(jnp.int32),
+        start, end, comb1, comb2, tr,
+        LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample)
+    return (pcm.astype(jnp.int16), dm_all.at[jidx].set(dm2),
+            pre_all.at[jidx].set(pre2))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "d2h_chunks",
+                                    "chunk", "identity", "downsample"),
+                   donate_argnums=(0, 1))
+def _celt_pool_step_packed(dm_all, pre_all, stg, *, LM: int, C: int,
+                           CC: int, d2h_chunks: int = 4,
+                           chunk: int = 13, identity: bool = False,
+                           downsample: int = 1):
+    """Packed-staging step: stg (cap, 18+42+C*N) int16. Returns pcm
+    split into d2h_chunks row-chunks — the tunnel moves ~1.5x more
+    bytes/s with several concurrent D2H streams than with one large
+    fetch."""
+    cap = stg.shape[0]
+    pcm, dm2, pre2 = _celt_packed_frame(
+        dm_all, pre_all, stg, LM=LM, C=C, CC=CC, chunk=chunk,
+        identity=identity, downsample=downsample)
     ck = cap // d2h_chunks
     return tuple(pcm[k * ck:(k + 1) * ck] for k in range(d2h_chunks)) \
         + ((pcm[d2h_chunks * ck:],) if d2h_chunks * ck < cap else ()) \
         + (dm2, pre2)
+
+
+def _celt_packed_frame_T(dmT, pre, stg, *, LM: int, C: int, CC: int,
+                         chunk: int, masked: bool, downsample: int,
+                         interpret: bool = False):
+    """Transposed-layout packed frame over the WHOLE pool (identity
+    rows). stg (cap, W) int16 with the same packing as the row path;
+    col 17 holds the per-row active flag when masked=True (inactive
+    rows — exhausted or lost streams — keep their state bit-for-bit
+    and their pcm is discarded by the host; reference CELT loss leaves
+    state untouched, the pruned celt_decode_lost)."""
+    from ..ops.celt.jax_synthesis_T import celt_synth_step_dual_T
+    cap = stg.shape[0]
+    s32 = stg.astype(jnp.int32)
+    tr = s32[:, 2].astype(bool)
+    sec = s32[:, 3:17].T
+    bandE = s32[:, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS].reshape(
+        cap, 2, NB_EBANDS)
+    N = SHORT_MDCT_SIZE << LM
+    X_T = stg[:, _CELT_HDR + 2 * NB_EBANDS:].astype(jnp.int32) \
+        .reshape(cap, C, N).transpose(1, 2, 0)
+    start, end = sec[0], sec[1]
+    comb1 = tuple(sec[2 + k] for k in range(6))
+    comb2 = tuple(sec[8 + k] for k in range(6))
+    pcmT, dmT2, pre2 = celt_synth_step_dual_T(
+        dmT, pre, X_T, bandE, start, end, comb1, comb2, tr,
+        LM=LM, C=C, CC=CC, chunk=chunk, downsample=downsample,
+        interpret=interpret)
+    if masked:
+        act = s32[:, 17] > 0
+        dmT2 = jnp.where(act[None, None, :], dmT2, dmT)
+        pre2 = jnp.where(act[:, None], pre2, pre)
+    return pcmT.astype(jnp.int16), dmT2, pre2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "d2h_chunks",
+                                    "chunk", "masked", "downsample",
+                                    "interpret"),
+                   donate_argnums=(0, 1))
+def _celt_pool_step_packed_T(dmT, pre, stg, *, LM: int, C: int, CC: int,
+                             d2h_chunks: int = 4, chunk: int = 13,
+                             masked: bool = False, downsample: int = 1,
+                             interpret: bool = False):
+    """Transposed packed step: dmT (CC, L, cap) int32 state. Returns
+    pcmT (CC, Nd, cap) int16 split into d2h lane-chunks + new state."""
+    cap = stg.shape[0]
+    pcmT, dmT2, pre2 = _celt_packed_frame_T(
+        dmT, pre, stg, LM=LM, C=C, CC=CC, chunk=chunk, masked=masked,
+        downsample=downsample, interpret=interpret)
+    ck = cap // d2h_chunks
+    parts = tuple(pcmT[:, :, k * ck:(k + 1) * ck]
+                  for k in range(d2h_chunks))
+    if d2h_chunks * ck < cap:
+        parts += (pcmT[:, :, d2h_chunks * ck:],)
+    return parts + (dmT2, pre2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "chunk", "masked",
+                                    "downsample", "interpret"),
+                   donate_argnums=(0, 1))
+def _celt_pool_superstep_T(dmT, pre, stgK, *, LM: int, C: int, CC: int,
+                           chunk: int = 13, masked: bool = False,
+                           downsample: int = 1,
+                           interpret: bool = False):
+    """K-frame transposed superstep: stgK (K, cap, W) int16 — K frames
+    in ONE device program (lax.scan), ONE upload, ONE pcm fetch.
+    Returns (pcmK (K, CC, Nd, cap) int16, dmT', pre')."""
+    def body(carry, stg):
+        dmT, pre = carry
+        pcmT, dmT2, pre2 = _celt_packed_frame_T(
+            dmT, pre, stg, LM=LM, C=C, CC=CC, chunk=chunk,
+            masked=masked, downsample=downsample, interpret=interpret)
+        return (dmT2, pre2), pcmT
+    (dmT, pre), pcmK = jax.lax.scan(body, (dmT, pre), stgK)
+    return pcmK, dmT, pre
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "chunk", "identity",
+                                    "downsample"),
+                   donate_argnums=(0, 1))
+def _celt_pool_superstep(dm_all, pre_all, stgK, *, LM: int, C: int,
+                         CC: int, chunk: int = 13,
+                         identity: bool = False, downsample: int = 1):
+    """K-frame CELT superstep: stgK (K, cap, W) int16 — K frames of
+    packed staging run as ONE device program (lax.scan over frames,
+    state carried in HBM across iterations). Amortizes the per-launch
+    dispatch/RPC cost K x and lets one H2D upload and one D2H fetch
+    carry K frames — the VERDICT r02 superstep prescription. Returns
+    (pcmK (K, cap, CC, N//downsample) int16, dm', pre')."""
+    def body(carry, stg):
+        dm, pre = carry
+        pcm, dm2, pre2 = _celt_packed_frame(
+            dm, pre, stg, LM=LM, C=C, CC=CC, chunk=chunk,
+            identity=identity, downsample=downsample)
+        return (dm2, pre2), pcm
+    (dm, pre), pcmK = jax.lax.scan(body, (dm_all, pre_all), stgK)
+    return pcmK, dm, pre
 
 
 @functools.partial(jax.jit,
@@ -566,6 +652,27 @@ class StreamPool:
             raise ValueError(
                 "out_fs < 48000 requires a CELT-only pool (the SILK "
                 "resampler bank targets the 48 kHz API rate)")
+
+        # transposed-layout fast mode: uniform CELT pools on TPU carry
+        # decode_mem TRANSPOSED (CC, L, n) and run the fully transposed
+        # synthesis (ops/celt/jax_synthesis_T.py) — no relayouts around
+        # the Pallas FFT, comb postfilter as an in-VMEM per-lane delay
+        # kernel instead of lane gathers (8-100x faster device step)
+        import os as _os
+        self._t_mode = ((jax.default_backend() == "tpu"
+                         or _os.environ.get("OTPU_T_MODE") == "1")
+                        and self.n > 0
+                        and all(p[0] == "celt" for p in self.path))
+        self._t_interp = jax.default_backend() != "tpu"
+        if self._t_mode:
+            from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
+                                                  OVERLAP)
+            self.state = {
+                "decode_mem": jnp.zeros(
+                    (channels, DECODE_BUFFER_SIZE + OVERLAP, self.n),
+                    dtype=I32),
+                "preemph": jnp.zeros((self.n, channels), dtype=I32),
+            }
 
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
@@ -1387,6 +1494,14 @@ class StreamPool:
         celt_pcm: dict[int, np.ndarray] = {}
         silk_pcm: dict[int, np.ndarray] = {}
         for dev, sidx in pend["celt"]:
+            if self._t_mode:
+                # transposed identity step: (CC, Nd, cap) lane-chunks;
+                # stream i's PCM is lane column i
+                arr = np.concatenate([np.asarray(p) for p in dev],
+                                     axis=2)
+                for i in sidx:
+                    celt_pcm[i] = arr[:, :, i].T
+                continue
             if isinstance(dev, tuple):   # packed step: concurrent chunks
                 arr = np.concatenate([np.asarray(p) for p in dev])
             else:
@@ -1474,6 +1589,9 @@ class StreamPool:
         later. transient: (n,) bool per-row."""
         n = len(sidx)
         CC = self.channels
+        if self._t_mode:
+            return self._celt_launch_T(sidx, X, bandE, start, end,
+                                       comb1, comb2, LM, C, transient)
         cap = self._cap_celt if self.fixed_buckets else _pow2_cap(n)
         bk = ("celt", LM, C, CC, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
@@ -1517,6 +1635,50 @@ class StreamPool:
             self.state["decode_mem"], self.state["preemph"],
             jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk,
             identity=identity, downsample=self.downsample)
+        self.state["decode_mem"] = outs[-2]
+        self.state["preemph"] = outs[-1]
+        return outs[:-2]
+
+    def _stage_celt_T(self, sidx, X, bandE, start, end, comb1, comb2,
+                      C, N, transient):
+        """Full-pool staging for the transposed path: active rows get
+        their data, inactive rows (exhausted/lost streams) are
+        neutralized and flagged so the step keeps their state
+        bit-for-bit. Returns (stg, masked)."""
+        cap = self.n
+        stg = np.zeros((cap, _CELT_HDR + 2 * NB_EBANDS + C * N),
+                       dtype=np.int16)
+        rows = np.asarray(sidx, dtype=np.int64)
+        sec = np.concatenate([start[None], end[None], comb1, comb2],
+                             axis=0).astype(np.int32)
+        stg[rows, 2] = np.asarray(transient, dtype=np.int16)
+        stg[rows, 3:17] = sec.T.astype(np.int16)
+        stg[rows, 17] = 1
+        stg[rows, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS] = \
+            bandE.reshape(len(rows), 2 * NB_EBANDS)
+        stg[rows, _CELT_HDR + 2 * NB_EBANDS:] = X.reshape(len(rows),
+                                                          C * N)
+        return stg, len(rows) < cap
+
+    def _celt_launch_T(self, sidx, X, bandE, start, end, comb1, comb2,
+                       LM, C, transient):
+        """Transposed-path dispatch: ONE full-pool identity step (no
+        gather/scatter ever — inactive rows are masked on device)."""
+        CC = self.channels
+        N = SHORT_MDCT_SIZE << LM
+        bk = ("celtT", LM, C, CC, self.n)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        stg, masked = self._stage_celt_T(sidx, X, bandE, start, end,
+                                         comb1, comb2, C, N, transient)
+        # device_put is ASYNC: the 2-4 MB staging upload streams in the
+        # background while the next step's host symbol phase runs (the
+        # tunnel moves ~GB/s pipelined vs ~repo 40-80 MB/s per blocking
+        # call; on PCIe this is free either way)
+        outs = _celt_pool_step_packed_T(
+            self.state["decode_mem"], self.state["preemph"],
+            jax.device_put(stg), LM=LM, C=C, CC=CC, chunk=13,
+            masked=masked, downsample=self.downsample,
+            interpret=self._t_interp)
         self.state["decode_mem"] = outs[-2]
         self.state["preemph"] = outs[-1]
         return outs[:-2]
@@ -1787,6 +1949,28 @@ class StreamPool:
         """Pre-compile the device buckets this pool will hit (both CELT
         transient variants + each SILK rate at full capacity), so the
         first real frames run at steady-state speed."""
+        if self._t_mode:
+            from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
+                                                  OVERLAP)
+            C = 2 if self.channels == 2 else 1
+            cap = self.n
+            stg = np.zeros((cap, _CELT_HDR + 2 * NB_EBANDS + C * 960),
+                           dtype=np.int16)
+            stg[:, 4] = 21
+            stg[:, 17] = 1
+            for masked in (False, True):
+                dmT = jnp.zeros((self.channels,
+                                 DECODE_BUFFER_SIZE + OVERLAP, cap), I32)
+                pre = jnp.zeros((cap, self.channels), I32)
+                outs = _celt_pool_step_packed_T(
+                    dmT, pre, jnp.asarray(stg), LM=3, C=C,
+                    CC=self.channels, chunk=13, masked=masked,
+                    downsample=self.downsample,
+                    interpret=self._t_interp)
+            if self.output == "host":
+                for p in outs[:-2]:
+                    np.asarray(p)
+            return
         if any(p[0] in ("celt", "hybrid", "hybrid2") for p in self.path):
             cap = self._cap_celt
             from . import batch_celt as bc

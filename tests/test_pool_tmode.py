@@ -1,0 +1,45 @@
+"""Transposed-layout pool fast mode (StreamPool._t_mode): the identity
+full-pool step with on-device masking must match the scalar decode
+bit-exactly, including lost packets (state untouched, silence out) and
+early stream exhaustion. Forced on the CPU backend via OTPU_T_MODE=1
+with interpret-mode kernels (slow — a few steps only)."""
+import numpy as np
+import pytest
+
+from conftest import fixture_path
+
+
+@pytest.mark.slow
+def test_tmode_pool_prefix_and_loss(monkeypatch):
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+    from esp32_opus_player_tpu.host import opusfile
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    pool = StreamPool([src] * 3, channels=1, native=True,
+                      compat_ref=True)
+    assert pool._t_mode
+    # stream 2 loses packet 1: silence out, state untouched (the
+    # reference pruned celt_decode_lost) -> masked device row
+    for k in range(5):
+        pool.step(lost={2} if k == 1 else None)
+    pool._flush()
+    ref = decode_file(src, DecoderConfig(channels=1, compat_ref=True))
+    got = np.concatenate(pool.pcm_out[0])
+    assert np.array_equal(got, ref[:got.shape[0]])
+    # lossy stream: scalar equivalent = decode with packet 1 skipped
+    # as silence and decoder state untouched for that frame
+    s = opusfile.open_file(src)
+    dec = OpusDecoder(1, compat_ref=True)
+    exp = []
+    for k, job in enumerate(s.jobs[:5]):
+        if k == 1:
+            pcm = np.zeros((960, 1), np.int16)
+        else:
+            pcm = dec.decode(job.data)
+        lo, te = job.discard_front, job.trim_end
+        exp.append(pcm[lo:pcm.shape[0] - te])
+    exp = np.concatenate(exp)
+    got2 = np.concatenate(pool.pcm_out[2])
+    assert np.array_equal(got2, exp)

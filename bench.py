@@ -87,63 +87,95 @@ def bench_pool_loss(src, B, channels, iters):
 
 
 def bench_host(B=256, reps=3):
-    """Batched C++ symbol phase cost per frame (one call per step)."""
+    """Batched C++ symbol phase cost per frame, measured at every
+    thread count up to the core count (the VERDICT r02 ask: a measured
+    streams-vs-cores curve, not an extrapolation — on a 1-core rig the
+    curve has one point; the loop records whatever the host offers)."""
     import os
     from esp32_opus_player_tpu.host import opusfile
     from esp32_opus_player_tpu.models.host_groups import CeltGroup
     s = opusfile.parse_stream(open(f"{FIX}/celt_fb_mono_20ms.opus",
                                    "rb").read())
-    g = CeltGroup(list(range(B)), [s.jobs] * B, 960, 1, 0, [21] * B)
     npk = len(s.jobs)
     active = np.ones(B, dtype=bool)
-    for k in range(3):
-        g.decode(np.full(B, k, dtype=np.int64), active)
-    t0 = time.time()
-    nfr = 0
-    for _ in range(reps):
-        for k in range(npk):
-            g.decode(np.full(B, k, dtype=np.int64), active)
-            nfr += B
-    per_frame = (time.time() - t0) / nfr
     cores = len(os.sched_getaffinity(0))
-    return per_frame, cores
+    curve = {}
+    threads = [1]
+    while threads[-1] * 2 <= cores:
+        threads.append(threads[-1] * 2)
+    if cores not in threads:
+        threads.append(cores)
+    for nt in threads:
+        g = CeltGroup(list(range(B)), [s.jobs] * B, 960, 1, 0,
+                      [21] * B, n_threads=nt)
+        for k in range(3):
+            g.decode(np.full(B, k, dtype=np.int64), active)
+        t0 = time.time()
+        nfr = 0
+        for _ in range(reps):
+            for k in range(npk):
+                g.decode(np.full(B, k, dtype=np.int64), active)
+                nfr += B
+        curve[nt] = (time.time() - t0) / nfr
+    per_frame = min(curve.values())
+    return per_frame, cores, {str(k): round(v * 1e6, 1)
+                              for k, v in curve.items()}
 
 
-def bench_device(B=2048, iters=12):
-    """Fused device synthesis capacity: the packed identity step chained
-    on-device (synchronized execution, no per-step transfers)."""
+def bench_device(B=2048, iters=12, K=8):
+    """Fused device synthesis capacity, transposed pipeline: the packed
+    identity T-step chained on-device (synchronized execution, no
+    per-step transfers), with VARIED per-stream pitch lags (uniform
+    lags understate nothing here, but varied is the honest workload).
+    Also measures the K-frame superstep (K frames per device program).
+    Returns (streams, ms/frame, compile_s, superstep_streams)."""
     import jax
     import jax.numpy as jnp
-    from esp32_opus_player_tpu.models import batch_celt as bc
     from esp32_opus_player_tpu.models.stream_pool import (
-        _CELT_HDR, _celt_pool_step_packed, NB_EBANDS)
+        _CELT_HDR, _celt_pool_step_packed_T, _celt_pool_superstep_T,
+        NB_EBANDS)
     W = _CELT_HDR + 2 * NB_EBANDS + 960
     rng = np.random.default_rng(0)
     stg = np.zeros((B, W), dtype=np.int16)
+    stg[:, 2] = rng.integers(0, 2, B)                   # transient
     stg[:, 4] = 21
-    stg[:, 5:7] = 200
-    stg[:, 11:13] = 200
+    stg[:, 5:7] = rng.integers(15, 1024, (B, 2))        # comb1 T
+    stg[:, 11:13] = rng.integers(15, 1024, (B, 2))      # comb2 T
     stg[:, 7:9] = 12288
     stg[:, 13:15] = 12288
+    stg[:, 17] = 1
     stg[:, _CELT_HDR:] = rng.integers(-8192, 8192, (B, W - _CELT_HDR),
                                       dtype=np.int16)
     sdev = jnp.asarray(stg)
-    st = bc.make_state(B, 1)
-    dm, pre = st["decode_mem"], st["preemph"]
+    dm = jnp.zeros((1, 2168, B), jnp.int32)
+    pre = jnp.zeros((B, 1), jnp.int32)
     t0 = time.time()
-    outs = _celt_pool_step_packed(dm, pre, sdev, LM=3, C=1, CC=1,
-                                  chunk=62, identity=True)
+    outs = _celt_pool_step_packed_T(dm, pre, sdev, LM=3, C=1, CC=1,
+                                    chunk=13, masked=False)
     dm, pre = outs[-2], outs[-1]
     jax.block_until_ready(dm)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
-        outs = _celt_pool_step_packed(dm, pre, sdev, LM=3, C=1, CC=1,
-                                      chunk=62, identity=True)
+        outs = _celt_pool_step_packed_T(dm, pre, sdev, LM=3, C=1, CC=1,
+                                        chunk=13, masked=False)
         dm, pre = outs[-2], outs[-1]
     jax.block_until_ready(dm)
     step = (time.time() - t0) / iters
-    return B * 0.02 / step, step * 1000, compile_s
+    # K-frame superstep: one program per K frames
+    sK = jnp.asarray(np.broadcast_to(stg, (K,) + stg.shape).copy())
+    pcmK, dm, pre = _celt_pool_superstep_T(dm, pre, sK, LM=3, C=1,
+                                           CC=1, chunk=13, masked=False)
+    jax.block_until_ready(dm)
+    t0 = time.time()
+    for _ in range(max(iters // 2, 2)):
+        pcmK, dm, pre = _celt_pool_superstep_T(dm, pre, sK, LM=3, C=1,
+                                               CC=1, chunk=13,
+                                               masked=False)
+    jax.block_until_ready(dm)
+    sstep = (time.time() - t0) / max(iters // 2, 2) / K
+    return (B * 0.02 / step, step * 1000, compile_s,
+            B * 0.02 / sstep)
 
 
 def bench_link():
@@ -175,18 +207,21 @@ def main():
     print(f"# device: {dev}, B={B}", file=sys.stderr)
     _force_sync_mode()
 
-    dev_streams, dev_ms, compile_s = bench_device()
-    print(f"# device synthesis (fused packed step, synchronized): "
-          f"{dev_ms:.1f} ms/step at B=2048 -> {dev_streams:.0f} realtime "
-          f"streams/chip (compile {compile_s:.0f}s)", file=sys.stderr)
+    dev_streams, dev_ms, compile_s, sstep_streams = bench_device()
+    print(f"# device synthesis (transposed fused step, synchronized, "
+          f"varied lags): {dev_ms:.1f} ms/frame at B=2048 -> "
+          f"{dev_streams:.0f} realtime streams/chip; K=8 superstep -> "
+          f"{sstep_streams:.0f} (compile {compile_s:.0f}s)",
+          file=sys.stderr)
 
-    host_frame, cores = bench_host()
+    host_frame, cores, host_curve = bench_host()
     host_streams_core = 0.02 / host_frame
     cores_for_10k = int(np.ceil(10000 / host_streams_core))
     print(f"# host symbol phase (batched C++): "
           f"{host_frame * 1e6:.0f} us/frame/core -> "
           f"{host_streams_core:.0f} streams/core; {cores_for_10k} cores "
-          f"for 10k ({cores} core(s) here)", file=sys.stderr)
+          f"for 10k ({cores} core(s) here; us/frame by threads: "
+          f"{host_curve})", file=sys.stderr)
 
     h2d, d2h = bench_link()
     print(f"# link: H2D {h2d:.0f} MB/s, D2H {d2h:.0f} MB/s "
@@ -224,6 +259,8 @@ def main():
         "configs": configs,
         "components": {
             "device_synthesis_streams": round(dev_streams),
+            "device_superstep_streams": round(sstep_streams),
+            "host_symbol_us_per_frame_by_threads": host_curve,
             "host_symbol_us_per_frame_per_core": round(host_frame * 1e6,
                                                        1),
             "host_streams_per_core": round(host_streams_core),

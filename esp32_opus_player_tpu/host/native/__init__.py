@@ -230,7 +230,44 @@ def _bind_silk(lib):
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
         I32P, I32P]
     lib.silk_host_reset.argtypes = [ctypes.POINTER(SilkHostState)]
+    lib.silk_nlsf2a_batch_c.restype = None
+    lib.silk_nlsf2a_batch_c.argtypes = [I32P, ctypes.c_int,
+                                        ctypes.c_int, I32P]
+    lib.silk_lpc_inv_pred_gain_batch_c.restype = None
+    lib.silk_lpc_inv_pred_gain_batch_c.argtypes = [I32P, ctypes.c_int,
+                                                   ctypes.c_int, I32P]
     lib._silk_bound = True
+
+
+def nlsf2a_batch(nlsf_q15: "np.ndarray", order: int) -> "np.ndarray":
+    """Native batched silk_NLSF2A (src/silk.cpp:642): nlsf_q15
+    (n, 16) int32 -> a_q12 (n, 16) int32 (cols >= order zero)."""
+    import numpy as np
+    lib = load()
+    _bind_silk(lib)
+    nlsf = np.ascontiguousarray(nlsf_q15, dtype=np.int32)
+    n = nlsf.shape[0]
+    out = np.empty((n, 16), dtype=np.int32)
+    lib.silk_nlsf2a_batch_c(
+        nlsf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, order,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def lpc_inverse_pred_gain_batch(a_q12: "np.ndarray",
+                                order: int) -> "np.ndarray":
+    """Native batched silk_LPC_inverse_pred_gain (src/silk.cpp:2359):
+    a_q12 (n, 16) int32 -> invGain_Q30 (n,) int32 (0 = unstable)."""
+    import numpy as np
+    lib = load()
+    _bind_silk(lib)
+    a = np.ascontiguousarray(a_q12, dtype=np.int32)
+    n = a.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    lib.silk_lpc_inv_pred_gain_batch_c(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, order,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 class NativeSilkHost:

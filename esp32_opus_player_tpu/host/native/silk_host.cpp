@@ -973,4 +973,27 @@ int silk_host_packet_c(const unsigned char* data, int len, int fs_khz,
     return 0;
 }
 
+// Batched NLSF->LPC and prediction-gain helpers for the PLC/CNG host
+// prep (silk_NLSF2A src/silk.cpp:642, silk_LPC_inverse_pred_gain
+// :2359): the python conceal-prep path spends ~70% of its time in the
+// scalar-python versions of these two; one call here converts a whole
+// lost-set's worth in microseconds.
+void silk_nlsf2a_batch_c(const i32* nlsf_q15 /* (n, MAX_LPC_ORDER) */,
+                         int n, int order,
+                         i32* a_q12_out /* (n, MAX_LPC_ORDER) */) {
+    for (int i = 0; i < n; i++) {
+        nlsf2a(nlsf_q15 + (size_t)i * MAX_LPC_ORDER, order,
+               a_q12_out + (size_t)i * MAX_LPC_ORDER);
+        for (int k = order; k < MAX_LPC_ORDER; k++)
+            a_q12_out[(size_t)i * MAX_LPC_ORDER + k] = 0;
+    }
+}
+
+void silk_lpc_inv_pred_gain_batch_c(const i32* a_q12, int n, int order,
+                                    i32* gain_out /* (n,) */) {
+    for (int i = 0; i < n; i++)
+        gain_out[i] = lpc_inverse_pred_gain(
+            a_q12 + (size_t)i * MAX_LPC_ORDER, order);
+}
+
 }  // extern "C"

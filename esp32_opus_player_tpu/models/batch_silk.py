@@ -296,6 +296,33 @@ def apply_plc_transition(p, trk) -> None:
     p["inv"][0] = m.LSHIFT32(m.SMULWB(inv, int(p["ltp_scale"])), 2)
 
 
+def _nlsf2a_fast(nlsf_q15, order: int):
+    """Native batched silk_NLSF2A when the C engine is loadable (~200x
+    the scalar-python walk — the conceal prep's hottest call), python
+    fallback otherwise. Returns (16,) int32 a_q12."""
+    try:
+        from ..host.native import nlsf2a_batch
+        nl = np.zeros((1, MAX_LPC_ORDER), dtype=np.int32)
+        nl[0, :len(nlsf_q15)] = nlsf_q15
+        return nlsf2a_batch(nl, order)[0]
+    except OSError:
+        from ..ops.silk.nlsf import nlsf2a
+        out = np.zeros(MAX_LPC_ORDER, dtype=I32)
+        out[:order] = nlsf2a(nlsf_q15, order)
+        return out
+
+
+def _lpc_inv_gain_fast(a_q12, order: int):
+    try:
+        from ..host.native import lpc_inverse_pred_gain_batch
+        a = np.zeros((1, MAX_LPC_ORDER), dtype=np.int32)
+        a[0, :len(a_q12)] = a_q12
+        return int(lpc_inverse_pred_gain_batch(a, order)[0])
+    except OSError:
+        from ..ops.silk.nlsf import lpc_inverse_pred_gain
+        return lpc_inverse_pred_gain(a_q12, order)
+
+
 _M32 = 0xFFFFFFFF
 
 
@@ -450,7 +477,7 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
             rand_scale_q14 = m.s16(
                 m.SMULBB(rand_scale_q14, ch.plc_prevLTP_scale_Q14) >> 14)
         else:
-            inv_gain_q30 = lpc_inverse_pred_gain(ch.plc_prevLPC_Q12, order)
+            inv_gain_q30 = _lpc_inv_gain_fast(ch.plc_prevLPC_Q12, order)
             down_q30 = min((1 << 30) >> sp.LOG2_INV_LPC_GAIN_HIGH_THRES,
                            inv_gain_q30)
             down_q30 = max((1 << 30) >> sp.LOG2_INV_LPC_GAIN_LOW_THRES,
@@ -514,8 +541,7 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
     frame_len = ch.frame_length
     cng_exc, ch.cng_rand_seed = _cng_exc_np(
         ch.cng_exc_buf_Q14, frame_len, ch.cng_rand_seed)
-    cng_a_q12 = np.zeros(MAX_LPC_ORDER, dtype=I32)
-    cng_a_q12[:order] = nlsf2a(ch.cng_smth_NLSF_Q15, order)
+    cng_a_q12 = _nlsf2a_fast(ch.cng_smth_NLSF_Q15, order)
 
     ch.lossCnt += 1                      # silk_PLC (:2875)
     ch.plc_last_frame_lost = 1           # glue bookkeeping (device energy)

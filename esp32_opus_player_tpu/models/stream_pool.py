@@ -664,6 +664,14 @@ class StreamPool:
                         and self.n > 0
                         and all(p[0] == "celt" for p in self.path))
         self._t_interp = jax.default_backend() != "tpu"
+        # single dispatch thread: device calls (which block per-dispatch
+        # on a tunneled device) run off the main thread so the next
+        # step's host phase overlaps them; calls stay serialized (state
+        # chains step to step)
+        self._dev_exec = None
+        if self._t_mode and not self._t_interp:
+            from concurrent.futures import ThreadPoolExecutor
+            self._dev_exec = ThreadPoolExecutor(1)
         if self._t_mode:
             from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
                                                   OVERLAP)
@@ -1495,6 +1503,8 @@ class StreamPool:
         silk_pcm: dict[int, np.ndarray] = {}
         for dev, sidx in pend["celt"]:
             if self._t_mode:
+                if hasattr(dev, "result"):
+                    dev = dev.result()     # dispatch-thread future
                 # transposed identity step: (CC, Nd, cap) lane-chunks;
                 # stream i's PCM is lane column i
                 arr = np.concatenate([np.asarray(p) for p in dev],
@@ -1670,18 +1680,27 @@ class StreamPool:
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         stg, masked = self._stage_celt_T(sidx, X, bandE, start, end,
                                          comb1, comb2, C, N, transient)
-        # device_put is ASYNC: the 2-4 MB staging upload streams in the
-        # background while the next step's host symbol phase runs (the
-        # tunnel moves ~GB/s pipelined vs ~repo 40-80 MB/s per blocking
-        # call; on PCIe this is free either way)
-        outs = _celt_pool_step_packed_T(
-            self.state["decode_mem"], self.state["preemph"],
-            jax.device_put(stg), LM=LM, C=C, CC=CC, chunk=13,
-            masked=masked, downsample=self.downsample,
-            interpret=self._t_interp)
-        self.state["decode_mem"] = outs[-2]
-        self.state["preemph"] = outs[-1]
-        return outs[:-2]
+
+        def run():
+            # device_put is ASYNC: the 2-4 MB staging upload streams in
+            # the background; on a tunneled device every dispatch then
+            # BLOCKS in synchronized mode, which is why this runs on
+            # the dedicated dispatch thread — the main thread's next
+            # host symbol phase (GIL-free C++) overlaps the blocked RPC
+            # (SURVEY §2.7 frame pipeline parallelism, measurable:
+            # e2e < host + device + link sum)
+            outs = _celt_pool_step_packed_T(
+                self.state["decode_mem"], self.state["preemph"],
+                jax.device_put(stg), LM=LM, C=C, CC=CC, chunk=13,
+                masked=masked, downsample=self.downsample,
+                interpret=self._t_interp)
+            self.state["decode_mem"] = outs[-2]
+            self.state["preemph"] = outs[-1]
+            return outs[:-2]
+
+        if self._dev_exec is not None:
+            return self._dev_exec.submit(run)
+        return run()
 
     # ------------------------------------------------------------------
     _SILK_KEYS = ("exc", "A", "B", "gains", "inv", "lag", "voiced",
@@ -2055,6 +2074,12 @@ class StreamPool:
         windows in device-output mode, where nothing else blocks."""
         self._flush()
         import jax
+        if self._dev_exec is not None:
+            # join the dispatch thread: its queue drains in order, so a
+            # barrier task proves every submitted step executed
+            self._dev_exec.submit(
+                lambda: jax.block_until_ready(
+                    self.state["decode_mem"])).result()
         jax.block_until_ready(self.state["decode_mem"])
         for st in list(self.silk_buckets.values()) \
                 + list(self.silk2_buckets.values()):
@@ -2078,7 +2103,7 @@ class StreamPool:
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the complete decode state (device pytrees, native host
         structs, scalar decoders, cursors) for preemptible-safe resume."""
-        self._flush()
+        self.sync()     # flush + join the dispatch thread before reading
         from ..utils import checkpoint
         checkpoint.save(self, path)
 

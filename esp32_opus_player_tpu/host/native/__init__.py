@@ -202,6 +202,33 @@ class SilkHostState(ctypes.Structure):
     ]
 
 
+class PlcTrackerState(ctypes.Structure):
+    """Mirror of PlcTrackerC (silk_host.cpp) — the native PLC/CNG
+    concealment-state tracker (reference silk_PLC src/silk.cpp:2871,
+    silk_CNG :1342). Scalars first, then the fixed arrays."""
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "fs_kHz", "nb_subfr", "subfr_length", "frame_length",
+        "ltp_mem_length", "LPC_order",
+        "lossCnt", "prevSignalType", "ind_signalType",
+        "first_frame_after_reset", "lagPrev", "LastGainIndex",
+        "cng_smth_Gain_Q16", "cng_rand_seed", "cng_fs_kHz",
+        "plc_pitchL_Q8", "plc_last_frame_lost", "plc_rand_seed",
+        "plc_randScale_Q14",
+        "plc_conc_energy", "plc_conc_energy_shift",
+        "plc_prevLTP_scale_Q14",
+        "plc_fs_kHz", "plc_subfr_length", "plc_nb_subfr",
+    )] + [
+        ("plc_prevGain_Q16", ctypes.c_int32 * 2),
+        ("plc_LTPCoef_Q14", ctypes.c_int32 * 5),
+        ("plc_prevLPC_Q12", ctypes.c_int32 * 16),
+        ("prevNLSF_Q15", ctypes.c_int32 * 16),
+        ("cng_smth_NLSF_Q15", ctypes.c_int32 * 16),
+        ("cng_synth_state", ctypes.c_int32 * 16),
+        ("exc_Q14", ctypes.c_int32 * 320),
+        ("cng_exc_buf_Q14", ctypes.c_int32 * 320),
+    ]
+
+
 def _bind_silk(lib):
     if getattr(lib, "_silk_bound", False):
         return
@@ -236,6 +263,19 @@ def _bind_silk(lib):
     lib.silk_lpc_inv_pred_gain_batch_c.restype = None
     lib.silk_lpc_inv_pred_gain_batch_c.argtypes = [I32P, ctypes.c_int,
                                                    ctypes.c_int, I32P]
+    lib.plc_trk_good_c.restype = None
+    lib.plc_trk_good_c.argtypes = [
+        ctypes.POINTER(PlcTrackerState), I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P, I32P]
+    lib.plc_trk_good_batch_c.restype = None
+    lib.plc_trk_good_batch_c.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(PlcTrackerState)), I32P,
+        ctypes.c_int, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        ctypes.c_int]
+    lib.plc_trk_conceal_prep_c.restype = None
+    lib.plc_trk_conceal_prep_c.argtypes = [
+        ctypes.POINTER(PlcTrackerState), I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P]
     lib._silk_bound = True
 
 

@@ -973,6 +973,182 @@ int silk_host_packet_c(const unsigned char* data, int len, int fs_khz,
     return 0;
 }
 
+}  // extern "C"
+
+// ===================================================================
+// PLC/CNG tracker: the native port of models/batch_silk.py's
+// NativePlcTracker + conceal prep (reference silk_PLC src/silk.cpp:
+// 2871-3185, silk_CNG :1305-1432). rfc_plc pools previously ran this
+// ~0.6 ms/stream of scalar python per lost frame and ~30 us/stream of
+// good-frame bookkeeping per decoded frame — at 10% loss over
+// thousands of streams that Python dominated the loss configs. The
+// struct layout mirrors host/native/__init__.py::PlcTrackerState.
+
+struct PlcTrackerC {
+    i32 fs_kHz, nb_subfr, subfr_length, frame_length, ltp_mem_length,
+        LPC_order;
+    i32 lossCnt, prevSignalType, ind_signalType;
+    i32 first_frame_after_reset, lagPrev, LastGainIndex;
+    i32 cng_smth_Gain_Q16, cng_rand_seed, cng_fs_kHz;
+    i32 plc_pitchL_Q8, plc_last_frame_lost, plc_rand_seed,
+        plc_randScale_Q14;
+    i32 plc_conc_energy, plc_conc_energy_shift, plc_prevLTP_scale_Q14;
+    i32 plc_fs_kHz, plc_subfr_length, plc_nb_subfr;
+    i32 plc_prevGain_Q16[2];
+    i32 plc_LTPCoef_Q14[5];
+    i32 plc_prevLPC_Q12[MAX_LPC_ORDER];
+    i32 prevNLSF_Q15[MAX_LPC_ORDER];
+    i32 cng_smth_NLSF_Q15[MAX_LPC_ORDER];
+    i32 cng_synth_state[MAX_LPC_ORDER];
+    i32 exc_Q14[320];
+    i32 cng_exc_buf_Q14[320];
+};
+
+namespace plc {
+
+constexpr i32 HARM_ATT_Q15[2] = {32440, 31130};
+constexpr i32 RAND_ATT_V_Q15[2] = {31130, 26214};
+constexpr i32 RAND_ATT_UV_Q15[2] = {32440, 29491};
+constexpr i32 V_PITCH_GAIN_START_MIN_Q14 = 11469;
+constexpr i32 V_PITCH_GAIN_START_MAX_Q14 = 15565;
+constexpr i32 PITCH_DRIFT_FAC_Q16 = 655;
+constexpr i32 BWE_COEF_Q16 = 64881;
+constexpr i32 BWE_AFTER_LOSS_Q16 = 63570;
+constexpr i32 CNG_GAIN_SMTH_Q16 = 4634;
+constexpr i32 CNG_NLSF_SMTH_Q16 = 16348;
+constexpr int TYPE_NO_VOICE_ACTIVITY = 0;
+
+static inline i32 SMULTT(i32 a, i32 b) {
+    return (i32)((u32)(a >> 16) * (u32)(b >> 16));
+}
+static inline i32 ROR32(i32 a, int rot) {
+    u32 x = (u32)a;
+    if (rot == 0) return (i32)x;
+    if (rot < 0) { int s = -rot; return (i32)((x << s) | (x >> (32 - s))); }
+    return (i32)((x << (32 - rot)) | (x >> rot));
+}
+static inline i32 SQRT_APPROX(i32 x) {
+    if (x <= 0) return 0;
+    int lz = CLZ32(x);
+    i32 frac_q7 = ROR32(x, 24 - lz) & 0x7F;
+    i32 y = (lz & 1) ? 32768 : 46214;
+    y >>= (lz >> 1);
+    return SMLAWB(y, y, SMULBB(213, frac_q7));
+}
+
+// silk_sum_sqr_shift (src/silk.cpp:3839)
+static void sum_sqr_shift(const i32* x, int length, i32* energy,
+                          i32* shift) {
+    int shft = 31 - CLZ32(length);
+    i32 nrg = length;
+    int i = 0;
+    for (; i < length - 1; i += 2) {
+        i32 t = SMULBB(x[i], x[i]);
+        t = (i32)((u32)t + (u32)SMULBB(x[i + 1], x[i + 1]));
+        nrg = (i32)((u32)nrg + ((u32)t >> shft));
+    }
+    if (i < length)
+        nrg = (i32)((u32)nrg + ((u32)SMULBB(x[i], x[i]) >> shft));
+    shft = std::max(0, shft + 3 - CLZ32(nrg));
+    nrg = 0;
+    for (i = 0; i < length - 1; i += 2) {
+        i32 t = SMULBB(x[i], x[i]);
+        t = (i32)((u32)t + (u32)SMULBB(x[i + 1], x[i + 1]));
+        nrg = (i32)((u32)nrg + ((u32)t >> shft));
+    }
+    if (i < length)
+        nrg = (i32)((u32)nrg + ((u32)SMULBB(x[i], x[i]) >> shft));
+    *energy = nrg;
+    *shift = shft;
+}
+
+static void plc_reset(PlcTrackerC* t) {           // silk_PLC_Reset :2862
+    t->plc_pitchL_Q8 = LSHIFT32(t->frame_length, 7);
+    t->plc_prevGain_Q16[0] = 1 << 16;
+    t->plc_prevGain_Q16[1] = 1 << 16;
+    t->plc_subfr_length = 20;
+    t->plc_nb_subfr = 2;
+}
+
+static void cng_reset(PlcTrackerC* t) {           // silk_CNG_Reset :1327
+    i32 step = 32767 / (t->LPC_order + 1);
+    i32 acc = 0;
+    for (int i = 0; i < MAX_LPC_ORDER; i++) t->cng_smth_NLSF_Q15[i] = 0;
+    for (int i = 0; i < t->LPC_order; i++) {
+        acc += step;
+        t->cng_smth_NLSF_Q15[i] = acc;
+    }
+    t->cng_smth_Gain_Q16 = 0;
+    t->cng_rand_seed = 3176576;
+}
+
+// silk_PLC_update (:2895). ctrl arrays: gains[4] Q16, B[4*5] Q14,
+// lag[4], A1[order] (second-half PredCoef), ltp_scale Q14.
+static void update(PlcTrackerC* t, const i32* gains, const i32* B,
+                   const i32* lag, const i32* A1, i32 ltp_scale) {
+    t->prevSignalType = t->ind_signalType;
+    i32 ltp_gain_q14 = 0;
+    if (t->ind_signalType == TYPE_VOICED) {
+        for (int j = 0; j * t->subfr_length < lag[t->nb_subfr - 1];
+             j++) {
+            if (j == t->nb_subfr) break;
+            i32 temp = 0;
+            for (int i = 0; i < LTP_ORDER; i++)
+                temp += B[(t->nb_subfr - 1 - j) * LTP_ORDER + i];
+            if (temp > ltp_gain_q14) {
+                ltp_gain_q14 = temp;
+                for (int i = 0; i < LTP_ORDER; i++)
+                    t->plc_LTPCoef_Q14[i] =
+                        B[(t->nb_subfr - 1 - j) * LTP_ORDER + i];
+                t->plc_pitchL_Q8 = LSHIFT32(lag[t->nb_subfr - 1 - j], 8);
+            }
+        }
+        for (int i = 0; i < LTP_ORDER; i++) t->plc_LTPCoef_Q14[i] = 0;
+        t->plc_LTPCoef_Q14[LTP_ORDER / 2] = ltp_gain_q14;
+        if (ltp_gain_q14 < V_PITCH_GAIN_START_MIN_Q14) {
+            i32 sc = LSHIFT32(V_PITCH_GAIN_START_MIN_Q14, 10)
+                / std::max(ltp_gain_q14, (i32)1);
+            for (int i = 0; i < LTP_ORDER; i++)
+                t->plc_LTPCoef_Q14[i] =
+                    SMULBB(t->plc_LTPCoef_Q14[i], sc) >> 10;
+        } else if (ltp_gain_q14 > V_PITCH_GAIN_START_MAX_Q14) {
+            i32 sc = LSHIFT32(V_PITCH_GAIN_START_MAX_Q14, 14)
+                / std::max(ltp_gain_q14, (i32)1);
+            for (int i = 0; i < LTP_ORDER; i++)
+                t->plc_LTPCoef_Q14[i] =
+                    SMULBB(t->plc_LTPCoef_Q14[i], sc) >> 14;
+        }
+    } else {
+        t->plc_pitchL_Q8 = LSHIFT32(SMULBB(t->fs_kHz, 18), 8);
+        for (int i = 0; i < LTP_ORDER; i++) t->plc_LTPCoef_Q14[i] = 0;
+    }
+    for (int i = 0; i < t->LPC_order; i++)
+        t->plc_prevLPC_Q12[i] = A1[i];
+    t->plc_prevLTP_scale_Q14 = ltp_scale;
+    t->plc_prevGain_Q16[0] = gains[t->nb_subfr - 2];
+    t->plc_prevGain_Q16[1] = gains[t->nb_subfr - 1];
+    t->plc_subfr_length = t->subfr_length;
+    t->plc_nb_subfr = t->nb_subfr;
+}
+
+// silk_PLC_energy (:2957)
+static void energy(PlcTrackerC* t, const i32 prev_gain_q10[2],
+                   i32* e1, i32* s1, i32* e2, i32* s2) {
+    int sl = t->subfr_length;
+    i32 buf[2 * 120];
+    for (int k = 0; k < 2; k++)
+        for (int i = 0; i < sl; i++)
+            buf[k * sl + i] = SAT16(SMULWW(
+                t->exc_Q14[i + (k + t->nb_subfr - 2) * sl],
+                prev_gain_q10[k]) >> 8);
+    sum_sqr_shift(buf, sl, e1, s1);
+    sum_sqr_shift(buf + sl, sl, e2, s2);
+}
+
+}  // namespace plc
+
+extern "C" {
+
 // Batched NLSF->LPC and prediction-gain helpers for the PLC/CNG host
 // prep (silk_NLSF2A src/silk.cpp:642, silk_LPC_inverse_pred_gain
 // :2359): the python conceal-prep path spends ~70% of its time in the
@@ -994,6 +1170,222 @@ void silk_lpc_inv_pred_gain_batch_c(const i32* a_q12, int n, int order,
     for (int i = 0; i < n; i++)
         gain_out[i] = lpc_inverse_pred_gain(
             a_q12 + (size_t)i * MAX_LPC_ORDER, order);
+}
+
+// apply_plc_transition + good-frame tracker ingest for one decoded
+// frame (silk_decode_parameters :858 post-loss BWE, silk_decode_core
+// :1871 voiced->unvoiced handoff, silk_PLC_update :2895, silk_CNG
+// :1342 good branch). A/B/gains/inv/lag/flags are row pointers into
+// the group buffers and are MUTATED for the post-loss transition
+// exactly like the python path. misc: the 24-col row (signalType @0,
+// lagPrev @3, LTP_scale @4, NLSF_Q15 @8..23). exc: frame_length.
+void plc_trk_good_c(PlcTrackerC* t, i32* A, i32* B, i32* gains,
+                    i32* inv, i32* lag, i32* flags, const i32* exc,
+                    const i32* misc) {
+    int order = t->LPC_order;
+    i32 signal_type = misc[0];
+    i32 lag_prev = misc[3];
+    i32 ltp_scale = misc[4];
+    const i32* nlsf = misc + 8;
+    if (t->lossCnt) {
+        for (int half = 0; half < 2; half++) {
+            i32 a[MAX_LPC_ORDER];
+            for (int k = 0; k < order; k++)
+                a[k] = A[half * MAX_LPC_ORDER + k];
+            bwexpander16(a, order, plc::BWE_AFTER_LOSS_Q16);
+            for (int k = 0; k < order; k++)
+                A[half * MAX_LPC_ORDER + k] = a[k];
+        }
+        if (t->prevSignalType == TYPE_VOICED
+                && signal_type != TYPE_VOICED) {
+            for (int k = 0; k < 2; k++) {
+                for (int i = 0; i < LTP_ORDER; i++)
+                    B[k * LTP_ORDER + i] = i == 2 ? 4096 : 0;
+                flags[k] = 1;                       // voiced[k]
+                lag[k] = t->lagPrev;
+            }
+            flags[4] = 1;                           // rewhiten[0]
+            i32 iv = INVERSE32_varQ(gains[0], 47);
+            inv[0] = LSHIFT32(SMULWB(iv, ltp_scale), 2);
+        }
+    }
+    t->ind_signalType = signal_type;
+    for (int i = 0; i < t->frame_length; i++) t->exc_Q14[i] = exc[i];
+    if (t->fs_kHz != t->plc_fs_kHz) {
+        plc::plc_reset(t);
+        t->plc_fs_kHz = t->fs_kHz;
+    }
+    plc::update(t, gains, B, lag, A + MAX_LPC_ORDER, ltp_scale);
+    t->lossCnt = 0;
+    for (int i = 0; i < order; i++) t->prevNLSF_Q15[i] = nlsf[i];
+    if (t->fs_kHz != t->cng_fs_kHz
+            || t->prevSignalType == plc::TYPE_NO_VOICE_ACTIVITY) {
+        // silk_CNG good-branch body (:1342)
+        if (t->fs_kHz != t->cng_fs_kHz) {
+            plc::cng_reset(t);
+            t->cng_fs_kHz = t->fs_kHz;
+        }
+        if (t->prevSignalType == plc::TYPE_NO_VOICE_ACTIVITY) {
+            for (int i = 0; i < order; i++)
+                t->cng_smth_NLSF_Q15[i] += SMULWB(
+                    t->prevNLSF_Q15[i] - t->cng_smth_NLSF_Q15[i],
+                    plc::CNG_NLSF_SMTH_Q16);
+            i32 max_gain = 0;
+            int subfr = 0;
+            for (int i = 0; i < t->nb_subfr; i++)
+                if (gains[i] > max_gain) {
+                    max_gain = gains[i];
+                    subfr = i;
+                }
+            int sl = t->subfr_length;
+            memmove(t->cng_exc_buf_Q14 + sl, t->cng_exc_buf_Q14,
+                    (size_t)(t->nb_subfr - 1) * sl * sizeof(i32));
+            memcpy(t->cng_exc_buf_Q14, t->exc_Q14 + subfr * sl,
+                   (size_t)sl * sizeof(i32));
+            for (int i = 0; i < t->nb_subfr; i++)
+                t->cng_smth_Gain_Q16 += SMULWB(
+                    gains[i] - t->cng_smth_Gain_Q16,
+                    plc::CNG_GAIN_SMTH_Q16);
+        }
+    }
+    for (int i = 0; i < MAX_LPC_ORDER; i++) t->cng_synth_state[i] = 0;
+    t->prevSignalType = t->ind_signalType;
+    t->first_frame_after_reset = 0;
+    t->lagPrev = lag_prev;
+}
+
+// Batched good-frame ingest over selected group rows (the rfc_plc
+// post-pass, stream_pool._rfc_silk_post): trks[j] handles buffer row
+// rows[j]. frame_len = samples per device frame.
+void plc_trk_good_batch_c(PlcTrackerC** trks, const i32* rows, int n,
+                          i32* A, i32* B, i32* gains, i32* inv,
+                          i32* lag, i32* flags, i32* exc, i32* misc,
+                          int frame_len) {
+    for (int j = 0; j < n; j++) {
+        i32 r = rows[j];
+        plc_trk_good_c(trks[j], A + (size_t)r * 2 * MAX_LPC_ORDER,
+                       B + (size_t)r * MAX_NB_SUBFR * LTP_ORDER,
+                       gains + (size_t)r * 4, inv + (size_t)r * 4,
+                       lag + (size_t)r * 4, flags + (size_t)r * 12,
+                       exc + (size_t)r * frame_len,
+                       misc + (size_t)r * 24);
+    }
+}
+
+// Conceal prep for one lost 20 (or 10) ms frame: the host half of
+// silk_PLC_conceal (:2973) + silk_CNG (:1342 loss branch) — the
+// rand-seed walk, per-subframe LTP decay and pitch drift, bandwidth
+// expansion of the previous LPC, CNG excitation/gain. Mutates the
+// tracker exactly like a scalar concealed frame and emits the device
+// kernel inputs. scalars out: [inv_gain_q30, prev_gain_q10,
+// cng_gain_q10, cng_first].
+void plc_trk_conceal_prep_c(PlcTrackerC* t, i32* rand_q12, i32* A_out,
+                            i32* B4, i32* lag4, i32* cng_exc,
+                            i32* cng_a, i32* scalars) {
+    int nb = t->nb_subfr, subfr = t->subfr_length, order = t->LPC_order;
+    if (t->fs_kHz != t->plc_fs_kHz) {
+        plc::plc_reset(t);
+        t->plc_fs_kHz = t->fs_kHz;
+    }
+    t->ind_signalType = t->prevSignalType;
+    i32 prev_gain_q10[2] = {t->plc_prevGain_Q16[0] >> 6,
+                            t->plc_prevGain_Q16[1] >> 6};
+    if (t->first_frame_after_reset)
+        for (int i = 0; i < MAX_LPC_ORDER; i++) t->plc_prevLPC_Q12[i] = 0;
+    i32 e1, s1, e2, s2;
+    plc::energy(t, prev_gain_q10, &e1, &s1, &e2, &s2);
+    int rand_off = ((e1 >> s2) < (e2 >> s1))
+        ? std::max(0, (t->plc_nb_subfr - 1) * t->plc_subfr_length - 128)
+        : std::max(0, t->plc_nb_subfr * t->plc_subfr_length - 128);
+    i32 B[LTP_ORDER];
+    for (int i = 0; i < LTP_ORDER; i++) B[i] = t->plc_LTPCoef_Q14[i];
+    i32 rand_scale_q14 = t->plc_randScale_Q14;
+    i32 harm = plc::HARM_ATT_Q15[std::min(1, t->lossCnt)];
+    i32 rand_gain = (t->prevSignalType == TYPE_VOICED)
+        ? plc::RAND_ATT_V_Q15[std::min(1, t->lossCnt)]
+        : plc::RAND_ATT_UV_Q15[std::min(1, t->lossCnt)];
+    bwexpander16(t->plc_prevLPC_Q12, order, plc::BWE_COEF_Q16);
+    for (int i = 0; i < MAX_LPC_ORDER; i++)
+        A_out[i] = i < order ? t->plc_prevLPC_Q12[i] : 0;
+    if (t->lossCnt == 0) {
+        rand_scale_q14 = 1 << 14;
+        if (t->prevSignalType == TYPE_VOICED) {
+            for (int i = 0; i < LTP_ORDER; i++) rand_scale_q14 -= B[i];
+            rand_scale_q14 = std::max((i32)3277, rand_scale_q14);
+            rand_scale_q14 = (i16)(SMULBB(
+                rand_scale_q14, t->plc_prevLTP_scale_Q14) >> 14);
+        } else {
+            i32 ig = lpc_inverse_pred_gain(t->plc_prevLPC_Q12, order);
+            i32 dn = std::min((i32)((1 << 30) >> 3), ig);
+            dn = std::max((i32)((1 << 30) >> 8), dn);
+            dn = LSHIFT32(dn, 3);
+            rand_gain = SMULWB(dn, rand_gain) >> 14;
+        }
+    }
+    i32 seed = t->plc_rand_seed;
+    i32 lag = RSHIFT_ROUND(t->plc_pitchL_Q8, 8);
+    for (int k = 0; k < nb; k++) {
+        for (int i = 0; i < LTP_ORDER; i++) B4[k * LTP_ORDER + i] = B[i];
+        lag4[k] = lag;
+        for (int i = 0; i < subfr; i++) {
+            seed = silk_RAND(seed);
+            int idx2 = (seed >> 25) & 127;
+            rand_q12[k * subfr + i] = (i32)(((i64)t->exc_Q14[
+                rand_off + idx2] * (i16)rand_scale_q14) >> 16);
+        }
+        for (int i = 0; i < LTP_ORDER; i++)
+            B[i] = SMULBB(harm, B[i]) >> 15;
+        if (t->ind_signalType != plc::TYPE_NO_VOICE_ACTIVITY)
+            rand_scale_q14 = SMULBB(rand_scale_q14, rand_gain) >> 15;
+        t->plc_pitchL_Q8 = SMLAWB(t->plc_pitchL_Q8, t->plc_pitchL_Q8,
+                                  plc::PITCH_DRIFT_FAC_Q16);
+        t->plc_pitchL_Q8 = std::min(
+            t->plc_pitchL_Q8, LSHIFT32(SMULBB(18, t->fs_kHz), 8));
+        lag = RSHIFT_ROUND(t->plc_pitchL_Q8, 8);
+    }
+    i32 inv_gain = std::min(INVERSE32_varQ(t->plc_prevGain_Q16[1], 46),
+                            (i32)(I32MAX >> 1));
+    t->plc_rand_seed = seed;
+    t->plc_randScale_Q14 = rand_scale_q14;
+    for (int i = 0; i < LTP_ORDER; i++) t->plc_LTPCoef_Q14[i] = B[i];
+    t->lagPrev = lag;
+    if (t->fs_kHz != t->cng_fs_kHz) {
+        plc::cng_reset(t);
+        t->cng_fs_kHz = t->fs_kHz;
+    }
+    i32 first_loss = t->lossCnt == 0;
+    i32 gain_q16 = SMULWW(t->plc_randScale_Q14, t->plc_prevGain_Q16[1]);
+    if (gain_q16 >= (1 << 21) || t->cng_smth_Gain_Q16 > (1 << 23)) {
+        gain_q16 = plc::SMULTT(gain_q16, gain_q16);
+        gain_q16 = (i32)((u32)plc::SMULTT(t->cng_smth_Gain_Q16,
+                                          t->cng_smth_Gain_Q16)
+                         - (u32)LSHIFT32(gain_q16, 5));
+        gain_q16 = LSHIFT32(plc::SQRT_APPROX(gain_q16), 16);
+    } else {
+        gain_q16 = SMULWW(gain_q16, gain_q16);
+        gain_q16 = (i32)((u32)SMULWW(t->cng_smth_Gain_Q16,
+                                     t->cng_smth_Gain_Q16)
+                         - (u32)LSHIFT32(gain_q16, 5));
+        gain_q16 = LSHIFT32(plc::SQRT_APPROX(gain_q16), 8);
+    }
+    i32 gain_q10 = gain_q16 >> 6;
+    i32 mask = 255;
+    while (mask > t->frame_length) mask >>= 1;
+    i32 cs = t->cng_rand_seed;
+    for (int i = 0; i < t->frame_length; i++) {
+        cs = silk_RAND(cs);
+        cng_exc[i] = t->cng_exc_buf_Q14[(cs >> 24) & mask];
+    }
+    t->cng_rand_seed = cs;
+    nlsf2a(t->cng_smth_NLSF_Q15, order, cng_a);
+    for (int i = order; i < MAX_LPC_ORDER; i++) cng_a[i] = 0;
+    t->lossCnt += 1;
+    t->plc_last_frame_lost = 1;
+    t->LastGainIndex = 10;
+    scalars[0] = inv_gain;
+    scalars[1] = prev_gain_q10[1];
+    scalars[2] = gain_q10;
+    scalars[3] = first_loss;
 }
 
 }  // extern "C"

@@ -193,79 +193,142 @@ class _TrackerCtrl:
 
 
 class NativePlcTracker:
-    """PLC/CNG parameter state alongside a NativeSilkHost. The C engine
-    decodes symbols; this mirror ingests its per-frame outputs to keep
-    the concealment state (silk_PLC_update :2895, silk_CNG :1342 good
-    branch) that the conceal prep needs — so rfc_plc pools keep the
-    native symbol phase. Duck-types the scalar SilkChannelState fields
-    that ops/silk/plc.py reads."""
+    """PLC/CNG parameter state alongside a NativeSilkHost, backed by a
+    C struct (host/native PlcTrackerState). The C engine decodes
+    symbols; this tracker ingests its per-frame outputs to keep the
+    concealment state (silk_PLC_update :2895, silk_CNG :1342 good
+    branch) that the conceal prep needs — good-frame ingest (incl. the
+    post-loss transition) and the conceal prep both run as single
+    native calls (plc_trk_good_c / plc_trk_conceal_prep_c, ~us each vs
+    ~30/600 us of scalar python). Field access delegates to the struct,
+    so ops/silk/plc.py's scalar functions still operate on it (the
+    bit-exactness oracle for the C port)."""
+
+    _C_FIELDS = None     # set on first construction
 
     def __init__(self, fs_khz: int, frame_ms: int = 20):
-        from .silk_decoder import MAX_FRAME_LENGTH
+        from ..host.native import PlcTrackerState, load, _bind_silk
         from ..ops.silk import plc as sp
-        self.fs_kHz = fs_khz
-        self.nb_subfr = 2 if frame_ms == 10 else 4
-        self.subfr_length = 5 * fs_khz
-        self.frame_length = frame_ms * fs_khz
-        self.ltp_mem_length = 20 * fs_khz
-        self.LPC_order = 16 if fs_khz == 16 else 10
-        self.exc_Q14 = [0] * MAX_FRAME_LENGTH
-        self.prevNLSF_Q15 = [0] * MAX_LPC_ORDER
-        self.lossCnt = 0
-        self.prevSignalType = 0
-        self.ind_signalType = 0
-        self.first_frame_after_reset = 1
-        self.lagPrev = 100
-        self.LastGainIndex = 10
-        self.cng_exc_buf_Q14 = [0] * MAX_FRAME_LENGTH
-        self.cng_smth_NLSF_Q15 = [0] * MAX_LPC_ORDER
-        self.cng_synth_state = [0] * MAX_LPC_ORDER
-        self.cng_smth_Gain_Q16 = 0
-        self.cng_rand_seed = 0
-        self.cng_fs_kHz = 0
-        self.plc_pitchL_Q8 = 0
-        self.plc_LTPCoef_Q14 = [0] * 5
-        self.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
-        self.plc_last_frame_lost = 0
-        self.plc_rand_seed = 0
-        self.plc_randScale_Q14 = 0
-        self.plc_conc_energy = 0
-        self.plc_conc_energy_shift = 0
-        self.plc_prevLTP_scale_Q14 = 0
-        self.plc_prevGain_Q16 = [0, 0]
-        self.plc_fs_kHz = 0
-        self.plc_nb_subfr = 0
-        self.plc_subfr_length = 0
+        lib = load()
+        _bind_silk(lib)
+        if NativePlcTracker._C_FIELDS is None:
+            NativePlcTracker._C_FIELDS = {
+                n for n, _t in PlcTrackerState._fields_}
+        object.__setattr__(self, "_lib", lib)
+        object.__setattr__(self, "c", PlcTrackerState())
+        c = self.c
+        c.fs_kHz = fs_khz
+        c.nb_subfr = 2 if frame_ms == 10 else 4
+        c.subfr_length = 5 * fs_khz
+        c.frame_length = frame_ms * fs_khz
+        c.ltp_mem_length = 20 * fs_khz
+        c.LPC_order = 16 if fs_khz == 16 else 10
+        c.first_frame_after_reset = 1
+        c.lagPrev = 100
+        c.LastGainIndex = 10
         sp.cng_reset(self)
         sp.plc_reset(self)
 
+    # ---- struct delegation (keeps ops/silk/plc.py duck-typing) -------
+    def __getattr__(self, k):
+        if NativePlcTracker._C_FIELDS and k in NativePlcTracker._C_FIELDS:
+            return getattr(object.__getattribute__(self, "c"), k)
+        raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        if NativePlcTracker._C_FIELDS and k in NativePlcTracker._C_FIELDS:
+            cur = getattr(self.c, k)
+            if isinstance(cur, int):
+                setattr(self.c, k, int(v))
+            else:
+                cur[:len(v)] = [int(x) for x in v]
+            return
+        object.__setattr__(self, k, v)
+
+    # ---- pickling (checkpoint.py stores trackers as blobs) -----------
+    def __getstate__(self):
+        return {"bytes": bytes(self.c)}
+
+    def __setstate__(self, state):
+        from ..host.native import PlcTrackerState, load, _bind_silk
+        import ctypes
+        lib = load()
+        _bind_silk(lib)
+        if NativePlcTracker._C_FIELDS is None:
+            NativePlcTracker._C_FIELDS = {
+                n for n, _t in PlcTrackerState._fields_}
+        object.__setattr__(self, "_lib", lib)
+        c = PlcTrackerState()
+        blob = state["bytes"]
+        if len(blob) != ctypes.sizeof(c):
+            raise ValueError("PlcTrackerState layout changed since this "
+                             "checkpoint was written")
+        ctypes.memmove(ctypes.byref(c), blob, len(blob))
+        object.__setattr__(self, "c", c)
+
     def good_frame(self, p, native_st=None) -> None:
-        """Ingest one decoded (or FEC) frame's native outputs — the same
-        bookkeeping _finish_frame does for the python host."""
-        from ..ops.silk import plc as sp
-        from ..ops.silk.decode import TYPE_NO_VOICE_ACTIVITY
-        ctrl = _TrackerCtrl(p, self.LPC_order)
-        self.ind_signalType = int(p["signal_type"])
-        self.exc_Q14[:self.frame_length] = \
-            np.asarray(p["exc"]).tolist()
-        if self.fs_kHz != self.plc_fs_kHz:   # silk_PLC fs-change reset
-            sp.plc_reset(self)
-            self.plc_fs_kHz = self.fs_kHz
-        sp.plc_update(self, ctrl)
-        self.lossCnt = 0
-        # per-frame NLSF (the struct only holds the packet's LAST frame)
-        self.prevNLSF_Q15 = np.asarray(p["nlsf"]).tolist()
-        # silk_CNG good branch: the smoothing body only runs after a
-        # no-activity frame; otherwise it just clears the synth state —
-        # inline that common case instead of paying the full call
-        if self.fs_kHz != self.cng_fs_kHz \
-                or self.prevSignalType == TYPE_NO_VOICE_ACTIVITY:
-            sp.cng(self, ctrl, None, 0, 0)
-        else:
-            self.cng_synth_state = [0] * MAX_LPC_ORDER
-        self.prevSignalType = self.ind_signalType
-        self.first_frame_after_reset = 0
-        self.lagPrev = int(p["lag_prev"])
+        """Ingest one decoded (or FEC) frame's native outputs — ONE C
+        call covering apply_plc_transition + silk_PLC_update + the CNG
+        good branch (the transition mutates p's A/B/inv/lag/voiced/
+        rewhiten in place, exactly like the python pair did)."""
+        import ctypes
+        I32P = ctypes.POINTER(ctypes.c_int32)
+
+        def ptr(a):
+            return a.ctypes.data_as(I32P)
+
+        A = np.ascontiguousarray(p["A"], dtype=np.int32)
+        B = np.ascontiguousarray(p["B"], dtype=np.int32)
+        gains = np.ascontiguousarray(p["gains"], dtype=np.int32)
+        inv = np.ascontiguousarray(p["inv"], dtype=np.int32)
+        lag = np.ascontiguousarray(p["lag"], dtype=np.int32)
+        exc = np.ascontiguousarray(p["exc"], dtype=np.int32)
+        flags = np.zeros(12, dtype=np.int32)
+        flags[0:4] = p["voiced"]
+        flags[4:8] = p["rewhiten"]
+        misc = np.zeros(24, dtype=np.int32)
+        misc[0] = int(p["signal_type"])
+        misc[3] = int(p["lag_prev"])
+        misc[4] = int(p["ltp_scale"])
+        misc[8:8 + len(p["nlsf"])] = p["nlsf"]
+        self._lib.plc_trk_good_c(ctypes.byref(self.c), ptr(A), ptr(B),
+                                 ptr(gains), ptr(inv), ptr(lag),
+                                 ptr(flags), ptr(exc), ptr(misc))
+        # write back anything the transition touched (copies were made
+        # only if the dict's arrays weren't contiguous int32 already)
+        for key, arr in (("A", A), ("B", B), ("gains", gains),
+                         ("inv", inv), ("lag", lag)):
+            if p[key] is not arr:
+                p[key][...] = arr
+        p["voiced"][...] = flags[0:4].astype(p["voiced"].dtype)
+        p["rewhiten"][...] = flags[4:8].astype(p["rewhiten"].dtype)
+
+    def conceal_prep(self):
+        """Host half of one concealed frame as a single C call
+        (silk_PLC_conceal :2973 + silk_CNG :1342 loss branch). Returns
+        the device-kernel input dict silk_plc_host_params produces."""
+        import ctypes
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        nb = int(self.c.nb_subfr)
+        fl = int(self.c.frame_length)
+        rand_q12 = np.empty(fl, dtype=np.int32)
+        A = np.empty(MAX_LPC_ORDER, dtype=np.int32)
+        B4 = np.empty((nb, 5), dtype=np.int32)
+        lag4 = np.empty(nb, dtype=np.int32)
+        cng_exc = np.empty(fl, dtype=np.int32)
+        cng_a = np.empty(MAX_LPC_ORDER, dtype=np.int32)
+        sc = np.empty(4, dtype=np.int32)
+
+        def ptr(a):
+            return a.ctypes.data_as(I32P)
+
+        self._lib.plc_trk_conceal_prep_c(
+            ctypes.byref(self.c), ptr(rand_q12), ptr(A), ptr(B4),
+            ptr(lag4), ptr(cng_exc), ptr(cng_a), ptr(sc))
+        return dict(rand=rand_q12, A=A, B4=B4, lag4=lag4,
+                    inv_gain=np.int32(sc[0]), prev_gain=np.int32(sc[1]),
+                    cng_exc=cng_exc, cng_a=cng_a,
+                    cng_gain=np.int32(sc[2]), cng_first=bool(sc[3]))
 
 
 def apply_plc_transition(p, trk) -> None:
@@ -273,9 +336,14 @@ def apply_plc_transition(p, trk) -> None:
     to its outputs on the first good/FEC frame after concealment (the
     python host does both inside the decode):
     - LPC bandwidth expansion after loss (silk_decode_parameters :858)
-    - decode_core's voiced-PLC -> unvoiced transition (:1871)."""
+    - decode_core's voiced-PLC -> unvoiced transition (:1871).
+
+    No-op for NativePlcTracker: its good_frame runs the transition
+    inside the same C call."""
     from ..ops.silk import macros as m
     from ..ops.silk.nlsf import bwexpander
+    if isinstance(trk, NativePlcTracker):
+        return
     if not trk.lossCnt:
         return
     from .silk_decoder import BWE_AFTER_LOSS_Q16
@@ -424,14 +492,14 @@ def silk_plc_host_params(h, fs_khz: int, ch_idx: int = 0):
     from ..ops.silk.nlsf import bwexpander, lpc_inverse_pred_gain, nlsf2a
 
     if isinstance(h, NativePlcTracker):
-        ch = h
-    else:
-        ch = h.channel_states[ch_idx]
-        ch.nFramesDecoded = 0
-        ch.nFramesPerPacket = 1
-        # nb_subfr follows the stream's payload (2 for 10 ms frames),
-        # already configured by the caller's set_raw_params
-        h._set_fs(ch_idx, fs_khz, 48000)
+        # the whole prep is ONE native call on the struct-backed state
+        return h.conceal_prep()
+    ch = h.channel_states[ch_idx]
+    ch.nFramesDecoded = 0
+    ch.nFramesPerPacket = 1
+    # nb_subfr follows the stream's payload (2 for 10 ms frames),
+    # already configured by the caller's set_raw_params
+    h._set_fs(ch_idx, fs_khz, 48000)
     nb = ch.nb_subfr
     subfr = ch.subfr_length
     order = ch.LPC_order

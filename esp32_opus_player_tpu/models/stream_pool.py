@@ -918,21 +918,30 @@ class StreamPool:
         straight into the group buffers) and the concealment-state
         mirror (NativePlcTracker.good_frame), exactly what the generic
         per-stream path does in _host_one."""
-        from .batch_silk import apply_plc_transition
+        import ctypes
+        from ..host.native import PlcTrackerState, load, _bind_silk
         b = g.buf
         fs = g.fs
         frame_ms = g.payload_ms if g.payload_ms <= 20 else 20
-        for r in sel:
-            i = int(g.idxs[r])
-            trk = self._plc_tracker(i, fs, frame_ms)
-            p = dict(A=b.A[r], B=b.B[r], gains=b.gains[r],
-                     inv=b.inv[r], lag=b.lag[r],
-                     voiced=b.flags[r, 0:4], rewhiten=b.flags[r, 4:8],
-                     exc=b.exc[r], signal_type=int(b.misc[r, 0]),
-                     lag_prev=int(b.misc[r, 3]),
-                     ltp_scale=int(b.misc[r, 4]), nlsf=b.misc[r, 8:24])
-            apply_plc_transition(p, trk)
-            trk.good_frame(p, None)
+        trks = [self._plc_tracker(int(g.idxs[r]), fs, frame_ms)
+                for r in sel]
+        n = len(trks)
+        lib = load()
+        _bind_silk(lib)
+        arr = (ctypes.POINTER(PlcTrackerState) * n)(
+            *[ctypes.pointer(t.c) for t in trks])
+        rows = np.ascontiguousarray(sel, dtype=np.int32)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+
+        def ptr(a):
+            return a.ctypes.data_as(I32P)
+
+        # ONE native call walks every decoded row: post-loss transition
+        # (mutating the group buffers in place) + tracker ingest
+        lib.plc_trk_good_batch_c(
+            arr, ptr(rows), n, ptr(b.A), ptr(b.B), ptr(b.gains),
+            ptr(b.inv), ptr(b.lag), ptr(b.flags), ptr(b.exc),
+            ptr(b.misc), b.exc.shape[1])
 
     def _emit_silk2_fast(self, g, sel, pend):
         sidx = [g.idxs[r] for r in sel]
@@ -1696,6 +1705,14 @@ class StreamPool:
                 interpret=self._t_interp)
             self.state["decode_mem"] = outs[-2]
             self.state["preemph"] = outs[-1]
+            if self.output == "host":
+                # start the D2H copies here (the main thread's async
+                # kick in step() can't see futures' parts)
+                for part in outs[:-2]:
+                    try:
+                        part.copy_to_host_async()
+                    except AttributeError:
+                        pass
             return outs[:-2]
 
         if self._dev_exec is not None:

@@ -25,6 +25,8 @@ class DecoderConfig:
     """Typed replacement for the reference's three config layers
     (SURVEY.md §5: ctl varargs + silk_DecControlStruct + compile-time)."""
     channels: int = 2
+    sample_rate: int = 48000      # API decode rate (8/12/16/24/48 kHz,
+    #                               opus_decoder_init src/opus_decoder.cpp:85)
     gain_q8: int = 0              # OPUS_SET_GAIN equivalent (Q8 dB)
     phase_inversion_disabled: bool = False
     compat_ref: bool = False      # bit-exact reference behavior
@@ -68,8 +70,10 @@ class OpusFile:
             from .models.ms_decoder import OpusMSDecoder
             return OpusMSDecoder(head.channel_count, head.stream_count,
                                  head.coupled_count, head.mapping,
+                                 fs=self.config.sample_rate,
                                  compat_ref=self.config.compat_ref)
         dec = OpusDecoder(self.config.channels,
+                          fs=self.config.sample_rate,
                           compat_ref=self.config.compat_ref)
         if self.config.phase_inversion_disabled:
             dec.celt.disable_inv = 1
@@ -112,15 +116,20 @@ class OpusFile:
             if job.hole_before:
                 # hole policy: decode continues; discard 80 ms to
                 # re-converge (src/opusfile.cpp:1022-1046)
-                self._hole_discard = OP_HOLE_DISCARD_MS * 48
+                self._hole_discard = (OP_HOLE_DISCARD_MS
+                                      * self.config.sample_rate // 1000)
             pcm = self.decoder.decode(job.data)
             self.bytes_tracked += len(job.data)
             self.samples_tracked += len(pcm)
-            lo = job.discard_front
+            d = 48000 // self.config.sample_rate
+            # pre-skip/end-trim are 48 kHz granule quantities; at lower
+            # API rates keep the decimated samples whose 48k index
+            # survives the trim (same mapping as StreamPool._trim)
+            lo = -(-job.discard_front // d)
+            hi = -(-(len(pcm) * d - job.trim_end) // d)
             hole = min(self._hole_discard, max(0, len(pcm) - lo))
             self._hole_discard -= hole
             lo += hole
-            hi = len(pcm) - job.trim_end
             if lo >= hi:
                 continue
             return self._apply_gain(pcm[lo:hi])
@@ -134,7 +143,8 @@ class OpusFile:
         keeps the accumulators at src/opusfile.h:87-88)."""
         if self.samples_tracked == 0:
             return 0
-        bps = self.bytes_tracked * 8 * 48000 // self.samples_tracked
+        bps = (self.bytes_tracked * 8 * self.config.sample_rate
+               // self.samples_tracked)
         self.bytes_tracked = 0
         self.samples_tracked = 0
         return bps
@@ -410,7 +420,8 @@ class StreamingOpusFile:
 
 
 def decode_file(path, config: DecoderConfig | None = None) -> np.ndarray:
-    """One-shot: Ogg/Opus file -> (n, channels) int16 PCM at 48 kHz."""
+    """One-shot: Ogg/Opus file -> (n, channels) int16 PCM at
+    config.sample_rate (48 kHz default)."""
     return OpusFile(path, config).read_all()
 
 
@@ -428,7 +439,9 @@ def write_wav(path, pcm: np.ndarray, rate: int = 48000) -> None:
 
 def decode_to_wav(in_path, out_path,
                   config: DecoderConfig | None = None) -> int:
-    """BASELINE config 1: Ogg/Opus file -> PCM WAV. Returns sample count."""
+    """BASELINE config 1: Ogg/Opus file -> PCM WAV (at the config's
+    sample_rate). Returns sample count."""
     pcm = decode_file(in_path, config)
-    write_wav(out_path, pcm)
+    write_wav(out_path, pcm,
+              rate=(config.sample_rate if config else 48000))
     return len(pcm)

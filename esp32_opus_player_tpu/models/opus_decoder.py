@@ -29,10 +29,18 @@ class OpusDecoder:
                  compat_ref: bool = False):
         if channels not in (1, 2):
             raise ValueError("channels must be 1 or 2")
+        if fs not in (8000, 12000, 16000, 24000, 48000):
+            raise ValueError("fs must be 8/12/16/24/48 kHz "
+                             "(opus_decoder_init, src/opus_decoder.cpp:85)")
         self.channels = channels
         self.fs = fs
+        # API decode rate: CELT decimates on device (resampling_factor,
+        # src/celt.cpp:817), SILK resamples its internal rate straight
+        # to fs — the reference's multi-rate decoder API
+        self._d48 = 48000 // fs
         self.compat_ref = compat_ref
         self.celt = CELTDecoder(channels, compat_ref=compat_ref)
+        self.celt.downsample = self._d48
         self.silk = None  # created lazily (models/silk_decoder.py)
         self.mode = 0
         self.prev_mode = 0
@@ -55,7 +63,8 @@ class OpusDecoder:
         interleaved buffer of size audiosize*channels. Returns audiosize."""
         mode = self.mode
         channels = self.stream_channels
-        audiosize = 960 if self.compat_ref else samples_per_frame
+        audiosize = (960 if self.compat_ref else samples_per_frame) \
+            // self._d48
 
         dec = RangeDecoder(data)
 
@@ -64,7 +73,7 @@ class OpusDecoder:
             silk = self._get_silk()
             if self.prev_mode == Mode.CELT_ONLY:
                 silk.init_decoder()
-            payload_ms = max(10, 1000 * audiosize // 48000)
+            payload_ms = max(10, 1000 * audiosize // self.fs)
             if mode == Mode.SILK_ONLY:
                 if self.bandwidth == Bandwidth.NARROWBAND:
                     internal_rate = 8000
@@ -76,7 +85,7 @@ class OpusDecoder:
                 internal_rate = 16000
             pcm_silk = np.zeros(audiosize * self.channels, dtype=np.int64)
             silk.set_raw_params(channels, self.channels, payload_ms,
-                                internal_rate, 48000)
+                                internal_rate, self.fs)
             decoded = 0
             while decoded < audiosize:
                 n = silk.decode(dec, lost=0, first_frame=decoded == 0,
@@ -114,7 +123,7 @@ class OpusDecoder:
             # hybrid -> SILK: decode a silence frame for the CELT fade-out
             if self.prev_mode == Mode.HYBRID:
                 self.celt.start = 0
-                self.celt.decode_with_ec(dec, pcm, 120)
+                self.celt.decode_with_ec(dec, pcm, 120 // self._d48)
 
         if mode != Mode.CELT_ONLY:
             for i in range(audiosize * self.channels):
@@ -144,10 +153,10 @@ class OpusDecoder:
         count = len(parsed.frames)
         self.mode = parsed.mode
         self.bandwidth = parsed.bandwidth
-        self.frame_size = spf
+        self.frame_size = spf // self._d48      # in Fs samples
         self.stream_channels = parsed.stream_channels
 
-        audiosize = 960 if self.compat_ref else spf
+        audiosize = (960 if self.compat_ref else spf) // self._d48
         out = np.zeros(count * audiosize * self.channels, dtype=np.int64)
         nb = 0
         for f in parsed.frames:
@@ -164,10 +173,9 @@ class OpusDecoder:
         parsed = pkt.parse_packet(data)
         mode = parsed.mode
         spf = parsed.frame_size
-        if frame_size is None:
-            frame_size = spf
         if mode == Mode.CELT_ONLY:
-            return self._decode_plc(frame_size)
+            return self._decode_plc(frame_size if frame_size is not None
+                                    else spf // self._d48)
         # configure SILK like a normal decode of this packet would
         self.mode = mode
         self.bandwidth = parsed.bandwidth
@@ -176,6 +184,8 @@ class OpusDecoder:
         if self.prev_mode == Mode.CELT_ONLY:
             silk.init_decoder()
         payload_ms = max(10, 1000 * spf // 48000)
+        if frame_size is None:
+            frame_size = spf // self._d48
         if mode == Mode.SILK_ONLY:
             if self.bandwidth == Bandwidth.NARROWBAND:
                 internal_rate = 8000
@@ -186,7 +196,7 @@ class OpusDecoder:
         else:
             internal_rate = 16000
         silk.set_raw_params(self.stream_channels, self.channels, payload_ms,
-                            internal_rate, 48000)
+                            internal_rate, self.fs)
         dec = RangeDecoder(parsed.frames[0])
         out = np.zeros(frame_size * self.channels, dtype=np.int64)
         decoded = 0
@@ -217,7 +227,8 @@ class OpusDecoder:
         yields silence (the reference deleted celt_decode_lost).
         """
         if frame_size is None:
-            frame_size = 960 if self.compat_ref else self.frame_size
+            frame_size = (960 // self._d48 if self.compat_ref
+                          else self.frame_size)
         out = np.zeros(frame_size * self.channels, dtype=np.int64)
         if self.compat_ref:
             if self.mode != Mode.CELT_ONLY:

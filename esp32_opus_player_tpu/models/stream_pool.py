@@ -650,8 +650,11 @@ class StreamPool:
 
         if self.downsample > 1 and any(p[0] != "celt" for p in self.path):
             raise ValueError(
-                "out_fs < 48000 requires a CELT-only pool (the SILK "
-                "resampler bank targets the 48 kHz API rate)")
+                "out_fs < 48000 requires a CELT-only pool (the batched "
+                "SILK resampler targets the 48 kHz API rate; for "
+                "SILK/hybrid sources decode at a lower rate with the "
+                "scalar multi-rate API: "
+                "DecoderConfig(sample_rate=...))")
 
         # transposed-layout fast mode: uniform CELT pools on TPU carry
         # decode_mem TRANSPOSED (CC, L, n) and run the fully transposed

@@ -263,6 +263,20 @@ def _bind_silk(lib):
     lib.silk_lpc_inv_pred_gain_batch_c.restype = None
     lib.silk_lpc_inv_pred_gain_batch_c.argtypes = [I32P, ctypes.c_int,
                                                    ctypes.c_int, I32P]
+    lib.silk_host_stereo_packet_c.restype = ctypes.c_int
+    lib.silk_host_stereo_packet_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(SilkHostState), ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P]
+    lib.silk_host_stereo_fec_c.restype = ctypes.c_int
+    lib.silk_host_stereo_fec_c.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(SilkHostState), ctypes.POINTER(SilkHostState),
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
+        I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
     lib.plc_trk_good_c.restype = None
     lib.plc_trk_good_c.argtypes = [
         ctypes.POINTER(PlcTrackerState), I32P, I32P, I32P, I32P, I32P,
@@ -495,3 +509,122 @@ class NativeSilkStereoHost:
         if hybrid:
             out["ec_state"] = [int(v) & 0xFFFFFFFF for v in ec]
         return out
+
+    def packet_multi(self, data: bytes, fs_khz: int, payload_ms: int):
+        """One stereo SILK packet of payload_ms/20 internal frames
+        (silk_Decode :1481, nChannelsInternal=2, nFramesPerPacket 1-3).
+        Returns a LIST of per-frame dicts in the packet() shape; the
+        last frame's dict carries the final range-coder state rng."""
+        nfr = payload_ms // 20
+        fl = 20 * fs_khz
+
+        def alloc():
+            return dict(exc=np.zeros((nfr, fl), dtype=np.int32),
+                        A=np.zeros((nfr, 2, 16), dtype=np.int32),
+                        B=np.zeros((nfr, 4, 5), dtype=np.int32),
+                        gains=np.zeros((nfr, 4), dtype=np.int32),
+                        inv=np.zeros((nfr, 4), dtype=np.int32),
+                        lag=np.zeros((nfr, 4), dtype=np.int32),
+                        flags=np.zeros((nfr, 12), dtype=np.int32),
+                        adj=np.zeros((nfr, 4), dtype=np.int32),
+                        misc=np.zeros((nfr, 24), dtype=np.int32))
+
+        mb, sb = alloc(), alloc()
+        ec = np.zeros(9, dtype=np.int32)
+        info = np.zeros((nfr, 8), dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_stereo_packet_c(
+            data, len(data), fs_khz, payload_ms, self.prev_dom,
+            ctypes.byref(self.st[0]), ctypes.byref(self.st[1]),
+            p(mb["exc"]), p(mb["A"]), p(mb["B"]), p(mb["gains"]),
+            p(mb["inv"]), p(mb["lag"]), p(mb["flags"]), p(mb["adj"]),
+            p(mb["misc"]),
+            p(sb["exc"]), p(sb["A"]), p(sb["B"]), p(sb["gains"]),
+            p(sb["inv"]), p(sb["lag"]), p(sb["flags"]), p(sb["adj"]),
+            p(sb["misc"]), p(ec), p(info))
+        if ret != 0:
+            raise ValueError(f"silk_host_stereo_packet_c failed: {ret}")
+        self.prev_dom = int(info[nfr - 1, 2])
+
+        def todict(b, f):
+            return dict(A=b["A"][f], B=b["B"][f], gains=b["gains"][f],
+                        inv=b["inv"][f], lag=b["lag"][f],
+                        voiced=b["flags"][f, 0:4].astype(bool),
+                        rewhiten=b["flags"][f, 4:8].astype(bool),
+                        match=b["flags"][f, 8:12].astype(bool),
+                        adj=b["adj"][f], exc=b["exc"][f],
+                        signal_type=int(b["misc"][f, 0]),
+                        lag_prev=int(b["misc"][f, 3]),
+                        ltp_scale=int(b["misc"][f, 4]),
+                        nlsf=b["misc"][f, 8:24].copy())
+
+        out = []
+        for f in range(nfr):
+            out.append(dict(
+                mid=todict(mb, f),
+                side=todict(sb, f) if info[f, 0] else None,
+                pred=info[f, 3:5].astype(np.int32).copy(),
+                side_reset=bool(info[f, 1]),
+                rng=(int(ec[6]) & 0xFFFFFFFF) if f == nfr - 1 else None))
+        return out
+
+    def fec_packet(self, data: bytes, fs_khz: int):
+        """Decode the LBRR copies of one lost stereo frame from the
+        NEXT packet (silk_Decode lostFlag=FLAG_DECODE_LBRR,
+        src/silk.cpp:1565-1690). Returns the same dict shape as
+        packet(), or None when the packet carries no usable stereo FEC
+        (no mid LBRR, or a mixed LBRR+conceal frame) — the caller
+        falls back to concealment."""
+        fl = 20 * fs_khz
+
+        def alloc():
+            return dict(exc=np.zeros(fl, dtype=np.int32),
+                        A=np.zeros((2, 16), dtype=np.int32),
+                        B=np.zeros((4, 5), dtype=np.int32),
+                        gains=np.zeros(4, dtype=np.int32),
+                        inv=np.zeros(4, dtype=np.int32),
+                        lag=np.zeros(4, dtype=np.int32),
+                        flags=np.zeros(12, dtype=np.int32),
+                        adj=np.zeros(4, dtype=np.int32),
+                        misc=np.zeros(24, dtype=np.int32))
+
+        mb, sb = alloc(), alloc()
+        info = np.zeros(8, dtype=np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        ret = self.lib.silk_host_stereo_fec_c(
+            data, len(data), fs_khz, self.prev_dom,
+            ctypes.byref(self.st[0]), ctypes.byref(self.st[1]),
+            p(mb["exc"]), p(mb["A"]), p(mb["B"]), p(mb["gains"]),
+            p(mb["inv"]), p(mb["lag"]), p(mb["flags"]), p(mb["adj"]),
+            p(mb["misc"]),
+            p(sb["exc"]), p(sb["A"]), p(sb["B"]), p(sb["gains"]),
+            p(sb["inv"]), p(sb["lag"]), p(sb["flags"]), p(sb["adj"]),
+            p(sb["misc"]), p(info))
+        if ret in (-4, -5):
+            return None
+        if ret != 0:
+            raise ValueError(f"silk_host_stereo_fec_c failed: {ret}")
+        self.prev_dom = int(info[2])
+
+        def todict(b):
+            return dict(A=b["A"], B=b["B"], gains=b["gains"],
+                        inv=b["inv"], lag=b["lag"],
+                        voiced=b["flags"][0:4].astype(bool),
+                        rewhiten=b["flags"][4:8].astype(bool),
+                        match=b["flags"][8:12].astype(bool), adj=b["adj"],
+                        exc=b["exc"], signal_type=int(b["misc"][0]),
+                        lag_prev=int(b["misc"][3]),
+                        ltp_scale=int(b["misc"][4]),
+                        nlsf=b["misc"][8:24].copy())
+
+        return dict(mid=todict(mb),
+                    side=todict(sb) if info[0] else None,
+                    pred=np.asarray(info[3:5], dtype=np.int32),
+                    side_reset=bool(info[1]),
+                    rng=0)

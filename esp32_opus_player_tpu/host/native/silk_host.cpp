@@ -914,6 +914,191 @@ int silk_host_frame_fec_c(const unsigned char* data, int len, int fs_khz,
                            misc_out);
 }
 
+// Stereo in-band FEC: decode the LBRR copies of one lost 20 ms stereo
+// frame (silk_Decode lostFlag=FLAG_DECODE_LBRR, nChannelsInternal=2,
+// src/silk.cpp:1565-1690). Returns 0 on success; -4 = no mid LBRR in
+// this packet (fall back to concealment); -5 = the side channel is
+// required (previous frame had side) but carries no LBRR — a mixed
+// LBRR+conceal frame, left to the concealment path. info out:
+// {has_side, side_reset, new_decode_only_middle, pred0, pred1}.
+int silk_host_stereo_fec_c(const unsigned char* data, int len,
+                           int fs_khz, int prev_dom,
+                           SilkHostState* st0, SilkHostState* st1,
+                           i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
+                           i32* m_inv, i32* m_lag, i32* m_flags,
+                           i32* m_adj, i32* m_misc,
+                           i32* s_exc, i32* s_A, i32* s_B, i32* s_gains,
+                           i32* s_inv, i32* s_lag, i32* s_flags,
+                           i32* s_adj, i32* s_misc, i32* info) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+    SilkHostState* sts[2] = {st0, st1};
+    for (int n = 0; n < 2; n++) {
+        sts[n]->nFramesPerPacket = 1;
+        set_fs(sts[n], fs_khz, 4);
+        sts[n]->VAD_flags[0] = ec.bit_logp(1);
+        sts[n]->LBRR_flag = ec.bit_logp(1);
+    }
+    for (int n = 0; n < 2; n++) {
+        memset(sts[n]->LBRR_flags, 0, sizeof sts[n]->LBRR_flags);
+        if (sts[n]->LBRR_flag) sts[n]->LBRR_flags[0] = 1;
+    }
+    if (!st0->LBRR_flags[0]) return -4;
+    // stereo pred + mid-only come from the LBRR section itself
+    // (the :1619 walk at lostFlag==FLAG_DECODE_LBRR)
+    i32 pred[2];
+    stereo_decode_pred(ec, pred);
+    int dom = 0;
+    if (st1->LBRR_flags[0] == 0)
+        dom = ec.icdf(silk_stereo_only_code_mid_iCDF, 8);
+    int has_side = (!prev_dom) || st1->LBRR_flags[0] == 1;
+    if (has_side && !st1->LBRR_flags[0]) return -5;
+    int side_reset = (dom == 0 && prev_dom == 1);
+    if (side_reset) {
+        st1->lagPrev = 100;
+        st1->LastGainIndex = 10;
+        st1->prevSignalType = 0;
+        st1->first_frame_after_reset = 1;
+    }
+    int ret = frame_to_params(ec, st0, 1, 0, 0, m_exc, m_A, m_B,
+                              m_gains, m_inv, m_lag, m_flags, m_adj,
+                              m_misc);
+    if (ret != 0) return ret;
+    if (has_side) {
+        ret = frame_to_params(ec, st1, 1, 0, 0, s_exc, s_A, s_B,
+                              s_gains, s_inv, s_lag, s_flags, s_adj,
+                              s_misc);
+        if (ret != 0) return ret;
+    }
+    info[0] = has_side;
+    info[1] = side_reset;
+    info[2] = dom;
+    info[3] = pred[0];
+    info[4] = pred[1];
+    return 0;
+}
+
+// One STEREO no-loss SILK packet of n_frames = payload_ms/20 frames
+// (silk_Decode :1481 with nChannelsInternal=2, nFramesPerPacket 1-3):
+// header flags for both channels, interleaved LBRR skip walk, then per
+// frame the stereo predictors + mid-only decision + per-channel frame
+// decode with the right conditional coding (mid: f==0 ? INDEP : COND;
+// side: f==0 ? INDEP : prev_dom ? INDEP_NO_LTP : COND — the per-FRAME
+// updated prev_decode_only_middle, silk_Decode :399-409). The :378 side
+// re-entry partial reset applies per frame. Output arrays hold
+// n_frames consecutive frames per channel (same strides as
+// silk_host_packet_c); info holds n_frames rows of
+// {has_side, side_reset, dom, pred0, pred1, 0, 0, 0}; ec_out the final
+// coder state (rng -> OPUS_GET_FINAL_RANGE).
+int silk_host_stereo_packet_c(const unsigned char* data, int len,
+                              int fs_khz, int payload_ms, int prev_dom,
+                              SilkHostState* st0, SilkHostState* st1,
+                              i32* m_exc, i32* m_A, i32* m_B,
+                              i32* m_gains, i32* m_inv, i32* m_lag,
+                              i32* m_flags, i32* m_adj, i32* m_misc,
+                              i32* s_exc, i32* s_A, i32* s_B,
+                              i32* s_gains, i32* s_inv, i32* s_lag,
+                              i32* s_flags, i32* s_adj, i32* s_misc,
+                              i32* ec_out, i32* info) {
+    EcDec ec;
+    ec.init(data, (u32)len);
+    if (payload_ms % 20 != 0 || payload_ms < 20 || payload_ms > 60)
+        return -3;
+    int n_frames = payload_ms / 20;
+    SilkHostState* sts[2] = {st0, st1};
+    for (int n = 0; n < 2; n++) {
+        sts[n]->nFramesPerPacket = n_frames;
+        set_fs(sts[n], fs_khz, 4);
+        for (int i = 0; i < n_frames; i++)
+            sts[n]->VAD_flags[i] = ec.bit_logp(1);
+        sts[n]->LBRR_flag = ec.bit_logp(1);
+    }
+    for (int n = 0; n < 2; n++) {
+        SilkHostState* st = sts[n];
+        memset(st->LBRR_flags, 0, sizeof st->LBRR_flags);
+        if (st->LBRR_flag) {
+            if (n_frames == 1) {
+                st->LBRR_flags[0] = 1;
+            } else {
+                int sym = ec.icdf(n_frames == 2 ? silk_LBRR_flags_2_iCDF
+                                                : silk_LBRR_flags_3_iCDF,
+                                  8) + 1;
+                for (int i = 0; i < n_frames; i++)
+                    st->LBRR_flags[i] = (sym >> i) & 1;
+            }
+        }
+    }
+    // skip LBRR payloads: frames outer, channels inner (:1590)
+    for (int i = 0; i < n_frames; i++) {
+        for (int n = 0; n < 2; n++) {
+            SilkHostState* st = sts[n];
+            if (!st->LBRR_flags[i]) continue;
+            if (n == 0) {
+                i32 dummy[2];
+                stereo_decode_pred(ec, dummy);
+                if (!st1->LBRR_flags[i])
+                    ec.icdf(silk_stereo_only_code_mid_iCDF, 8);
+            }
+            int cond = (i > 0 && st->LBRR_flags[i - 1]) ? 2 : 0;
+            Indices ind;
+            int pulses_tmp[320 + 16];
+            decode_indices(ec, st, ind, i, 1, cond);
+            decode_pulses(ec, pulses_tmp, ind.signalType,
+                          ind.quantOffsetType, st->frame_length);
+        }
+    }
+
+    int fl = st0->frame_length;
+    int dom_prev = prev_dom;
+    for (int f = 0; f < n_frames; f++) {
+        i32 pred[2];
+        stereo_decode_pred(ec, pred);
+        int dom = 0;
+        if (st1->VAD_flags[f] == 0)
+            dom = ec.icdf(silk_stereo_only_code_mid_iCDF, 8);
+        int side_reset = (dom == 0 && dom_prev == 1);
+        if (side_reset) {   // (:378) host half; outBuf/sLPC on device
+            st1->lagPrev = 100;
+            st1->LastGainIndex = 10;
+            st1->prevSignalType = 0;
+            st1->first_frame_after_reset = 1;
+        }
+        int has_side = dom == 0;
+        int ret = frame_to_params(
+            ec, st0, 0, f, f == 0 ? 0 : 2, m_exc + f * fl,
+            m_A + f * 2 * MAX_LPC_ORDER, m_B + f * MAX_NB_SUBFR * 5,
+            m_gains + f * 4, m_inv + f * 4, m_lag + f * 4,
+            m_flags + f * 12, m_adj + f * 4, m_misc + f * 24);
+        if (ret != 0) return ret;
+        if (has_side) {
+            int conds = f == 0 ? 0 : (dom_prev ? 1 : 2);
+            ret = frame_to_params(
+                ec, st1, 0, f, conds, s_exc + f * fl,
+                s_A + f * 2 * MAX_LPC_ORDER, s_B + f * MAX_NB_SUBFR * 5,
+                s_gains + f * 4, s_inv + f * 4, s_lag + f * 4,
+                s_flags + f * 12, s_adj + f * 4, s_misc + f * 24);
+            if (ret != 0) return ret;
+        }
+        i32* inf = info + f * 8;
+        inf[0] = has_side;
+        inf[1] = side_reset;
+        inf[2] = dom;
+        inf[3] = pred[0];
+        inf[4] = pred[1];
+        dom_prev = dom;
+    }
+    ec_out[0] = (i32)ec.offs;
+    ec_out[1] = (i32)ec.end_offs;
+    ec_out[2] = (i32)ec.end_window;
+    ec_out[3] = ec.nend_bits;
+    ec_out[4] = ec.nbits_total;
+    ec_out[5] = (i32)ec.val;
+    ec_out[6] = (i32)ec.rng;
+    ec_out[7] = ec.rem;
+    ec_out[8] = ec.error;
+    return 0;
+}
+
 // One mono no-loss SILK packet of n_frames = payload_ms/20 frames
 // (silk_Decode :1481 with nFramesPerPacket 1-3): header flags once,
 // LBRR payloads skipped, then each frame decoded with the right

@@ -634,9 +634,18 @@ class StreamPool:
                     self.path.append(("silk", next(iter(fss)), dfp,
                                       spf // 48, frame_ms))
                     continue
-                if mode == Mode.SILK_ONLY and spf == 960 and nfr == 1 \
+                # stereo SILK: compat mode stays 20 ms-only (audiosize
+                # 960 hard-coded); RFC mode batches 20/40/60 ms payloads
+                # and code-3 multi-frame packets via the native engine
+                # (silk_host_stereo_packet_c — python symbol fallback
+                # keeps multi-frame stereo scalar)
+                silk2_ok = (spf == 960 and nfr == 1) if (
+                    compat_ref or not self.native) else (
+                    spf in (960, 1920, 2880) and spf * nfr <= 5760)
+                if mode == Mode.SILK_ONLY and silk2_ok \
                         and sch == 2 and channels == 2 and len(fss) == 1:
-                    self.path.append(("silk2", next(iter(fss))))
+                    self.path.append(("silk2", next(iter(fss)),
+                                      nfr * (spf // 960), spf // 48))
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 1 and channels == 1 and fb_only_ok:
@@ -777,7 +786,9 @@ class StreamPool:
                 if nfr == 1 and (not self.rfc_plc or payload_ms == 20):
                     by_key.setdefault(("silk", fs, payload_ms),
                                       []).append(i)
-            elif k == "silk2" and not self.rfc_plc:
+            elif k == "silk2" and not self.rfc_plc and p[2] == 1:
+                # multi-frame stereo packets stay on the generic path
+                # (the batched group decoder is 20 ms-only)
                 by_key.setdefault(("silk2", p[1]), []).append(i)
             elif k == "hybrid2" and not self.rfc_plc:
                 by_key.setdefault(("hybrid2",), []).append(i)
@@ -1047,8 +1058,16 @@ class StreamPool:
         self._last_pred[i] = np.asarray(sp["pred"], dtype=np.int32)
         if not self.native:
             return
-        if sp["side_reset"]:
-            self._plc_trk2.pop((i, 1), None)   # side restarts from reset
+        if sp["side_reset"] and (i, 1) in self._plc_trk2:
+            # side re-entry partial reset (silk_Decode :378): ONLY the
+            # channel-state half (lagPrev/LastGainIndex/prevSignalType/
+            # first_frame_after_reset; outBuf+sLPC zero on device) — the
+            # PLC/CNG structs keep their smoothed history
+            trk = self._plc_trk2[(i, 1)]
+            trk.lagPrev = 100
+            trk.LastGainIndex = 10
+            trk.prevSignalType = 0
+            trk.first_frame_after_reset = 1
         host = self._silk2_host(i)
         for ch, key in ((0, "mid"), (1, "side")):
             pch = sp[key]
@@ -1125,21 +1144,31 @@ class StreamPool:
             return ("silk", i, (fs, frame_ms, plist), job)
         if kind == "silk2":
             # stereo SILK symbol phase (native C engine or SilkDecoder-
-            # backed python), device MS->LR unmix
+            # backed python), device MS->LR unmix; 40/60 ms payloads and
+            # code-3 multi-frame packets emit one param dict per 20 ms
+            # internal frame (nfr sequential launches of the SAME
+            # compiled device core, silk_Decode :1481 frame loop)
             parsed = parse_packet(job.data)
-            fs = self.path[i][1]
+            fs, pms = self.path[i][1], self.path[i][3]
             if self.native:
-                sp = self._silk2_host(i).packet(parsed.frames[0], fs)
+                host = self._silk2_host(i)
+                if self.path[i][2] == 1:
+                    sps = [host.packet(parsed.frames[0], fs)]
+                else:
+                    sps = []
+                    for fr in parsed.frames:
+                        sps += host.packet_multi(fr, fs, pms)
             else:
                 from ..host.range_decoder import RangeDecoder
                 from .batch_silk import silk_host_stereo_packet
                 silk = self.scalar[i]._get_silk()
                 silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
-                sp = silk_host_stereo_packet(
-                    silk, RangeDecoder(parsed.frames[0]), fs)
+                sps = [silk_host_stereo_packet(
+                    silk, RangeDecoder(parsed.frames[0]), fs)]
             if self.rfc_plc:
-                self._track_stereo_good(i, sp, fs)
-            return ("silk2", i, (fs, sp), job)
+                for sp in sps:
+                    self._track_stereo_good(i, sp, fs)
+            return ("silk2", i, (fs, sps), job)
         if kind == "hybrid2":
             # stereo hybrid (BASELINE config 3): stereo SILK symbol
             # phase, then the CELT engine resumes the same coder state
@@ -1249,6 +1278,22 @@ class StreamPool:
                 # frame carries no CELT layer) — not muted, not mixed
                 return ("silk_fec", i, (fs, 20, [params]), job)
             # no usable LBRR: fall through to the loss path
+        if use_fec and kind in ("silk2", "hybrid2") and self.native \
+                and (kind == "hybrid2" or self.path[i][2] == 1) \
+                and self.positions[i] < len(self.streams[i].jobs):
+            # stereo in-band FEC: per-channel LBRR copies from the NEXT
+            # packet (silk_Decode lostFlag=2 with nChannelsInternal=2,
+            # src/silk.cpp:1565-1616); packets without usable stereo
+            # LBRR (or needing a mixed LBRR+conceal frame) fall through
+            # to concealment
+            fs = self.path[i][1] if kind == "silk2" else 16
+            nxt = parse_packet(
+                self.streams[i].jobs[self.positions[i]].data).frames[0]
+            sp = self._silk2_host(i).fec_packet(nxt, fs)
+            if sp is not None:
+                if self.rfc_plc:
+                    self._track_stereo_good(i, sp, fs)
+                return ("silk2_fec", i, (fs, [sp]), job)
         if not self.compat_ref and kind != "scalar":
             # RFC loss: CELT loss is silence with state untouched (the
             # reference deleted celt_decode_lost); SILK/hybrid get real
@@ -1285,26 +1330,34 @@ class StreamPool:
                 # predictors; all internal channels un-clamp their gain
                 from .batch_silk import silk_plc_host_params
                 fs = self.path[i][1] if kind == "silk2" else 16
+                dfp = self.path[i][2] if kind == "silk2" else 1
+                preps = []
                 if self.native:
                     host = self._silk2_host(i)
                     prev_dom = host.prev_dom
-                    m_prep = silk_plc_host_params(
-                        self._plc_tracker2(i, 0, fs), fs)
-                    s_prep = None if prev_dom else silk_plc_host_params(
-                        self._plc_tracker2(i, 1, fs), fs)
+                    for _ in range(dfp):
+                        m_prep = silk_plc_host_params(
+                            self._plc_tracker2(i, 0, fs), fs)
+                        s_prep = None if prev_dom else \
+                            silk_plc_host_params(
+                                self._plc_tracker2(i, 1, fs), fs)
+                        preps.append((m_prep, s_prep))
                     for st_ in host.st:
                         st_.LastGainIndex = 10
                 else:
                     silk = self.scalar[i]._get_silk()
                     silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
                     prev_dom = silk.prev_decode_only_middle
-                    m_prep = silk_plc_host_params(silk, fs, 0)
-                    s_prep = None if prev_dom else                         silk_plc_host_params(silk, fs, 1)
+                    for _ in range(dfp):
+                        m_prep = silk_plc_host_params(silk, fs, 0)
+                        s_prep = None if prev_dom else \
+                            silk_plc_host_params(silk, fs, 1)
+                        preps.append((m_prep, s_prep))
                     for ch in range(2):
                         silk.channel_states[ch].LastGainIndex = 10
                 pred = self._last_pred.get(
                     i, np.zeros(2, dtype=np.int32))
-                return ("silk2_plc", i, (fs, m_prep, s_prep, pred), job)
+                return ("silk2_plc", i, (fs, preps, pred), job)
             raise NotImplementedError(
                 "RFC-mode batched loss needs rfc_plc=True; with it every "
                 "batched kind (mono 10/20/40/60 ms SILK/hybrid, stereo "
@@ -1338,7 +1391,9 @@ class StreamPool:
                 silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
                 sp = silk_host_stereo_packet(silk, RangeDecoder(b""), fs)
             if kind == "silk2":
-                return ("silk2", i, (fs, sp), job)
+                # compat mode keeps silk2 at 20 ms/packet, so loss is
+                # always a single empty-bitstream frame
+                return ("silk2", i, (fs, [sp]), job)
             return ("silk2_mute", i, (16, sp), job)
         if kind == "hybrid":
             if self.silk_hosts is not None:
@@ -1395,9 +1450,11 @@ class StreamPool:
                 self._stats["frames_lost"] += 1
             else:
                 self._stats["bytes_in"] += len(job.data)
-            if kind == "silk_fec":
+            if kind in ("silk_fec", "silk2_fec"):
                 self._stats["frames_fec"] += 1
-                self._stats[f"frames_{self.path[i][0]}"] += 1
+                base = {"silk2": "silk", "hybrid2": "hybrid"}.get(
+                    self.path[i][0], self.path[i][0])
+                self._stats[f"frames_{base}"] += 1
             else:
                 self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
 
@@ -1434,22 +1491,23 @@ class StreamPool:
                 plc_groups.setdefault((fs, frame_ms, len(preps)),
                                       []).append((i, preps))
             elif kind == "silk2_plc":
-                fs, m_prep, s_prep, pred = payload
-                plc2_groups.setdefault(fs, []).append(
-                    (i, (m_prep, s_prep, pred)))
-            elif kind == "silk2":
-                fs, sp = payload
-                if sp.get("rng") is not None:
-                    self._last_rng[i] = sp["rng"]
-                silk2_groups.setdefault(fs, []).append((i, sp))
+                fs, preps, pred = payload
+                plc2_groups.setdefault((fs, len(preps)), []).append(
+                    (i, (preps, pred)))
+            elif kind in ("silk2", "silk2_fec"):
+                fs, sps = payload
+                if kind == "silk2" and sps[-1].get("rng") is not None:
+                    self._last_rng[i] = sps[-1]["rng"]
+                silk2_groups.setdefault((fs, len(sps)), []).append(
+                    (i, sps))
             elif kind == "silk2_mute":
                 pend["mute"].add(i)
                 fs, sp = payload
-                silk2_groups.setdefault(fs, []).append((i, sp))
+                silk2_groups.setdefault((fs, 1), []).append((i, [sp]))
             elif kind == "hybrid2":
                 sp, csi = payload
                 pend["hybrid"].add(i)
-                silk2_groups.setdefault(16, []).append((i, sp))
+                silk2_groups.setdefault((16, 1), []).append((i, [sp]))
                 key = (csi["LM"], csi["C"], self.channels)
                 celt_groups.setdefault(key, []).append((i, csi))
             elif kind == "hybrid":
@@ -1465,12 +1523,12 @@ class StreamPool:
             self._celt_group(items, LM, C, CC, pend)
         for (fs, frame_ms, nfr), items in silk_groups.items():
             self._silk_group(items, fs, nfr, frame_ms, pend)
-        for fs, items in silk2_groups.items():
-            self._silk2_group(items, fs, pend)
+        for (fs, nfr), items in silk2_groups.items():
+            self._silk2_group(items, fs, nfr, pend)
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
-        for fs, items in plc2_groups.items():
-            self._silk2_plc_group(items, fs, pend)
+        for (fs, dfp), items in plc2_groups.items():
+            self._silk2_plc_group(items, fs, dfp, pend)
         # start the D2H copies NOW (async): they stream back in the
         # background while the next steps' host phases run, so the
         # materialize `depth` steps later finds the data already on host
@@ -1538,10 +1596,15 @@ class StreamPool:
         for i, ps in parts.items():
             silk_pcm[i] = (ps[0] if len(ps) == 1
                            else np.concatenate(ps))[:, None]
+        parts2: dict[int, list] = {}
         for dev, sidx in pend["silk2"]:
             arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
-                silk_pcm[i] = arr[r].T
+                parts2.setdefault(i, []).append(arr[r].T)
+        for i, ps in parts2.items():
+            # 40/60 ms stereo payloads arrive as nfr sequential 20 ms
+            # launches of the same bucket; concatenate along time
+            silk_pcm[i] = ps[0] if len(ps) == 1 else np.concatenate(ps)
         meta = pend["meta"]
         for i in set(celt_pcm) | set(silk_pcm):
             lo, te = meta[i]
@@ -1845,10 +1908,18 @@ class StreamPool:
             self.silk_buckets[fs] = st2
             pend["silk"].append((out48, sidx))
 
-    def _silk2_plc_group(self, items, fs: int, pend):
+    def _silk2_plc_group(self, items, fs: int, dfp: int, pend):
         """Batched stereo concealment: per-channel host preps -> the
-        fused conceal/CNG/MS->LR/resample step. items: (stream_idx,
-        (mid_prep, side_prep_or_None, prev_pred))."""
+        fused conceal/CNG/MS->LR/resample step, one launch per 20 ms
+        concealed frame (dfp launches for 40/60 ms payloads, deepening
+        lossCnt carried by the host trackers). items: (stream_idx,
+        ([(mid_prep, side_prep_or_None)] * dfp, prev_pred))."""
+        for f in range(dfp):
+            self._silk2_plc_frame(
+                [(i, (preps[f][0], preps[f][1], pred))
+                 for i, (preps, pred) in items], fs, pend)
+
+    def _silk2_plc_frame(self, items, fs: int, pend):
         n = len(items)
         sidx = [it[0] for it in items]
         cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
@@ -1899,26 +1970,34 @@ class StreamPool:
         self.silk2_buckets[fs] = st2
         pend["silk2"].append((out48, sidx))
 
-    def _silk2_group(self, items, fs: int, pend):
-        """Generic adapter: stereo per-stream param dicts -> columnar
-        mid/side arrays -> _silk2_launch."""
-        n = len(items)
+    def _silk2_group(self, items, fs: int, nfr: int, pend):
+        """Generic adapter: stereo per-stream param-dict lists (one dict
+        per 20 ms internal frame) -> columnar mid/side arrays ->
+        _silk2_launch, one launch per internal frame (nfr sequential
+        launches of the SAME compiled core for 40/60 ms payloads,
+        silk_Decode :1481 frame loop). Glue crossfades apply only to
+        the first frame after a concealment run."""
         sidx = [it[0] for it in items]
         dummy = self._dummy_silk_params(fs)
-        mid = {key: np.stack([np.asarray(it[1]["mid"][key])
-                              for it in items])
-               for key in self._SILK_KEYS}
-        side = {key: np.stack([np.asarray((it[1]["side"] or dummy)[key])
-                               for it in items])
-                for key in self._SILK_KEYS}
-        has_side = np.array([it[1]["side"] is not None for it in items])
-        reset = np.array([bool(it[1]["side_reset"]) for it in items])
-        pred = np.stack([np.asarray(it[1]["pred"], dtype=np.int32)
-                         for it in items])
         glue = self._glue_arrays2(sidx) if self.rfc_plc else None
-        dev = self._silk2_launch(sidx, mid, side, has_side, reset, pred,
-                                 fs, glue=glue)
-        pend["silk2"].append((dev, sidx))
+        for f in range(nfr):
+            frames = [(i, sps[f]) for i, sps in items]
+            mid = {key: np.stack([np.asarray(it[1]["mid"][key])
+                                  for it in frames])
+                   for key in self._SILK_KEYS}
+            side = {key: np.stack(
+                [np.asarray((it[1]["side"] or dummy)[key])
+                 for it in frames]) for key in self._SILK_KEYS}
+            has_side = np.array([it[1]["side"] is not None
+                                 for it in frames])
+            reset = np.array([bool(it[1]["side_reset"])
+                              for it in frames])
+            pred = np.stack([np.asarray(it[1]["pred"], dtype=np.int32)
+                             for it in frames])
+            dev = self._silk2_launch(sidx, mid, side, has_side, reset,
+                                     pred, fs,
+                                     glue=glue if f == 0 else None)
+            pend["silk2"].append((dev, sidx))
 
     def _glue_arrays2(self, sidx):
         """Per-channel glue flags for stereo streams (first good frame

@@ -144,6 +144,8 @@ def _scalar_stereo_replay(name, lossfn):
     ("silk_wb_stereo_20ms", 6),
     ("silk_nb_stereo_20ms", 5),
     ("hybrid_fb_stereo_20ms", 7),
+    ("silk_nb_stereo_40ms", 6),
+    ("silk_wb_stereo_60ms", 5),
 ])
 def test_pool_rfc_plc_stereo(native, name, period):
     """Batched STEREO concealment (mid + masked side conceal/CNG,
@@ -178,3 +180,59 @@ def test_pool_rfc_plc_stereo_burst_and_checkpoint(tmp_path):
     fresh.load_checkpoint(str(ck))
     rest = fresh.run(loss=lambda i, k: lossfn(k))
     assert np.array_equal(rest[0], golden)
+
+
+@pytest.mark.slow
+def test_rfc_plc_stereo_fec_bitexact():
+    """Stereo in-band FEC (per-channel LBRR, silk_Decode lostFlag=2
+    with nChannelsInternal=2, src/silk.cpp:1565-1616): the pool's
+    batched path recovers a lost stereo frame from the next packet's
+    LBRR copies whenever mid has LBRR and the side is either present
+    in LBRR or not needed; otherwise it conceals. The scalar reference
+    follows the identical policy, so outputs must be bit-exact."""
+    name = "silk_wb_fec_stereo_20ms"
+    lossfn = lambda k: k > 0 and k % 5 == 0
+    s = opusfile.open_file(fixture_path(name))
+    jobs = s.jobs
+
+    from esp32_opus_player_tpu.host.packet import parse_packet
+    from esp32_opus_player_tpu.host.range_decoder import RangeDecoder
+
+    dec = OpusDecoder(2, compat_ref=False)
+    out = []
+    n_fec = 0
+    for k, job in enumerate(jobs):
+        if lossfn(k):
+            pcm = None
+            if k + 1 < len(jobs) and not lossfn(k + 1):
+                d = RangeDecoder(parse_packet(jobs[k + 1].data).frames[0])
+                d.dec_bit_logp(1)                 # ch0 VAD
+                mid_lbrr = d.dec_bit_logp(1)      # ch0 LBRR
+                d.dec_bit_logp(1)                 # ch1 VAD
+                side_lbrr = d.dec_bit_logp(1)     # ch1 LBRR
+                prev_dom = (dec.silk.prev_decode_only_middle
+                            if dec.silk else 0)
+                if mid_lbrr and (side_lbrr or not (
+                        side_lbrr == 0 and not prev_dom)):
+                    # pool policy: mid LBRR present AND NOT the mixed
+                    # case (side required but absent)
+                    if side_lbrr or prev_dom:
+                        pcm = dec.decode(jobs[k + 1].data,
+                                         decode_fec=True)
+                        n_fec += 1
+            if pcm is None:
+                pcm = dec.decode(None)
+        else:
+            pcm = dec.decode(job.data)
+        lo = job.discard_front
+        hi = pcm.shape[0] - job.trim_end
+        out.append(pcm[lo:max(hi, lo)])
+    ref = np.concatenate(out)
+    assert n_fec > 0, "fixture never exercises stereo FEC"
+
+    pool = StreamPool([str(fixture_path(name))], channels=2,
+                      compat_ref=False, rfc_plc=True, native=True)
+    got = pool.run(loss=lambda i, k: lossfn(k), fec=True)[0]
+    st = pool.stats()
+    assert st["frames_fec"] == n_fec
+    assert np.array_equal(got, ref)

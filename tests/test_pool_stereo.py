@@ -24,7 +24,7 @@ def test_pool_nb_stereo_oracle_bitexact():
     compiled reference oracle directly."""
     src = str(fixture_path("silk_nb_stereo_20ms"))
     pool = StreamPool([src], channels=2)
-    assert pool.path[0] == ("silk2", 8)
+    assert pool.path[0] == ("silk2", 8, 1, 20)
     out = pool.run()[0]
     gold = np.fromfile(str(fixture_path("silk_nb_stereo_20ms")).replace(
         "fixtures", "golden").replace(".opus", ".pcm"),
@@ -60,6 +60,24 @@ def test_pool_stereo_batched_bitexact(native):
     for i, src in enumerate(srcs):
         ref = decode_file(src, DecoderConfig(channels=2, compat_ref=True))
         assert np.array_equal(outs[i], ref), NAMES[i]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["silk_nb_stereo_40ms",
+                                  "silk_wb_stereo_60ms"])
+def test_pool_stereo_multiframe_batched_bitexact(name):
+    """40/60 ms stereo payloads batch through the native silk2 path —
+    nfr sequential launches of the SAME compiled 20 ms core per packet
+    (silk_Decode :1481 frame loop) — bit-exact vs the scalar RFC
+    decoder, with libopus-golden final ranges."""
+    from conftest import golden_ranges
+    src = str(fixture_path(name))
+    pool = StreamPool([src], channels=2, compat_ref=False, native=True)
+    assert pool.path[0][0] == "silk2" and pool.path[0][2] > 1
+    out = pool.run()[0]
+    ref = decode_file(src, DecoderConfig(channels=2, compat_ref=False))
+    assert np.array_equal(out, ref)
+    assert pool.final_ranges()[0] == golden_ranges(name)[-1]["final_range"]
 
 
 @pytest.mark.slow

@@ -146,6 +146,12 @@ FIXTURES = [
     ("silk_wb_fec_mono_20ms", "voice", 1, 2.0, 20,
      dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=24000,
           app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
+    ("silk_wb_fec_stereo_20ms", "voice", 2, 2.0, 20,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=36000,
+          app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
+    ("silk_wb_stereo_60ms", "voice", 2, 2.4, 60,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=18000,
+          app=lo.OPUS_APPLICATION_VOIP)),
     ("hybrid_fb_stereo_20ms", "music", 2, 2.0, 20,
      dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=40000)),
     ("hybrid_swb_mono_20ms", "voice", 1, 2.0, 20,

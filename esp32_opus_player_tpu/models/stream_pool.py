@@ -489,12 +489,50 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
+class _SSBatch:
+    """One dispatched (or to-be-dispatched) K-frame superstep. Frames
+    buffered into it hold `frame(j)` handles; `result()` on a handle
+    fetches the whole K-frame PCM block once and serves per-frame
+    views out of the cached host copy."""
+
+    __slots__ = ("pool", "fut", "_np")
+
+    def __init__(self, pool):
+        self.pool = pool
+        self.fut = None      # set at dispatch: device (K, CC, Nd, cap)
+        self._np = None
+
+    def frame(self, j):
+        return _SSFrame(self, j)
+
+    def host(self):
+        if self._np is None:
+            if self.fut is None:     # materialize before K frames ran
+                self.pool._ss_flush()
+            out = self.fut
+            if hasattr(out, "result"):
+                out = out.result()
+            self._np = np.asarray(out)
+        return self._np
+
+
+class _SSFrame:
+    __slots__ = ("batch", "j")
+
+    def __init__(self, batch, j):
+        self.batch = batch
+        self.j = j
+
+    def result(self):
+        return (self.batch.host()[self.j],)
+
+
 class StreamPool:
     def __init__(self, sources, channels: int = 1, native: bool = True,
                  compat_ref: bool = True, host_threads: int = 0,
                  fixed_buckets: bool = False, rfc_plc: bool = False,
                  output: str = "host", device_keep: int | None = None,
-                 out_fs: int = 48000):
+                 out_fs: int = 48000, superstep_k: int = 1):
         """sources: list of paths/bytes of Ogg/Opus streams.
 
         out_fs: output sample rate (48000/24000/16000/12000/8000) for
@@ -547,7 +585,9 @@ class StreamPool:
         if out_fs not in (48000, 24000, 16000, 12000, 8000):
             raise ValueError(f"unsupported out_fs {out_fs}")
         self.downsample = 48000 // out_fs
-        self.positions = [0] * self.n
+        # per-stream packet cursor as an ARRAY: the fast path gathers
+        # and bulk-advances it without a per-stream python loop
+        self.positions = np.zeros(self.n, dtype=np.int64)
         self.pcm_out = [[] for _ in range(self.n)]
         self.state = batch_celt.make_state(self.n, channels)
         self.silk_buckets: dict[int, dict] = {}
@@ -693,6 +733,13 @@ class StreamPool:
                     dtype=I32),
                 "preemph": jnp.zeros((self.n, channels), dtype=I32),
             }
+        # K-frame superstep (transposed pools only): buffer K frames of
+        # staging and run them as ONE device program (lax.scan inside
+        # _celt_pool_superstep_T) — one upload, one dispatch, one fetch
+        # per K frames, amortizing the per-dispatch RPC/client cost K x
+        # at the price of K frames of added latency
+        self._ss_k = max(1, int(superstep_k)) if self._t_mode else 1
+        self._ss_buf: dict[tuple, list] = {}
 
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
@@ -712,7 +759,10 @@ class StreamPool:
         # a tunneled/remote TPU: by the time a result is fetched, its
         # chain has long completed in the background.
         self._pending: list = []
-        self.pipeline_depth = 2
+        # superstep mode dispatches only every K frames, so retirement
+        # must lag at least K steps behind or _materialize would block
+        # on a not-yet-dispatched window
+        self.pipeline_depth = max(2, self._ss_k)
         self._groups: list = []
         is_ms = [p[0] == "ms" for p in self.path]
         if native:
@@ -835,16 +885,17 @@ class StreamPool:
         Streams NOT handled here (lost this step, exhausted, ungrouped)
         fall through to the per-stream generic path."""
         n_fast = 0
+        lost_mask = None
+        if lost:
+            lost_mask = np.zeros(self.n, dtype=bool)
+            lost_mask[list(lost)] = True
         for entry in self._groups:
             kind, g = entry[0], entry[1]
             idxs = np.asarray(g.idxs)
-            m = len(idxs)
-            pos = np.fromiter((self.positions[i] for i in g.idxs),
-                              dtype=np.int64, count=m)
+            pos = self.positions[idxs]
             active = pos < g.table.n_packets
-            if lost:
-                active &= np.fromiter((i not in lost for i in g.idxs),
-                                      dtype=bool, count=m)
+            if lost_mask is not None:
+                active &= ~lost_mask[idxs]
             if not active.any():
                 continue
             ok = g.decode(pos, active)
@@ -879,22 +930,24 @@ class StreamPool:
             skind = {"celt": "celt", "silk": "silk", "silk2": "silk",
                      "hybrid": "hybrid", "hybrid2": "hybrid"}[kind]
             self._stats[f"frames_{skind}"] += int(sel.size)
+            isel = idxs[sel].tolist()
             if kind == "silk":
                 rngs = g.ec[sel, 6] if g.nfr == 1 \
                     else g.buf.misc[sel, -1, 6]
-                for r, v in zip(sel, rngs):
-                    self._last_rng[int(idxs[r])] = int(v) & 0xFFFFFFFF
+                self._last_rng.update(zip(
+                    isel,
+                    (rngs.astype(np.int64) & 0xFFFFFFFF).tolist()))
             elif kind == "silk2":
-                for r in sel:
-                    self._last_rng[int(idxs[r])] = \
-                        int(g.ec[r, 6]) & 0xFFFFFFFF
+                self._last_rng.update(zip(
+                    isel,
+                    (g.ec[sel, 6].astype(np.int64)
+                     & 0xFFFFFFFF).tolist()))
             disc = g.table.disc[sel, pos[sel]]
             trim = g.table.trim[sel, pos[sel]]
-            for r, lo, te in zip(sel, disc, trim):
-                i = int(idxs[r])
-                self.positions[i] = int(pos[r]) + 1
-                pend["meta"][i] = (int(lo), int(te))
-                handled.add(i)
+            self.positions[idxs[sel]] = pos[sel] + 1
+            pend["meta"].update(
+                zip(isel, zip(disc.tolist(), trim.tolist())))
+            handled.update(isel)
             n_fast += int(sel.size)
         return n_fast
 
@@ -1428,7 +1481,13 @@ class StreamPool:
         handled: set = set()
         n_fast = self._fast_step(lost, pend, handled) if self._groups \
             else 0
-        rest = [i for i in range(self.n) if i not in handled]
+        if len(handled) == self.n:
+            rest = []
+        else:
+            rmask = np.ones(self.n, dtype=bool)
+            if handled:
+                rmask[list(handled)] = False
+            rest = np.nonzero(rmask)[0].tolist()
         if self._pool is not None:
             results = list(self._pool.map(
                 lambda i: self._host_one(i, i in lost, i in fec), rest))
@@ -1550,6 +1609,8 @@ class StreamPool:
 
     def _flush(self):
         """Materialize all pending device launches (pipeline drain)."""
+        if self._ss_buf:
+            self._ss_flush()
         pends, self._pending = self._pending, []
         for p in pends:
             self._materialize(p)
@@ -1755,6 +1816,18 @@ class StreamPool:
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         stg, masked = self._stage_celt_T(sidx, X, bandE, start, end,
                                          comb1, comb2, C, N, transient)
+        if self._ss_k > 1:
+            # superstep mode: buffer this frame's staging; dispatch ONE
+            # K-frame program when the buffer fills (or at flush)
+            key = (LM, C)
+            if key not in self._ss_buf:
+                self._ss_buf[key] = (_SSBatch(self), [])
+            batch, stgs = self._ss_buf[key]
+            h = batch.frame(len(stgs))
+            stgs.append(stg)
+            if len(stgs) >= self._ss_k:
+                self._ss_dispatch(key)
+            return h
 
         def run():
             # device_put is ASYNC: the 2-4 MB staging upload streams in
@@ -1784,6 +1857,42 @@ class StreamPool:
         if self._dev_exec is not None:
             return self._dev_exec.submit(run)
         return run()
+
+    def _ss_dispatch(self, key):
+        """Run one buffered K-frame superstep as a single device
+        program. A partial buffer (pipeline drain mid-window) is padded
+        with all-inactive frames so the ONE compiled (K, cap, W) shape
+        serves every dispatch; masked rows keep their state bit-for-bit
+        so pad frames are no-ops."""
+        batch, stgs = self._ss_buf.pop(key)
+        if len(stgs) < self._ss_k:
+            pad = np.zeros_like(stgs[0])
+            stgs = stgs + [pad] * (self._ss_k - len(stgs))
+        stgK = np.stack(stgs)
+        LM, C = key
+
+        def run():
+            pcmK, dm, pre = _celt_pool_superstep_T(
+                self.state["decode_mem"], self.state["preemph"],
+                jax.device_put(stgK), LM=LM, C=C, CC=self.channels,
+                chunk=13, masked=True, downsample=self.downsample,
+                interpret=self._t_interp)
+            self.state["decode_mem"] = dm
+            self.state["preemph"] = pre
+            if self.output == "host":
+                try:
+                    pcmK.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return pcmK
+
+        batch.fut = self._dev_exec.submit(run) \
+            if self._dev_exec is not None else run()
+
+    def _ss_flush(self):
+        """Dispatch every partially-filled superstep buffer."""
+        for key in list(self._ss_buf):
+            self._ss_dispatch(key)
 
     # ------------------------------------------------------------------
     _SILK_KEYS = ("exc", "A", "B", "gains", "inv", "lag", "voiced",
@@ -2076,6 +2185,21 @@ class StreamPool:
                            dtype=np.int16)
             stg[:, 4] = 21
             stg[:, 17] = 1
+            if self._ss_k > 1:
+                # superstep mode compiles ONLY the K-frame program
+                dmT = jnp.zeros((self.channels,
+                                 DECODE_BUFFER_SIZE + OVERLAP, cap), I32)
+                pre = jnp.zeros((cap, self.channels), I32)
+                stgK = np.broadcast_to(
+                    stg, (self._ss_k,) + stg.shape).copy()
+                pcmK, dmT, pre = _celt_pool_superstep_T(
+                    dmT, pre, jnp.asarray(stgK), LM=3, C=C,
+                    CC=self.channels, chunk=13, masked=True,
+                    downsample=self.downsample,
+                    interpret=self._t_interp)
+                if self.output == "host":
+                    np.asarray(pcmK)
+                return
             for masked in (False, True):
                 dmT = jnp.zeros((self.channels,
                                  DECODE_BUFFER_SIZE + OVERLAP, cap), I32)

@@ -44,7 +44,7 @@ def snapshot(pool) -> dict:
         channels=pool.channels,
         native=pool.native,
         digests=[_stream_digest(s) for s in pool.streams],
-        positions=list(pool.positions),
+        positions=[int(p) for p in pool.positions],
         path=list(pool.path),
         pcm_out=[[np.asarray(a) for a in per] for per in pool.pcm_out],
         device_state={k: np.asarray(v) for k, v in pool.state.items()},
@@ -106,7 +106,7 @@ def restore(pool, ck: dict) -> None:
         raise ValueError("checkpoint sources differ from this pool's")
 
     pool._pending = []   # a restored pool has no in-flight launches
-    pool.positions = list(ck["positions"])
+    pool.positions = np.asarray(ck["positions"], dtype=np.int64)
     pool.path = list(ck["path"])
     pool.pcm_out = [[np.asarray(a) for a in per] for per in ck["pcm_out"]]
     pool.state = {k: jnp.asarray(v) for k, v in ck["device_state"].items()}

@@ -43,3 +43,32 @@ def test_tmode_pool_prefix_and_loss(monkeypatch):
     exp = np.concatenate(exp)
     got2 = np.concatenate(pool.pcm_out[2])
     assert np.array_equal(got2, exp)
+
+
+@pytest.mark.slow
+def test_tmode_superstep_bitexact(monkeypatch):
+    """K-frame superstep (superstep_k=3): frames buffer into ONE
+    K-frame device program (lax.scan) and must match the per-frame
+    transposed path bit-exactly, including a lost packet mid-window, a
+    partial final window (pipeline drain pads with inactive frames),
+    and PCM routed per frame out of the cached K-frame fetch."""
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=True, superstep_k=3)
+    assert pool._t_mode and pool._ss_k == 3
+    for k in range(7):      # 2 full windows + 1-frame partial window
+        pool.step(lost={1} if k == 2 else None)
+    pool._flush()
+    ref = decode_file(src, DecoderConfig(channels=1, compat_ref=True))
+    got = np.concatenate(pool.pcm_out[0])
+    assert np.array_equal(got, ref[:got.shape[0]])
+    # the lossy stream: frame 2 is silence with state untouched
+    pool2 = StreamPool([src], channels=1, native=True, compat_ref=True)
+    for k in range(7):
+        pool2.step(lost={0} if k == 2 else None)
+    pool2._flush()
+    assert np.array_equal(np.concatenate(pool.pcm_out[1]),
+                          np.concatenate(pool2.pcm_out[0]))

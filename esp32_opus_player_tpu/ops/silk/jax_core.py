@@ -128,7 +128,11 @@ def silk_core_frame(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
     ltp_mem = 20 * fs_khz
     max_lag = 18 * fs_khz
     W = max_lag + LTP_ORDER // 2 + 2          # rewhitening tail window
-    CH = 14   # lag-safe chunk: reads reach back lag-2 >= 2*fs_khz-2 >= 14
+    # lag-safe chunk: reads reach back lag-2, and the decoder's minimum
+    # pitch lag is 2 ms = 2*fs_khz samples (PE_MIN_LAG_MS), so chunks of
+    # 2*fs_khz-2 never read into unfinished rows — half the sequential
+    # chunk count at WB vs a global worst-case 14
+    CH = 2 * fs_khz - 2
 
     # CH-padded so the last chunk never clamps its dynamic slices
     sLTP_Q15 = jnp.zeros((Bsz, ltp_mem + frame + CH), dtype=I32)
@@ -185,12 +189,21 @@ def silk_core_frame(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
         def ltp_chunk(carry, c):
             sltp, res = carry
             i0 = c * CH
-            gidx = ltp_mem + k * subfr + i0 + jnp.arange(CH, dtype=I32)
-            gidx = jnp.broadcast_to(gidx[None, :], (Bsz, CH))
+            # the 5 taps read CONSECUTIVE positions (i - lag + 2 - t,
+            # t = 0..4), so ONE windowed gather of CH+4 columns serves
+            # all of them via static slices — the same
+            # scattered-gathers -> windowed-gather rewrite that made
+            # the CELT comb filter fast (one dynamic lane-gather per
+            # chunk instead of LTP_ORDER)
+            gidx0 = ltp_mem + k * subfr + i0
+            wbase = gidx0 - lag[:, None] - LTP_ORDER // 2
+            win = jnp.take_along_axis(
+                sltp, wbase + jnp.arange(CH + LTP_ORDER - 1,
+                                         dtype=I32)[None, :], axis=1)
             pred = 2 + jnp.zeros((Bsz, CH), dtype=I32)
             for t in range(LTP_ORDER):
-                tap = jnp.take_along_axis(
-                    sltp, gidx - lag[:, None] + LTP_ORDER // 2 - t, axis=1)
+                tap = win[:, LTP_ORDER - 1 - t:
+                          LTP_ORDER - 1 - t + CH]
                 pred = smlawb(pred, tap, Bk[:, t][:, None])
             exc_sl = jax.lax.dynamic_slice_in_dim(
                 exc, k * subfr + i0, CH, axis=-1)

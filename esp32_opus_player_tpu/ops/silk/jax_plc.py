@@ -95,7 +95,7 @@ def silk_plc_conceal_frame(outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4,
     frame = nb_subfr * subfr
     lm = 20 * fs_khz
     max_lag = 18 * fs_khz
-    CH = 14   # lag-safe: reads reach back lag-2 >= 2*fs_khz-2 >= 14
+    CH = 2 * fs_khz - 2   # lag-safe: reads reach back lag-2 >= 2*fs_khz-2
 
     # ---- rewhitening of the last (lag0+2) history samples -------------
     W = max_lag + 2
@@ -118,13 +118,18 @@ def silk_plc_conceal_frame(outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4,
 
         def ltp_chunk(sltp, c):
             i0 = c * CH
-            gidx = lm + k * subfr + i0 + jnp.arange(CH, dtype=I32)
-            gidx = jnp.broadcast_to(gidx[None, :], (Bsz, CH))
+            # one windowed gather serves all 5 consecutive taps (same
+            # rewrite as silk_core_frame — LTP_ORDER x fewer dynamic
+            # lane-gathers in the hot recurrence)
+            gidx0 = lm + k * subfr + i0
+            wbase = gidx0 - lag[:, None] - LTP_ORDER // 2
+            win = jnp.take_along_axis(
+                sltp, wbase + jnp.arange(CH + LTP_ORDER - 1,
+                                         dtype=I32)[None, :], axis=1)
             pred = 2 + jnp.zeros((Bsz, CH), dtype=I32)
             for tt in range(LTP_ORDER):
-                tap = jnp.take_along_axis(
-                    sltp, gidx - lag[:, None] + LTP_ORDER // 2 - tt,
-                    axis=1)
+                tap = win[:, LTP_ORDER - 1 - tt:
+                          LTP_ORDER - 1 - tt + CH]
                 pred = smlawb(pred, tap, Bk[:, tt][:, None])
             rnd = jax.lax.dynamic_slice_in_dim(
                 rand_pad, k * subfr + i0, CH, axis=-1)

@@ -191,6 +191,48 @@ def bench_device(B=2048, iters=12, K=8):
     return (B * 0.02 / step, step * 1000, compile_s, best, per_B)
 
 
+def bench_device_silk(B=2048, iters=10):
+    """Isolated SILK device step capacity: the fused Pallas core
+    (rewhitening FIR + bit-shift LTP recurrence + LPC ring in one VMEM
+    program) + 48 kHz resampler over a WB bucket, synchronized."""
+    import jax
+    import jax.numpy as jnp
+    from esp32_opus_player_tpu.models.stream_pool import (StreamPool,
+                                                          _silk_pool_step)
+    fs = 16
+    frame = 20 * fs
+    rng = np.random.default_rng(0)
+    pool = StreamPool([f"{FIX}/silk_wb_mono_20ms.opus"] * B, channels=1,
+                      native=True, fixed_buckets=True, output="device")
+    st = pool._silk_bucket(fs)
+    jidx = jnp.arange(B, dtype=jnp.int32)
+    exc = jnp.asarray(rng.integers(-(1 << 16), 1 << 16, (B, frame),
+                                   dtype=np.int32))
+    A = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, 2, 16),
+                                 dtype=np.int32))
+    Bc = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, 4, 5),
+                                  dtype=np.int32))
+    iv = np.zeros((B, 4, 4), np.int32)
+    iv[:, 0] = 1 << 16
+    iv[:, 1] = 1 << 30
+    iv[:, 2] = rng.integers(2 * fs, 18 * fs, (B, 4))
+    iv[:, 3] = 1 << 14
+    bools = np.zeros((B, 3, 4), bool)
+    bools[:, 0] = True
+    bools[:, 1, 0] = True
+    glue = jnp.zeros(B, bool)
+    args = (jnp.asarray(iv), jnp.asarray(bools), glue)
+    kw = dict(fs=fs, nb=4, order=16, frame=frame, has_glue=False)
+    out, st = _silk_pool_step(st, jidx, exc, A, Bc, *args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out, st = _silk_pool_step(st, jidx, exc, A, Bc, *args, **kw)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / iters * 1000
+    return B * 0.02 / (ms / 1000), ms
+
+
 def bench_link():
     """Host<->device transfer rates of the PCM-sized path (the tunnel
     on this rig; PCIe on a production host)."""
@@ -227,6 +269,11 @@ def main():
           f"{dev_streams:.0f} realtime streams/chip; K=8 superstep -> "
           f"{sstep_streams:.0f} (by B: {sstep_by_B}; compile "
           f"{compile_s:.0f}s)", file=sys.stderr)
+
+    silk_streams, silk_ms = bench_device_silk()
+    print(f"# silk device step (fused Pallas core + resampler): "
+          f"{silk_ms:.1f} ms at B=2048 -> {silk_streams:.0f} realtime "
+          f"streams/chip", file=sys.stderr)
 
     host_frame, cores, host_curve = bench_host()
     host_streams_core = 0.02 / host_frame
@@ -279,6 +326,7 @@ def main():
             "device_synthesis_streams": round(dev_streams),
             "device_superstep_streams": round(sstep_streams),
             "device_superstep_streams_by_B": sstep_by_B,
+            "device_silk_streams": round(silk_streams),
             "e2e_rig_celt_fb_mono": configs["celt_fb_mono"],
             "host_symbol_us_per_frame_by_threads": host_curve,
             "host_symbol_us_per_frame_per_core": round(host_frame * 1e6,
@@ -290,14 +338,14 @@ def main():
             "link_d2h_MBps": round(d2h, 1),
         },
     }))
-    print("# headline = the chip's full decode pipeline capacity with "
-          "PCM delivered to HBM (device-resident serving, K-frame "
-          "superstep, varied pitch lags, synchronized execution). The "
-          "e2e configs are this DEV RIG's numbers: a 1-core host "
-          "(symbol phase ~23 us/frame/core) and a ~40 MB/s tunneled "
-          "link bound them two orders of magnitude below the chip; a "
-          "production host (PCIe, many cores) feeds ~0.1 GB/s and "
-          "~12 cores per 10k streams — see components.",
+    print(f"# headline = the chip's full decode pipeline capacity with "
+          f"PCM delivered to HBM (device-resident serving, K-frame "
+          f"superstep, varied pitch lags, synchronized execution). The "
+          f"e2e configs are this DEV RIG's numbers: a 1-core host "
+          f"(symbol phase {host_frame * 1e6:.0f} us/frame/core) and a "
+          f"~40 MB/s tunneled link bound them far below the chip; a "
+          f"production host (PCIe, many cores) feeds ~0.1 GB/s and "
+          f"~{cores_for_10k} cores per 10k streams — see components.",
           file=sys.stderr)
 
 

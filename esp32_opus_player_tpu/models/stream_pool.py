@@ -353,22 +353,30 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     reset = side_flags[1].astype(bool)
 
     ob0 = st["outBuf"][jidx][:, 0]
-    xq_mid, sLPC0 = sjc.silk_core_frame(
-        ob0, st["sLPC"][jidx][:, 0], m_exc, m_A, m_B,
-        m_iv[:, 0], m_iv[:, 1], m_iv[:, 2], m_bools[:, 0], m_bools[:, 1],
-        m_iv[:, 3], m_bools[:, 2], fs_khz=fs, nb_subfr=4, order=order)
-    new_ob0 = jnp.concatenate(
-        [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
-        axis=-1)
-
     ob1_old = st["outBuf"][jidx][:, 1]
     sl1_old = st["sLPC"][jidx][:, 1]
     ob1 = jnp.where(reset[:, None], 0, ob1_old)
     sl1 = jnp.where(reset[:, None], 0, sl1_old)
-    xq_side, sLPC1 = sjc.silk_core_frame(
-        ob1, sl1, s_exc, s_A, s_B,
-        s_iv[:, 0], s_iv[:, 1], s_iv[:, 2], s_bools[:, 0], s_bools[:, 1],
-        s_iv[:, 3], s_bools[:, 2], fs_khz=fs, nb_subfr=4, order=order)
+    # mid and side run as ONE 2*cap-row core call (rows independent):
+    # one kernel invocation at double lane occupancy instead of two
+    xq_both, sLPC_both = sjc.silk_core_frame(
+        jnp.concatenate([ob0, ob1]),
+        jnp.concatenate([st["sLPC"][jidx][:, 0], sl1]),
+        jnp.concatenate([m_exc, s_exc]),
+        jnp.concatenate([m_A, s_A]), jnp.concatenate([m_B, s_B]),
+        jnp.concatenate([m_iv[:, 0], s_iv[:, 0]]),
+        jnp.concatenate([m_iv[:, 1], s_iv[:, 1]]),
+        jnp.concatenate([m_iv[:, 2], s_iv[:, 2]]),
+        jnp.concatenate([m_bools[:, 0], s_bools[:, 0]]),
+        jnp.concatenate([m_bools[:, 1], s_bools[:, 1]]),
+        jnp.concatenate([m_iv[:, 3], s_iv[:, 3]]),
+        jnp.concatenate([m_bools[:, 2], s_bools[:, 2]]),
+        fs_khz=fs, nb_subfr=4, order=order)
+    xq_mid, xq_side = xq_both[:cap], xq_both[cap:]
+    sLPC0, sLPC1 = sLPC_both[:cap], sLPC_both[cap:]
+    new_ob0 = jnp.concatenate(
+        [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
+        axis=-1)
     new_ob1 = jnp.where(
         has_side[:, None],
         jnp.concatenate([ob1[:, frame:ltp], xq_side,

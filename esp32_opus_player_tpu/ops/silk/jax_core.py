@@ -122,6 +122,32 @@ def silk_core_frame(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
     prev_gain_match: (B, nb_subfr) bool (gain equal to previous -> no adj).
     Returns (xq (B, frame) int32 int16-range, new sLPC (B, 16)).
     """
+    if jax.default_backend() == "tpu" and exc.shape[0] >= 128:
+        # whole-core fused Pallas kernel (no gathers, no relayouts) for
+        # full-lane batches; tiny buckets keep the XLA path (below one
+        # lane tile the gathers win). The XLA path below
+        # (silk_core_frame_xla) remains the CPU / test reference.
+        from .pallas_core import silk_core_pallas
+        return silk_core_pallas(
+            outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
+            inv_gain_q31_k0, pitchL, signal_type_voiced, rewhiten_k,
+            gain_adj_q16, prev_gain_match, fs_khz=fs_khz,
+            nb_subfr=nb_subfr, order=order)
+    return silk_core_frame_xla(
+        outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16, inv_gain_q31_k0,
+        pitchL, signal_type_voiced, rewhiten_k, gain_adj_q16,
+        prev_gain_match, fs_khz=fs_khz, nb_subfr=nb_subfr, order=order)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs_khz", "nb_subfr", "order"))
+def silk_core_frame_xla(outBuf, sLPC0, exc, A_Q12, B_Q14, gains_q16,
+                        inv_gain_q31_k0, pitchL, signal_type_voiced,
+                        rewhiten_k, gain_adj_q16, prev_gain_match, *,
+                        fs_khz: int, nb_subfr: int, order: int):
+    """The XLA expression of silk_core_frame (see its docstring) —
+    the CPU path and the reference the Pallas kernel is checked
+    against, on CPU in CI and on silicon by tools/check_pallas_tpu.py."""
     Bsz = exc.shape[0]
     subfr = 5 * fs_khz
     frame = nb_subfr * subfr

@@ -90,6 +90,28 @@ def silk_plc_conceal_frame(outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4,
     the raw signal -> CNG add -> glue energy of the audible frame) — use
     frame_energy() on the post-CNG output.
     """
+    if jax.default_backend() == "tpu" and outBuf.shape[0] >= 128:
+        # fused transposed kernel for full-lane batches; below one lane
+        # tile the XLA gathers win (conceal buckets are usually small —
+        # the lost fraction of a pool). The XLA body below
+        # (silk_plc_conceal_frame_xla) stays the CPU/test reference
+        # (tools/check_pallas_tpu.py compares on silicon).
+        from .pallas_core import silk_plc_conceal_pallas
+        return silk_plc_conceal_pallas(
+            outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4,
+            inv_gain_q30, prev_gain_q10_1, fs_khz=fs_khz,
+            nb_subfr=nb_subfr, order=order)
+    return silk_plc_conceal_frame_xla(
+        outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4, lag4, inv_gain_q30,
+        prev_gain_q10_1, fs_khz=fs_khz, nb_subfr=nb_subfr, order=order)
+
+
+@partial(jax.jit, static_argnames=("fs_khz", "nb_subfr", "order"))
+def silk_plc_conceal_frame_xla(outBuf, sLPC0, rand_q12, A_Q12, B_Q14_4,
+                               lag4, inv_gain_q30, prev_gain_q10_1, *,
+                               fs_khz: int, nb_subfr: int, order: int):
+    """The XLA expression of silk_plc_conceal_frame (see its
+    docstring) — the CPU path and the Pallas kernel's reference."""
     Bsz = outBuf.shape[0]
     subfr = 5 * fs_khz
     frame = nb_subfr * subfr
@@ -171,6 +193,18 @@ def cng_add(xq, cng_exc_q14, a_q12, gain_q10, state0, apply_mask, *,
     """Batched comfort-noise addition on concealed frames
     (silk_CNG :1342, lossCnt branch). Rows with apply_mask False pass
     through untouched (state also kept). Returns (xq', new_state)."""
+    if jax.default_backend() == "tpu" and xq.shape[0] >= 128:
+        from .pallas_core import cng_add_pallas
+        return cng_add_pallas(xq, cng_exc_q14, a_q12, gain_q10, state0,
+                              apply_mask, frame=frame, order=order)
+    return cng_add_xla(xq, cng_exc_q14, a_q12, gain_q10, state0,
+                       apply_mask, frame=frame, order=order)
+
+
+@partial(jax.jit, static_argnames=("frame", "order"))
+def cng_add_xla(xq, cng_exc_q14, a_q12, gain_q10, state0, apply_mask, *,
+                frame: int, order: int):
+    """The XLA expression of cng_add (see its docstring)."""
     Bsz = xq.shape[0]
 
     def step(state, xs):

@@ -197,3 +197,107 @@ def test_pallas_up2_matches_scan():
     o1, s1 = up2_hq_scan(S, inp)
     o2, s2 = up2_hq_pallas(S, inp, interpret=True)
     assert jnp.array_equal(o1, o2) and jnp.array_equal(s1, s2)
+
+
+@pytest.mark.parametrize("fs,nb,order", [(16, 4, 16), (12, 4, 16),
+                                         (8, 4, 10), (16, 2, 16)])
+def test_pallas_silk_core_matches_xla(fs, nb, order):
+    """The fused whole-core SILK kernel (silk_core_pallas: rewhitening
+    FIR + bit-shift LTP recurrence + LPC ring, one VMEM program) must
+    be bit-exact vs the XLA silk_core_frame across voiced/unvoiced
+    rows, rewhiten/rescale/no-adj combinations and all rates (interpret
+    mode here; tools/check_pallas_tpu.py compiles it on silicon)."""
+    from esp32_opus_player_tpu.ops.silk.jax_core import silk_core_frame
+    from esp32_opus_player_tpu.ops.silk.pallas_core import \
+        silk_core_pallas
+
+    import jax.numpy as jnp
+    rng = np.random.default_rng(42 + fs + nb)
+    B = 5
+    subfr = 5 * fs
+    frame = nb * subfr
+    ltp_mem = 20 * fs
+    outBuf = jnp.asarray(rng.integers(-30000, 30000,
+                                      (B, ltp_mem + frame), np.int32))
+    sLPC = jnp.asarray(rng.integers(-(1 << 20), 1 << 20, (B, 16),
+                                    np.int32))
+    exc = jnp.asarray(rng.integers(-(1 << 16), 1 << 16, (B, frame),
+                                   np.int32))
+    A = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, 2, 16),
+                                 np.int32))
+    Bq = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, nb, 5),
+                                  np.int32))
+    gains = jnp.asarray(rng.integers(1 << 14, 1 << 20, (B, nb),
+                                     np.int32))
+    inv = jnp.asarray(rng.integers(1 << 24, 1 << 30, (B, nb), np.int32))
+    lag = jnp.asarray(rng.integers(2 * fs, 18 * fs + 1, (B, nb),
+                                   np.int32))
+    voiced = jnp.asarray(rng.integers(0, 2, (B, nb)).astype(bool)
+                         ).at[0].set(True).at[1].set(False)
+    rw = jnp.asarray(rng.integers(0, 2, (B, nb)).astype(bool))
+    adj = jnp.asarray(rng.integers(1 << 14, 1 << 17, (B, nb), np.int32))
+    match = jnp.asarray(rng.integers(0, 2, (B, nb)).astype(bool))
+
+    args = (outBuf, sLPC, exc, A, Bq, gains, inv, lag, voiced, rw, adj,
+            match)
+    kw = dict(fs_khz=fs, nb_subfr=nb, order=order)
+    xq_ref, st_ref = silk_core_frame(*args, **kw)
+    xq_p, st_p = silk_core_pallas(*args, **kw, interpret=True)
+    assert np.array_equal(np.asarray(xq_p), np.asarray(xq_ref))
+    assert np.array_equal(np.asarray(st_p), np.asarray(st_ref))
+
+
+def test_pallas_plc_conceal_and_cng_match_xla():
+    """The fused PLC conceal kernel and the CNG-add ring kernel must be
+    bit-exact vs their XLA reference bodies (interpret mode; silicon via
+    tools/check_pallas_tpu.py)."""
+    import jax.numpy as jnp
+    import jax
+    from esp32_opus_player_tpu.ops.silk import jax_plc as jp
+    from esp32_opus_player_tpu.ops.silk.pallas_core import (
+        cng_add_pallas, silk_plc_conceal_pallas)
+
+    rng = np.random.default_rng(7)
+    for fs, order in ((16, 16), (8, 10)):
+        B, nb = 4, 4
+        frame = nb * 5 * fs
+        lm = 20 * fs
+        outBuf = jnp.asarray(rng.integers(-30000, 30000,
+                                          (B, lm + frame), np.int32))
+        sLPC = jnp.asarray(rng.integers(-(1 << 20), 1 << 20, (B, 16),
+                                        np.int32))
+        rand = jnp.asarray(rng.integers(-(1 << 14), 1 << 14, (B, frame),
+                                        np.int32))
+        A = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, 16),
+                                     np.int32))
+        B4 = jnp.asarray(rng.integers(-(1 << 12), 1 << 12, (B, 4, 5),
+                                      np.int32))
+        lag4 = jnp.asarray(rng.integers(2 * fs, 18 * fs + 1, (B, 4),
+                                        np.int32))
+        inv = jnp.asarray(rng.integers(1 << 24, 1 << 30, B, np.int32))
+        pg = jnp.asarray(rng.integers(1 << 10, 1 << 16, B, np.int32))
+        kw = dict(fs_khz=fs, nb_subfr=nb, order=order)
+        xr, sr = jp.silk_plc_conceal_frame(outBuf, sLPC, rand,
+                                           A[:, :order], B4, lag4, inv,
+                                           pg, **kw)
+        xp, sp = silk_plc_conceal_pallas(outBuf, sLPC, rand,
+                                         A[:, :order], B4, lag4, inv,
+                                         pg, **kw, interpret=True)
+        assert np.array_equal(np.asarray(xp), np.asarray(xr)), fs
+        assert np.array_equal(np.asarray(sp), np.asarray(sr)), fs
+
+        xq = jnp.asarray(rng.integers(-30000, 30000, (B, frame),
+                                      np.int32))
+        exc = jnp.asarray(rng.integers(-(1 << 16), 1 << 16, (B, frame),
+                                       np.int32))
+        gain = jnp.asarray(rng.integers(1 << 8, 1 << 14, B, np.int32))
+        st0 = jnp.asarray(rng.integers(-(1 << 18), 1 << 18, (B, 16),
+                                       np.int32))
+        msk = jnp.asarray([True, False, True, True])
+        o1, s1 = jp.cng_add(xq, exc, A[:, :order], gain, st0, msk,
+                            frame=frame, order=order)
+        o2, s2 = cng_add_pallas(xq, exc, A[:, :order], gain, st0, msk,
+                                frame=frame, order=order,
+                                interpret=True)
+        assert np.array_equal(np.asarray(o2), np.asarray(o1)), fs
+        assert np.array_equal(np.asarray(s2), np.asarray(s1)), fs

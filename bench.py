@@ -42,7 +42,12 @@ def _force_sync_mode():
 
 
 def bench_pool(src, B, channels, iters, output, warm=4, **pool_kw):
-    """Measured steady-state e2e streams/chip of a real StreamPool."""
+    """Measured steady-state e2e streams/chip of a real StreamPool.
+    Also returns the per-step host phase split (ms) over the timed
+    window: host_symbol / dispatch / materialize — the materialize
+    share is the pipeline-overlap evidence (deferred retirement +
+    copy_to_host_async hide the D2H behind later host phases; compare
+    against the raw PCM size over the measured link rate)."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     kw = dict(device_keep=2) if output == "device" else {}
     pool = StreamPool([src] * B, channels=channels, native=True,
@@ -51,6 +56,8 @@ def bench_pool(src, B, channels, iters, output, warm=4, **pool_kw):
     for _ in range(warm):
         pool.step()
     pool.sync()
+    for k in pool._phase_s:
+        pool._phase_s[k] = 0.0
     t0 = time.time()
     n = 0
     for _ in range(iters):
@@ -60,8 +67,9 @@ def bench_pool(src, B, channels, iters, output, warm=4, **pool_kw):
     pool.sync()
     dt = time.time() - t0
     if n == 0:
-        return 0.0, 0.0
-    return B * 0.02 / (dt / n), dt / n * 1000
+        return 0.0, 0.0, {}
+    phases = {k: round(v / n * 1000, 1) for k, v in pool._phase_s.items()}
+    return B * 0.02 / (dt / n), dt / n * 1000, phases
 
 
 def bench_pool_loss(src, B, channels, iters):
@@ -299,11 +307,18 @@ def main():
         ("hybrid_fb_stereo", f"{FIX}/hybrid_fb_stereo_20ms.opus",
          B // 4, 2, "device", dict(compat_ref=True)),
     ]
+    phase_split = {}
     for name, src, b, ch, out, kw in matrix:
-        streams, step_ms = bench_pool(src, b, ch, iters, out, **kw)
+        streams, step_ms, phases = bench_pool(src, b, ch, iters, out,
+                                              **kw)
         configs[name] = round(streams, 1)
+        phase_split[name] = phases
         print(f"# e2e {name} [{out}]: {step_ms:.0f} ms/step at B={b} -> "
-              f"{streams:.0f} realtime streams", file=sys.stderr)
+              f"{streams:.0f} realtime streams (phases {phases})",
+              file=sys.stderr)
+    # overlap evidence: raw PCM bytes/step over the measured D2H rate
+    # vs the materialize phase actually paid in the pcm-to-host config
+    pcm_mb = B * 960 * 2 / 1e6
 
     streams, step_ms = bench_pool_loss(
         f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters)
@@ -336,6 +351,12 @@ def main():
             "host_cores_available": cores,
             "link_h2d_MBps": round(h2d, 1),
             "link_d2h_MBps": round(d2h, 1),
+            # pipeline overlap (SURVEY §2.7): in the pcm-to-host config
+            # each step ships B*960*2 bytes; if materialize_ms is far
+            # below the raw transfer time at the measured D2H rate, the
+            # copy rode copy_to_host_async behind later host phases
+            "e2e_phase_ms_by_config": phase_split,
+            "d2h_raw_pcm_ms_per_step": round(pcm_mb / d2h * 1000, 1),
         },
     }))
     print(f"# headline = the chip's full decode pipeline capacity with "

@@ -28,6 +28,7 @@ the scalar bit-exact decoder.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 
@@ -240,11 +241,11 @@ def _celt_pool_superstep(dm_all, pre_all, stgK, *, LM: int, C: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("fs", "nb", "order", "frame",
-                                    "has_glue"),
+                                    "has_glue", "out_khz"),
                    donate_argnums=(0,))
 def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
                     fs: int, nb: int, order: int, frame: int,
-                    has_glue: bool):
+                    has_glue: bool, out_khz: int = 48):
     """One fused mono-SILK device frame over a bucket.
 
     iv: (cap, 4, 4) int32 = [gains, inv, lag, adj];
@@ -272,9 +273,9 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
         [hist, jnp.zeros((xq.shape[0], 20 * fs), dtype=I32)], axis=-1)
     sMid = st["sMid"][jidx]
     resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
-    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
         st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
-        fs_in_khz=fs, in_len=frame)
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
     st2 = dict(st)
     st2["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
     st2["sLPC"] = st["sLPC"].at[jidx].set(sLPC2)
@@ -286,11 +287,13 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "nb", "order", "frame"),
+                   static_argnames=("fs", "nb", "order", "frame",
+                                    "out_khz"),
                    donate_argnums=(0,))
 def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
                         prev_gain, cng_exc, cng_a, cng_gain, first, *,
-                        fs: int, nb: int, order: int, frame: int):
+                        fs: int, nb: int, order: int, frame: int,
+                        out_khz: int = 48):
     """One fused mono-SILK concealment frame over a bucket: conceal
     core + CNG add + glue-energy capture + resample, as a SINGLE
     compiled program with the bucket state donated (the previous
@@ -316,9 +319,9 @@ def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
     ce, cs = jplc.frame_energy(xq_out, frame=frame)
     sMid = st["sMid"][jidx]
     resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
-    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
         st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
-        fs_in_khz=fs, in_len=frame)
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
     st2 = dict(st)
     st2["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
     st2["sLPC"] = st["sLPC"].at[jidx].set(sLPC)
@@ -332,11 +335,13 @@ def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
     return out48.astype(jnp.int16), st2
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "order", "has_glue"),
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "order", "has_glue", "out_khz"),
                    donate_argnums=(0,))
 def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
-                     glue, *, fs: int, order: int, has_glue: bool = False):
+                     glue, *, fs: int, order: int, has_glue: bool = False,
+                     out_khz: int = 48):
     """One fused stereo-SILK device frame over a bucket: mid core, masked
     side core, MS->LR unmix, both channels resampled.
     side_flags: (2, cap) int32 = [has_side, side_reset];
@@ -399,11 +404,12 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
         st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
         xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
     resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
-    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+    W = sjc.sfir_width(fs, out_khz)
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
         st["sIIR"][jidx].reshape(2 * cap, 6),
-        st["sFIR"][jidx].reshape(2 * cap, 8),
+        st["sFIR"][jidx].reshape(2 * cap, W),
         st["delay"][jidx].reshape(2 * cap, fs), resin,
-        fs_in_khz=fs, in_len=frame)
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
 
     st2 = dict(st)
     st2["outBuf"] = st["outBuf"].at[jidx].set(
@@ -411,7 +417,7 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     st2["sLPC"] = st["sLPC"].at[jidx].set(
         jnp.stack([sLPC0, new_sl1], axis=1))
     st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
-    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, W))
     st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
     st2["pred_prev"] = st["pred_prev"].at[jidx].set(pred)
     st2["sMid"] = st["sMid"].at[jidx].set(nm)
@@ -419,13 +425,14 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "order"),
+@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
                    donate_argnums=(0,))
 def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
                          m_cng_exc, m_cng_a, m_first,
                          s_rand, s_A, s_B4, s_lag4, s_g,
                          s_cng_exc, s_cng_a, s_first,
-                         has_side, pred, *, fs: int, order: int):
+                         has_side, pred, *, fs: int, order: int,
+                         out_khz: int = 48):
     """Fused stereo concealment: silk_PLC conceal + CNG per channel
     (side masked like the scalar has_side policy), MS->LR with the
     PREVIOUS predictors, both channels resampled — the batched stereo
@@ -476,11 +483,12 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
         st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
         xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
     resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
-    out48, sIIR, sFIR, delay = sjc.resample_to_48k(
+    W = sjc.sfir_width(fs, out_khz)
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
         st["sIIR"][jidx].reshape(2 * cap, 6),
-        st["sFIR"][jidx].reshape(2 * cap, 8),
+        st["sFIR"][jidx].reshape(2 * cap, W),
         st["delay"][jidx].reshape(2 * cap, fs), resin,
-        fs_in_khz=fs, in_len=frame)
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
 
     st2 = dict(st)
     st2["outBuf"] = st["outBuf"].at[jidx].set(new_ob)
@@ -489,7 +497,7 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     st2["conc_e"] = st["conc_e"].at[jidx].set(new_ce)
     st2["conc_s"] = st["conc_s"].at[jidx].set(new_cs)
     st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
-    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, 8))
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, W))
     st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
     st2["pred_prev"] = st["pred_prev"].at[jidx].set(pred)
     st2["sMid"] = st["sMid"].at[jidx].set(nm)
@@ -593,6 +601,7 @@ class StreamPool:
         if out_fs not in (48000, 24000, 16000, 12000, 8000):
             raise ValueError(f"unsupported out_fs {out_fs}")
         self.downsample = 48000 // out_fs
+        self._out_khz = out_fs // 1000
         # per-stream packet cursor as an ARRAY: the fast path gathers
         # and bulk-advances it without a per-stream python loop
         self.positions = np.zeros(self.n, dtype=np.int64)
@@ -604,6 +613,12 @@ class StreamPool:
                            frames_celt=0, frames_silk=0, frames_hybrid=0,
                            frames_scalar=0, frames_lost=0, frames_fec=0,
                            buckets={})
+        # per-phase host wall time inside step() (SURVEY §5 tracing):
+        # host_symbol = entropy/symbol phase, dispatch = grouping +
+        # device enqueues, materialize = pipeline retirement (includes
+        # any device wait in host-output mode)
+        self._phase_s = dict(host_symbol=0.0, dispatch=0.0,
+                             materialize=0.0)
         self._pool = None
         if host_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -705,13 +720,13 @@ class StreamPool:
                     continue
             self.path.append(("scalar",))
 
-        if self.downsample > 1 and any(p[0] != "celt" for p in self.path):
-            raise ValueError(
-                "out_fs < 48000 requires a CELT-only pool (the batched "
-                "SILK resampler targets the 48 kHz API rate; for "
-                "SILK/hybrid sources decode at a lower rate with the "
-                "scalar multi-rate API: "
-                "DecoderConfig(sample_rate=...))")
+        # out_fs < 48000 is supported on every batched path: CELT pools
+        # decimate on device (resampling_factor semantics, celt.cpp:817
+        # with the anti-alias spectral bound), SILK pools resample the
+        # internal rate straight to out_fs via the batched reference
+        # bank (resample_batch: up2/IIR-FIR/down-FIR, silk.cpp:3590),
+        # hybrid rows mix the two at out_fs like opus_decode_frame at a
+        # lower API rate. Scalar-fallback rows decode at fs=out_fs.
 
         # transposed-layout fast mode: uniform CELT pools on TPU carry
         # decode_mem TRANSPOSED (CC, L, n) and run the fully transposed
@@ -795,7 +810,8 @@ class StreamPool:
         # ms rows decode through their OpusMSDecoder (no 1/2-channel
         # scalar decoder exists for >2ch)
         self.scalar = [None if is_ms[i] else
-                       OpusDecoder(channels, compat_ref=compat_ref)
+                       OpusDecoder(channels, fs=out_fs,
+                                   compat_ref=compat_ref)
                        for i in range(self.n)]
 
         # pool-lifetime bucket capacities (pow2 of the number of streams
@@ -1045,7 +1061,8 @@ class StreamPool:
                 conc_e=jnp.zeros((B, 2), dtype=I32),
                 conc_s=jnp.zeros((B, 2), dtype=I32),
                 sIIR=jnp.zeros((B, 2, 6), dtype=I32),
-                sFIR=jnp.zeros((B, 2, 8), dtype=I32),
+                sFIR=jnp.zeros((B, 2, sjc.sfir_width(fs, self._out_khz)),
+                               dtype=I32),
                 delay=jnp.zeros((B, 2, fs), dtype=I32),
                 pred_prev=jnp.zeros((B, 2), dtype=I32),
                 sMid=jnp.zeros((B, 2), dtype=I32),
@@ -1083,7 +1100,8 @@ class StreamPool:
                 conc_e=jnp.zeros(B, dtype=I32),
                 conc_s=jnp.zeros(B, dtype=I32),
                 sIIR=jnp.zeros((B, 6), dtype=I32),
-                sFIR=jnp.zeros((B, 8), dtype=I32),
+                sFIR=jnp.zeros((B, sjc.sfir_width(fs, self._out_khz)),
+                               dtype=I32),
                 delay=jnp.zeros((B, fs), dtype=I32),
                 sMid=jnp.zeros((B, 2), dtype=I32),
             )
@@ -1296,6 +1314,7 @@ class StreamPool:
             # chain boundary: fresh decoder for the new link
             from .opus_decoder import OpusDecoder
             self.scalar[i] = OpusDecoder(self.channels,
+                                         fs=self._out_khz * 1000,
                                          compat_ref=self.compat_ref)
             self._scalar_link[i] = job.link
         pcm = self.scalar[i].decode(job.data)
@@ -1482,6 +1501,7 @@ class StreamPool:
         Pipelined: device launches from this step are materialized at the
         end of the NEXT step, so step t+1's host symbol phase overlaps
         step t's device execution. drain()/run()/save_checkpoint flush."""
+        _t0 = time.perf_counter()
         lost = set(lost or ())
         fec = set(fec or ())
         pend = dict(celt=[], silk=[], silk2=[], mute=set(), hybrid=set(),
@@ -1503,6 +1523,8 @@ class StreamPool:
             results = [self._host_one(i, i in lost, i in fec)
                        for i in rest]
         results = [r for r in results if r is not None]
+        _t1 = time.perf_counter()
+        self._phase_s["host_symbol"] += _t1 - _t0
         if not results and n_fast == 0:
             self._flush()
             return False
@@ -1611,8 +1633,11 @@ class StreamPool:
         # pipeline: fetch the step from `depth` steps ago while the last
         # `depth` steps' kernels execute asynchronously in the background
         self._pending.append(pend)
+        _t2 = time.perf_counter()
+        self._phase_s["dispatch"] += _t2 - _t1
         while len(self._pending) > self.pipeline_depth:
             self._materialize(self._pending.pop(0))
+        self._phase_s["materialize"] += time.perf_counter() - _t2
         return True
 
     def _flush(self):
@@ -1959,7 +1984,7 @@ class StreamPool:
             st, jnp.asarray(idxs), jnp.asarray(exc), jnp.asarray(A),
             jnp.asarray(B), jnp.asarray(iv), jnp.asarray(bools),
             jnp.asarray(garr), fs=fs, nb=nb, order=order, frame=frame,
-            has_glue=glue is not None)
+            has_glue=glue is not None, out_khz=self._out_khz)
         self.silk_buckets[fs] = st2
         return out48
 
@@ -2021,7 +2046,8 @@ class StreamPool:
                 stack("inv_gain"), stack("prev_gain"),
                 stack("cng_exc"), stack("cng_a")[:, :order],
                 stack("cng_gain"), jnp.asarray(first),
-                fs=fs, nb=nb, order=order, frame=frame)
+                fs=fs, nb=nb, order=order, frame=frame,
+                out_khz=self._out_khz)
             self.silk_buckets[fs] = st2
             pend["silk"].append((out48, sidx))
 
@@ -2083,7 +2109,8 @@ class StreamPool:
         st = self._silk2_bucket(fs)
         out48, st2 = _silk2_plc_pool_step(
             st, jnp.asarray(idxs), *cols(0), *cols(1),
-            jnp.asarray(has_side), jnp.asarray(pred), fs=fs, order=order)
+            jnp.asarray(has_side), jnp.asarray(pred), fs=fs, order=order,
+            out_khz=self._out_khz)
         self.silk2_buckets[fs] = st2
         pend["silk2"].append((out48, sidx))
 
@@ -2176,7 +2203,7 @@ class StreamPool:
             *(jnp.asarray(v) for v in pack(side)), jnp.asarray(flags2),
             jnp.asarray(padded(pred.astype(np.int32))),
             jnp.asarray(garr), fs=fs, order=order,
-            has_glue=glue is not None)
+            has_glue=glue is not None, out_khz=self._out_khz)
         self.silk2_buckets[fs] = st2
         return out48
 
@@ -2295,6 +2322,7 @@ class StreamPool:
         active = sum(1 for i in range(self.n)
                      if self.positions[i] < len(self.streams[i].jobs))
         out = dict(self._stats, buckets=dict(self._stats["buckets"]),
+                   phase_s=dict(self._phase_s),
                    streams=self.n, active_streams=active)
         return out
 

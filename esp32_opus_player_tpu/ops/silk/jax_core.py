@@ -340,49 +340,175 @@ def iir_fir_interpol(buf, max_index_q16: int, index_increment_q16: int):
     return sat16(rshift_round(acc, 15))
 
 
-@functools.partial(jax.jit, static_argnames=("fs_in_khz", "in_len"))
-def resample_to_48k(sIIR, sFIR, delay_buf, inp, *, fs_in_khz: int,
-                    in_len: int):
-    """Batched silk_resampler (:3676) for the USE_IIR_FIR path
-    (8/12/16 kHz -> 48 kHz). inp: (B, in_len) int32. Returns
-    (out (B, in_len*48/fs), sIIR', sFIR', delay_buf').
+def down_fir_interpol(buf, max_index_q16: int, index_increment_q16: int,
+                      *, order: int, fracs: int, fir_coefs):
+    """silk_resampler_private_down_FIR_INTERPOL (:3305) batched, static
+    rate: the output index walk (index_q16 += increment) is fully
+    static, so the data-dependent loop becomes one windowed gather +
+    per-output coefficient rows. Per-tap SMULWB truncation and int32
+    wrap-add accumulation are preserved exactly."""
+    idxs = np.arange(0, max_index_q16, index_increment_q16,
+                     dtype=np.int64)
+    base = (idxs >> 16).astype(np.int64)
+    fir = np.asarray(fir_coefs, dtype=np.int32)
+    if order == 18:                       # RESAMPLER_DOWN_ORDER_FIR0
+        ii = ((idxs & 0xFFFF) * fracs) >> 16
+        coef = np.zeros((len(idxs), 18), dtype=np.int32)
+        for r, i in enumerate(ii):
+            coef[r, :9] = fir[9 * i:9 * i + 9]
+            coef[r, 9:] = fir[9 * (fracs - 1 - i):
+                              9 * (fracs - 1 - i) + 9][::-1]
+        taps = buf[:, base[:, None] + np.arange(18)]       # (B, n, 18)
+        acc = jnp.sum(smulwb(taps, jnp.asarray(coef)[None]),
+                      axis=-1, dtype=I32)
+    else:                                 # 24 = RESAMPLER_DOWN_ORDER_FIR1
+        taps = buf[:, base[:, None] + np.arange(24)]       # (B, n, 24)
+        pair = taps[..., :12] + taps[..., 12:][..., ::-1]  # ADD32 wrap
+        acc = jnp.sum(smulwb(pair, jnp.asarray(fir[:12])[None, None]),
+                      axis=-1, dtype=I32)
+    return sat16(rshift_round(acc, 6))
+
+
+def ar2_scan(sIIR2, inp, a0: int, a1: int):
+    """silk_resampler_private_AR2 (:3286) batched: sIIR2 (B, 2) int32,
+    inp (B, L) int32. Returns (out_Q8 (B, L) int32, sIIR2')."""
+    def step(S, x):
+        S0, S1 = S
+        out32 = S0 + (x << 8)             # wraps in int32
+        t = out32 << 2
+        return (smlawb(S1, t, a0), smulwb(t, a1)), out32
+
+    (S0, S1), ys = jax.lax.scan(step, (sIIR2[:, 0], sIIR2[:, 1]),
+                                jnp.moveaxis(inp, -1, 0))
+    return jnp.moveaxis(ys, 0, -1), jnp.stack([S0, S1], axis=1)
+
+
+def _resampler_spec(fs_in_khz: int, fs_out_khz: int) -> dict:
+    """silk_resampler_init (:3590) constants for a decoder rate pair,
+    resolved at trace time (rates are static per bucket)."""
+    from .resampler import _DELAY_MATRIX_DEC, _rate_id
+    fs_in, fs_out = fs_in_khz * 1000, fs_out_khz * 1000
+    spec = dict(
+        delay=int(_DELAY_MATRIX_DEC[_rate_id(fs_in)][_rate_id(fs_out)]),
+        batch_size=fs_in_khz * 10, order=0, fracs=1, coefs=None)
+    if fs_out == fs_in:
+        spec["kind"] = "copy"
+        spec["inv_ratio"] = 0
+        return spec
+    if fs_out > fs_in:
+        spec["kind"] = "up2" if fs_out == 2 * fs_in else "iir_fir"
+        inv = ((fs_in << 15) // fs_out) << 2          # up2x = 1
+        while ((inv * fs_out) >> 16) < (fs_in << 1):
+            inv += 1
+        spec["inv_ratio"] = inv
+        return spec
+    spec["kind"] = "down_fir"
+    if fs_out * 4 == fs_in * 3:
+        spec.update(fracs=3, order=18, coefs=st.silk_Resampler_3_4_COEFS)
+    elif fs_out * 3 == fs_in * 2:
+        spec.update(fracs=2, order=18, coefs=st.silk_Resampler_2_3_COEFS)
+    elif fs_out * 2 == fs_in:
+        spec.update(fracs=1, order=24, coefs=st.silk_Resampler_1_2_COEFS)
+    else:
+        raise ValueError(f"no decoder resampler {fs_in_khz}->"
+                         f"{fs_out_khz} kHz")
+    inv = ((fs_in << 14) // fs_out) << 2              # up2x = 0
+    while ((inv * fs_out) >> 16) < fs_in:
+        inv += 1
+    spec["inv_ratio"] = inv
+    return spec
+
+
+def sfir_width(fs_in_khz: int, fs_out_khz: int) -> int:
+    """FIR-state columns a pool bucket must carry for this rate pair
+    (sFIR_i16[8] for IIR_FIR, sFIR_i32[order] for down-FIR; up2/copy
+    carry none but keep 8 for a uniform minimum)."""
+    spec = _resampler_spec(fs_in_khz, fs_out_khz)
+    return max(8, spec["order"])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs_in_khz", "fs_out_khz", "in_len"))
+def resample_batch(sIIR, sFIR, delay_buf, inp, *, fs_in_khz: int,
+                   fs_out_khz: int, in_len: int):
+    """Batched silk_resampler (:3676) for every DECODER rate pair
+    (8/12/16 kHz internal -> 8/12/16/24/48 kHz API): copy, 2x allpass
+    upsample (8->16, 12->24), IIR-FIR upsample (arbitrary up, incl.
+    ->48k), and the AR2 + windowed-FIR down paths 3/4, 2/3, 1/2
+    (silk_resampler_private_down_FIR :3420). inp: (B, in_len) int32.
+    Returns (out (B, in_len*out/in), sIIR', sFIR', delay_buf').
 
     Mirrors the reference's exact two-call + batchSize chunking (the
     rounded-up invRatio makes output counts chunking-dependent).
     """
-    from .resampler import _DELAY_MATRIX_DEC, _rate_id
-    delay = int(_DELAY_MATRIX_DEC[_rate_id(fs_in_khz * 1000)]
-                [_rate_id(48000)])
+    spec = _resampler_spec(fs_in_khz, fs_out_khz)
+    delay = spec["delay"]
     n_samples = fs_in_khz - delay
-    inv_ratio = _inv_ratio_q16(fs_in_khz * 1000, 48000)
-    batch_size = fs_in_khz * 10
+    batch_size = spec["batch_size"]
+    inv_ratio = spec["inv_ratio"]
 
     db = jax.lax.dynamic_update_slice(delay_buf, inp[:, :n_samples],
                                       (0, delay))
+
+    if jax.default_backend() == "tpu":
+        from .pallas_core import up2_hq_pallas as up2
+    else:
+        up2 = up2_hq_scan
 
     def iir_fir(sIIR, sFIR, block):
         """private_IIR_FIR (:3481): batchSize chunks, state carried."""
         outs = []
         off = 0
         remaining = block.shape[-1]
-        if jax.default_backend() == "tpu":
-            from .pallas_core import up2_hq_pallas as up2
-        else:
-            up2 = up2_hq_scan
         while True:
             n_in = min(remaining, batch_size)
             up, sIIR = up2(sIIR, block[:, off:off + n_in])
-            buf = jnp.concatenate([sFIR, up], axis=-1)
+            buf = jnp.concatenate([sFIR[:, :8], up], axis=-1)
             outs.append(iir_fir_interpol(buf, n_in << 17, inv_ratio))
-            sFIR = buf[:, 2 * n_in:2 * n_in + 8]
+            sFIR = jax.lax.dynamic_update_slice(
+                sFIR, buf[:, 2 * n_in:2 * n_in + 8], (0, 0))
             off += n_in
             remaining -= n_in
             if remaining <= 0:
                 break
         return jnp.concatenate(outs, axis=-1), sIIR, sFIR
 
-    out1, sIIR, sFIR = iir_fir(sIIR, sFIR, db[:, :fs_in_khz])
-    out2, sIIR, sFIR = iir_fir(
+    def down_fir(sIIR, sFIR, block):
+        """private_down_FIR (:3420): AR2 prefilter into a Q8 buffer,
+        then the static-index FIR interpolation; batchSize chunks."""
+        a0, a1 = int(spec["coefs"][0]), int(spec["coefs"][1])
+        order = spec["order"]
+        outs = []
+        off = 0
+        remaining = block.shape[-1]
+        while True:
+            n_in = min(remaining, batch_size)
+            ar2, s2 = ar2_scan(sIIR[:, :2], block[:, off:off + n_in],
+                               a0, a1)
+            sIIR = jax.lax.dynamic_update_slice(sIIR, s2, (0, 0))
+            buf = jnp.concatenate([sFIR[:, :order], ar2], axis=-1)
+            outs.append(down_fir_interpol(
+                buf, n_in << 16, inv_ratio, order=order,
+                fracs=spec["fracs"], fir_coefs=spec["coefs"][2:]))
+            sFIR = jax.lax.dynamic_update_slice(
+                sFIR, buf[:, n_in:n_in + order], (0, 0))
+            off += n_in
+            remaining -= n_in
+            if remaining <= 0:
+                break
+        return jnp.concatenate(outs, axis=-1), sIIR, sFIR
+
+    def up2_block(sIIR, sFIR, block):
+        out, sIIR = up2(sIIR, block)
+        return out, sIIR, sFIR
+
+    def copy_block(sIIR, sFIR, block):
+        return block, sIIR, sFIR
+
+    fn = dict(copy=copy_block, up2=up2_block, iir_fir=iir_fir,
+              down_fir=down_fir)[spec["kind"]]
+    out1, sIIR, sFIR = fn(sIIR, sFIR, db[:, :fs_in_khz])
+    out2, sIIR, sFIR = fn(
         sIIR, sFIR, inp[:, n_samples:n_samples + in_len - fs_in_khz])
     if delay > 0:
         delay_buf = jax.lax.dynamic_update_slice(
@@ -390,8 +516,10 @@ def resample_to_48k(sIIR, sFIR, delay_buf, inp, *, fs_in_khz: int,
     return jnp.concatenate([out1, out2], axis=-1), sIIR, sFIR, delay_buf
 
 
-def _inv_ratio_q16(fs_in: int, fs_out: int) -> int:
-    inv = ((fs_in << 15) // fs_out) << 2   # up2x = 1
-    while ((inv * fs_out) >> 16) < (fs_in << 1):
-        inv += 1
-    return inv
+def resample_to_48k(sIIR, sFIR, delay_buf, inp, *, fs_in_khz: int,
+                    in_len: int):
+    """Batched silk_resampler for the ->48 kHz USE_IIR_FIR path — the
+    pool's default egress rate. See resample_batch."""
+    return resample_batch(sIIR, sFIR, delay_buf, inp,
+                          fs_in_khz=fs_in_khz, fs_out_khz=48,
+                          in_len=in_len)

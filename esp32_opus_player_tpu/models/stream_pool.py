@@ -239,14 +239,11 @@ def _celt_pool_superstep(dm_all, pre_all, stgK, *, LM: int, C: int,
     return pcmK, dm, pre
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("fs", "nb", "order", "frame",
-                                    "has_glue", "out_khz"),
-                   donate_argnums=(0,))
-def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
+def _silk_step_body(st, jidx, exc, A, B, iv, bools, glue, *,
                     fs: int, nb: int, order: int, frame: int,
                     has_glue: bool, out_khz: int = 48):
-    """One fused mono-SILK device frame over a bucket.
+    """One fused mono-SILK device frame over a bucket (traced by both
+    the per-frame step and the K-frame superstep).
 
     iv: (cap, 4, 4) int32 = [gains, inv, lag, adj];
     bools: (cap, 3, 4) bool = [voiced, rewhiten, match];
@@ -284,6 +281,47 @@ def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
     st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
     st2["delay"] = st["delay"].at[jidx].set(delay)
     return out48.astype(jnp.int16), st2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "nb", "order", "frame",
+                                    "has_glue", "out_khz"),
+                   donate_argnums=(0,))
+def _silk_pool_step(st, jidx, exc, A, B, iv, bools, glue, *,
+                    fs: int, nb: int, order: int, frame: int,
+                    has_glue: bool, out_khz: int = 48):
+    """Per-frame jit wrapper of _silk_step_body (state donated)."""
+    return _silk_step_body(st, jidx, exc, A, B, iv, bools, glue,
+                           fs=fs, nb=nb, order=order, frame=frame,
+                           has_glue=has_glue, out_khz=out_khz)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "nb", "order", "frame",
+                                    "has_glue", "out_khz"),
+                   donate_argnums=(0,))
+def _silk_pool_superstep(st, jidxK, excK, AK, BK, ivK, boolsK, glueK,
+                         actK, *, fs: int, nb: int, order: int,
+                         frame: int, has_glue: bool, out_khz: int = 48):
+    """K-frame mono-SILK superstep: K frames of staged symbol columns
+    run as ONE device program (lax.scan over _silk_step_body, bucket
+    state carried in the loop — the same launch-amortization move as
+    _celt_pool_superstep_T). actK (K,) bool marks real frames; padded
+    flush frames select the untouched state wholesale, so a partial
+    window reuses the one compiled (K, cap, ...) shape as a no-op
+    suffix. Returns (pcmK (K, cap, L_out) int16, st')."""
+    def body(carry, xs):
+        jidx, exc, A, B, iv, bools, glue, act = xs
+        out, st2 = _silk_step_body(carry, jidx, exc, A, B, iv, bools,
+                                   glue, fs=fs, nb=nb, order=order,
+                                   frame=frame, has_glue=has_glue,
+                                   out_khz=out_khz)
+        st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
+        return st2, out
+
+    st, outs = jax.lax.scan(
+        body, st, (jidxK, excK, AK, BK, ivK, boolsK, glueK, actK))
+    return outs, st
 
 
 @functools.partial(jax.jit,
@@ -552,7 +590,9 @@ class StreamPool:
         """sources: list of paths/bytes of Ogg/Opus streams.
 
         out_fs: output sample rate (48000/24000/16000/12000/8000) for
-        CELT-only pools — the deemphasis stage decimates on device
+        any pool — CELT decimates on device, SILK resamples the
+        internal rate straight to out_fs (batched reference bank);
+        for CELT the deemphasis stage decimates on device
         exactly like the reference's downsample factor
         (src/celt.cpp:1988-2055, resampling_factor :817), cutting the
         PCM-egress bytes by the same factor. SILK/hybrid pools target
@@ -760,9 +800,19 @@ class StreamPool:
         # staging and run them as ONE device program (lax.scan inside
         # _celt_pool_superstep_T) — one upload, one dispatch, one fetch
         # per K frames, amortizing the per-dispatch RPC/client cost K x
-        # at the price of K frames of added latency
-        self._ss_k = max(1, int(superstep_k)) if self._t_mode else 1
+        # at the price of K frames of added latency. Uniform mono-SILK
+        # pools superstep too (lax.scan over _silk_step_body); other
+        # mixes fall back to per-frame dispatch.
+        silk_ss_ok = (fixed_buckets and bool(self.path)
+                      and all(p[0] == "silk" for p in self.path))
+        self._ss_k = max(1, int(superstep_k)) \
+            if (self._t_mode or silk_ss_ok) else 1
+        self._ss_silk = self._ss_k > 1 and not self._t_mode
         self._ss_buf: dict[tuple, list] = {}
+        if self._ss_silk and self._dev_exec is None \
+                and jax.default_backend() == "tpu":
+            from concurrent.futures import ThreadPoolExecutor
+            self._dev_exec = ThreadPoolExecutor(1)
 
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
@@ -1614,6 +1664,16 @@ class StreamPool:
             self._silk_group(items, fs, nfr, frame_ms, pend)
         for (fs, nfr), items in silk2_groups.items():
             self._silk2_group(items, fs, nfr, pend)
+        if self._ss_silk and (plc_groups or plc2_groups):
+            # conceal steps read/write the bucket state directly, so any
+            # buffered superstep frames must execute first (partial
+            # windows pad as no-ops; the state stays exact). The PLC
+            # launch below runs on THIS thread, so join the dispatch
+            # thread: its run() closures reassign silk_buckets[fs]
+            # (donated-state chain) and must finish first.
+            self._ss_flush()
+            if self._dev_exec is not None:
+                self._dev_exec.submit(lambda: None).result()
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
         for (fs, dfp), items in plc2_groups.items():
@@ -1684,6 +1744,8 @@ class StreamPool:
                 celt_pcm[i] = arr[r].T
         parts: dict[int, list] = {}
         for dev, sidx in pend["silk"]:
+            if hasattr(dev, "result"):      # superstep frame handle
+                dev = dev.result()[0]
             arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 parts.setdefault(i, []).append(arr[r])
@@ -1898,6 +1960,8 @@ class StreamPool:
         serves every dispatch; masked rows keep their state bit-for-bit
         so pad frames are no-ops."""
         batch, stgs = self._ss_buf.pop(key)
+        if key[0] == "silk":
+            return self._ss_dispatch_silk(key, batch, stgs)
         if len(stgs) < self._ss_k:
             pad = np.zeros_like(stgs[0])
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
@@ -1912,6 +1976,44 @@ class StreamPool:
                 interpret=self._t_interp)
             self.state["decode_mem"] = dm
             self.state["preemph"] = pre
+            if self.output == "host":
+                try:
+                    pcmK.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return pcmK
+
+        batch.fut = self._dev_exec.submit(run) \
+            if self._dev_exec is not None else run()
+
+    def _ss_dispatch_silk(self, key, batch, stgs):
+        """Run one buffered K-frame SILK superstep as a single device
+        program (_silk_pool_superstep). Partial windows pad with
+        inactive frames (actK False -> the scan body selects the
+        untouched state wholesale), so the ONE compiled (K, cap, ...)
+        shape serves every dispatch."""
+        _, fs, frame_ms = key
+        K = self._ss_k
+        act = np.zeros(K, dtype=bool)
+        act[:len(stgs)] = True
+        while len(stgs) < K:
+            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
+        cols = [np.stack(parts) for parts in zip(*stgs)]
+        idxK, excK, AK, BK, ivK, boolsK, glueK = cols
+        nb = 2 if frame_ms == 10 else 4
+        frame = frame_ms * fs
+        order = 16 if fs == 16 else 10
+
+        def run():
+            pcmK, st2 = _silk_pool_superstep(
+                self._silk_bucket(fs), jax.device_put(idxK),
+                jax.device_put(excK), jax.device_put(AK),
+                jax.device_put(BK), jax.device_put(ivK),
+                jax.device_put(boolsK), jax.device_put(glueK),
+                jax.device_put(act), fs=fs, nb=nb, order=order,
+                frame=frame, has_glue=self.rfc_plc,
+                out_khz=self._out_khz)
+            self.silk_buckets[fs] = st2
             if self.output == "host":
                 try:
                     pcmK.copy_to_host_async()
@@ -1980,6 +2082,19 @@ class StreamPool:
                 if pad else glue
         else:
             garr = np.zeros(cap, dtype=bool)
+        if self._ss_silk:
+            # superstep mode: buffer this frame's columns; ONE K-frame
+            # device program per bucket when the window fills (or at
+            # flush). has_glue is compiled in statically (rfc_plc).
+            key = ("silk", fs, frame_ms)
+            if key not in self._ss_buf:
+                self._ss_buf[key] = (_SSBatch(self), [])
+            batch, stgs = self._ss_buf[key]
+            h = batch.frame(len(stgs))
+            stgs.append((idxs, exc, A, B, iv, bools, garr))
+            if len(stgs) >= self._ss_k:
+                self._ss_dispatch(key)
+            return h
         out48, st2 = _silk_pool_step(
             st, jnp.asarray(idxs), jnp.asarray(exc), jnp.asarray(A),
             jnp.asarray(B), jnp.asarray(iv), jnp.asarray(bools),
@@ -2276,6 +2391,24 @@ class StreamPool:
             st = self._silk_bucket(fs)
             frame = 20 * fs
             order = 16 if fs == 16 else 10
+            if self._ss_silk:
+                # superstep pools compile ONLY the K-frame program
+                K = self._ss_k
+                pcmK, st2 = _silk_pool_superstep(
+                    st, jnp.zeros((K, cap), dtype=I32),
+                    jnp.zeros((K, cap, frame), dtype=I32),
+                    jnp.zeros((K, cap, 2, MAX_LPC_ORDER), dtype=I32),
+                    jnp.zeros((K, cap, 4, 5), dtype=I32),
+                    jnp.zeros((K, cap, 4, 4), dtype=I32),
+                    jnp.zeros((K, cap, 3, 4), dtype=bool),
+                    jnp.zeros((K, cap), dtype=bool),
+                    jnp.zeros(K, dtype=bool),
+                    fs=fs, nb=4, order=order, frame=frame,
+                    has_glue=self.rfc_plc, out_khz=self._out_khz)
+                self.silk_buckets[fs] = st2
+                if self.output == "host":
+                    np.asarray(pcmK)
+                continue
             zl = jnp.zeros((cap, frame), dtype=I32)
             sjc.silk_core_frame(
                 st["outBuf"][:cap], st["sLPC"][:cap], zl,
@@ -2289,9 +2422,9 @@ class StreamPool:
                 jnp.full((cap, 4), 65536, dtype=I32),
                 jnp.ones((cap, 4), dtype=bool),
                 fs_khz=fs, nb_subfr=4, order=order)
-            sjc.resample_to_48k(st["sIIR"][:cap], st["sFIR"][:cap],
-                                st["delay"][:cap], zl, fs_in_khz=fs,
-                                in_len=frame)
+            sjc.resample_batch(st["sIIR"][:cap], st["sFIR"][:cap],
+                               st["delay"][:cap], zl, fs_in_khz=fs,
+                               fs_out_khz=self._out_khz, in_len=frame)
 
     def final_ranges(self):
         """Per-stream range-coder state after the last decoded packet — the

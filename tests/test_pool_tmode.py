@@ -72,3 +72,61 @@ def test_tmode_superstep_bitexact(monkeypatch):
     pool2._flush()
     assert np.array_equal(np.concatenate(pool.pcm_out[1]),
                           np.concatenate(pool2.pcm_out[0]))
+
+
+@pytest.mark.slow
+def test_silk_superstep_bitexact():
+    """K-frame SILK superstep (uniform mono-SILK pool, superstep_k=3):
+    frames buffer into ONE K-frame device program (lax.scan over
+    _silk_step_body) and must match the per-frame pool bit-exactly,
+    including fixed_buckets capacity padding and a partial final
+    window (inactive pad frames leave the state untouched)."""
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    pool = StreamPool([src] * 3, channels=1, native=True,
+                      compat_ref=True, fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk and pool._ss_k == 3
+    outs = pool.run()
+    ref = decode_file(src, DecoderConfig(channels=1, compat_ref=True))
+    for o in outs:
+        assert np.array_equal(o, ref)
+
+
+@pytest.mark.slow
+def test_silk_superstep_loss_plc_flush():
+    """A lost packet mid-window forces the buffered superstep frames to
+    execute before the conceal step touches the bucket state; output
+    must equal the per-frame rfc_plc pool replaying the same losses."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    loss = lambda i, k: k in (4, 11)
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 2, channels=1, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
+
+
+@pytest.mark.slow
+def test_silk_superstep_out_fs():
+    """Superstep + out_fs compose: the K-frame program resamples to the
+    pool rate."""
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=True, fixed_buckets=True,
+                      superstep_k=4, out_fs=16000)
+    assert pool._ss_silk
+    outs = pool.run()
+    ref = decode_file(src, DecoderConfig(channels=1, sample_rate=16000,
+                                         compat_ref=True))
+    for o in outs:
+        assert np.array_equal(o, ref)

@@ -199,14 +199,16 @@ def bench_device(B=2048, iters=12, K=8):
     return (B * 0.02 / step, step * 1000, compile_s, best, per_B)
 
 
-def bench_device_silk(B=2048, iters=10):
+def bench_device_silk(B=2048, iters=10, K=8):
     """Isolated SILK device step capacity: the fused Pallas core
     (rewhitening FIR + bit-shift LTP recurrence + LPC ring in one VMEM
-    program) + 48 kHz resampler over a WB bucket, synchronized."""
+    program) + 48 kHz resampler over a WB bucket, synchronized. Also
+    measures the K-frame superstep (lax.scan over the same step body:
+    one device program per K frames)."""
     import jax
     import jax.numpy as jnp
-    from esp32_opus_player_tpu.models.stream_pool import (StreamPool,
-                                                          _silk_pool_step)
+    from esp32_opus_player_tpu.models.stream_pool import (
+        StreamPool, _silk_pool_step, _silk_pool_superstep)
     fs = 16
     frame = 20 * fs
     rng = np.random.default_rng(0)
@@ -238,7 +240,26 @@ def bench_device_silk(B=2048, iters=10):
         out, st = _silk_pool_step(st, jidx, exc, A, Bc, *args, **kw)
     jax.block_until_ready(out)
     ms = (time.time() - t0) / iters * 1000
-    return B * 0.02 / (ms / 1000), ms
+
+    # K-frame superstep over the same inputs (broadcast K x); the
+    # per-frame loop donated the pool's bucket arrays, so carry on
+    # from its live output state
+    stK = st
+    bK = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a), (K,) + np.asarray(a).shape).copy())
+    argsK = (bK(jidx), bK(exc), bK(A), bK(Bc),
+             bK(iv), bK(bools), bK(np.zeros(B, bool)),
+             jnp.ones(K, dtype=bool))
+    outK, stK = _silk_pool_superstep(stK, *argsK, **kw)
+    jax.block_until_ready(outK)
+    reps = max(iters // 2, 2)
+    t0 = time.time()
+    for _ in range(reps):
+        outK, stK = _silk_pool_superstep(stK, *argsK, **kw)
+    jax.block_until_ready(outK)
+    ss_ms = (time.time() - t0) / reps / K * 1000
+    return (B * 0.02 / (ms / 1000), ms,
+            B * 0.02 / (ss_ms / 1000), ss_ms)
 
 
 def bench_link():
@@ -278,10 +299,12 @@ def main():
           f"{sstep_streams:.0f} (by B: {sstep_by_B}; compile "
           f"{compile_s:.0f}s)", file=sys.stderr)
 
-    silk_streams, silk_ms = bench_device_silk()
+    silk_streams, silk_ms, silk_ss_streams, silk_ss_ms = \
+        bench_device_silk()
     print(f"# silk device step (fused Pallas core + resampler): "
           f"{silk_ms:.1f} ms at B=2048 -> {silk_streams:.0f} realtime "
-          f"streams/chip", file=sys.stderr)
+          f"streams/chip; K=8 superstep {silk_ss_ms:.1f} ms/frame -> "
+          f"{silk_ss_streams:.0f}", file=sys.stderr)
 
     host_frame, cores, host_curve = bench_host()
     host_streams_core = 0.02 / host_frame
@@ -304,6 +327,8 @@ def main():
          B, 1, "host", dict(compat_ref=True)),
         ("silk_wb_mono", f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1,
          "device", dict(compat_ref=True)),
+        ("silk_wb_mono_ss8", f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1,
+         "device", dict(compat_ref=True, superstep_k=8)),
         ("hybrid_fb_stereo", f"{FIX}/hybrid_fb_stereo_20ms.opus",
          B // 4, 2, "device", dict(compat_ref=True)),
     ]
@@ -342,6 +367,7 @@ def main():
             "device_superstep_streams": round(sstep_streams),
             "device_superstep_streams_by_B": sstep_by_B,
             "device_silk_streams": round(silk_streams),
+            "device_silk_superstep_streams": round(silk_ss_streams),
             "e2e_rig_celt_fb_mono": configs["celt_fb_mono"],
             "host_symbol_us_per_frame_by_threads": host_curve,
             "host_symbol_us_per_frame_per_core": round(host_frame * 1e6,

@@ -543,6 +543,25 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
+@jax.jit
+def _hybrid_mix_step(cparts, silk, perm):
+    """Saturating SILK+CELT hybrid mix ON DEVICE for one uniform-hybrid
+    bucket (the reference mixes on the host CPU per sample,
+    src/opus_decoder.cpp:272). cparts: tuple of CELT pcm chunks whose
+    concatenation is (cap, CC, N); silk: (cap, L) mono or (cap, 2, L)
+    stereo rows in silk-group order; perm: (n,) silk row for each celt
+    row. Returns (n, N, CC) int16 — mixed PCM, directly consumable by
+    an on-chip stage or fetched as HALF the unmixed bytes."""
+    celt = cparts[0] if len(cparts) == 1 \
+        else jnp.concatenate(cparts, axis=0)
+    s = jnp.take(silk, perm, axis=0)
+    if s.ndim == 2:
+        s = s[:, None, :]    # mono SILK broadcasts over CELT channels
+    m = jnp.clip(celt[:perm.shape[0]].astype(jnp.int32)
+                 + s.astype(jnp.int32), -32768, 32767).astype(jnp.int16)
+    return jnp.transpose(m, (0, 2, 1))
+
+
 class _SSBatch:
     """One dispatched (or to-be-dispatched) K-frame superstep. Frames
     buffered into it hold `frame(j)` handles; `result()` on a handle
@@ -1555,7 +1574,7 @@ class StreamPool:
         lost = set(lost or ())
         fec = set(fec or ())
         pend = dict(celt=[], silk=[], silk2=[], mute=set(), hybrid=set(),
-                    meta={}, direct=[])
+                    meta={}, direct=[], mix=[])
         handled: set = set()
         n_fast = self._fast_step(lost, pend, handled) if self._groups \
             else 0
@@ -1678,11 +1697,12 @@ class StreamPool:
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
         for (fs, dfp), items in plc2_groups.items():
             self._silk2_plc_group(items, fs, dfp, pend)
+        self._fuse_hybrid_mix(pend)
         # start the D2H copies NOW (async): they stream back in the
         # background while the next steps' host phases run, so the
         # materialize `depth` steps later finds the data already on host
         if self.output == "host":
-            for key in ("celt", "silk", "silk2"):
+            for key in ("celt", "silk", "silk2", "mix"):
                 for dev, _sidx in pend[key]:
                     for part in (dev if isinstance(dev, tuple)
                                  else (dev,)):
@@ -1699,6 +1719,34 @@ class StreamPool:
             self._materialize(self._pending.pop(0))
         self._phase_s["materialize"] += time.perf_counter() - _t2
         return True
+
+    def _fuse_hybrid_mix(self, pend):
+        """Uniform-hybrid step: replace the per-stream host SILK+CELT
+        mix with ONE device gather+clip program (_hybrid_mix_step).
+        Applies when every decoded row this step is hybrid (the serving
+        shape for a hybrid farm): exactly one CELT bucket and one SILK
+        bucket covering pend['hybrid'] and no mutes. Loss/FEC/mixed
+        steps keep the generic host mix (src/opus_decoder.cpp:272)."""
+        hyb = pend["hybrid"]
+        if not hyb or pend["mute"] or self._t_mode \
+                or len(pend["celt"]) != 1 \
+                or len(pend["silk"]) + len(pend["silk2"]) != 1:
+            return
+        cdev, csidx = pend["celt"][0]
+        sdev, ssidx = (pend["silk"] or pend["silk2"])[0]
+        if hasattr(cdev, "result") or hasattr(sdev, "result"):
+            return    # dispatch-thread futures / superstep handles
+        if set(csidx) != hyb or set(ssidx) != hyb:
+            return
+        pos = {i: r for r, i in enumerate(ssidx)}
+        perm = np.asarray([pos[i] for i in csidx], dtype=np.int32)
+        cparts = cdev if isinstance(cdev, tuple) else (cdev,)
+        mixed = _hybrid_mix_step(cparts, sdev, jnp.asarray(perm))
+        pend["celt"] = []
+        pend["silk"] = []
+        pend["silk2"] = []
+        pend["hybrid"] = set()
+        pend["mix"] = [(mixed, csidx)]
 
     def _flush(self):
         """Materialize all pending device launches (pipeline drain)."""
@@ -1762,6 +1810,12 @@ class StreamPool:
             # launches of the same bucket; concatenate along time
             silk_pcm[i] = ps[0] if len(ps) == 1 else np.concatenate(ps)
         meta = pend["meta"]
+        for dev, sidx in pend["mix"]:
+            # device-mixed hybrid PCM: (n, N, CC) rows, ready to route
+            arr = np.asarray(dev)
+            for r, i in enumerate(sidx):
+                lo, te = meta[i]
+                self.pcm_out[i].append(self._trim(arr[r], lo, te))
         for i in set(celt_pcm) | set(silk_pcm):
             lo, te = meta[i]
             if i in pend["mute"]:

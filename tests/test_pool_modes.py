@@ -94,3 +94,32 @@ def test_rfc_pool_rejects_batched_loss():
     pool = StreamPool(srcs, channels=1, compat_ref=False)
     with pytest.raises(NotImplementedError):
         pool.step(lost={0})
+
+
+@pytest.mark.slow
+def test_hybrid_device_mix_fused():
+    """Uniform-hybrid steps mix SILK+CELT ON DEVICE (_hybrid_mix_step:
+    one gather+clip program replaces the per-stream host mix,
+    src/opus_decoder.cpp:272) and must stay bit-exact — mono and
+    stereo, 48k and out_fs."""
+    from esp32_opus_player_tpu.models import stream_pool as sp
+    calls = []
+    orig = sp._hybrid_mix_step
+    sp._hybrid_mix_step = lambda *a: (calls.append(1), orig(*a))[1]
+    try:
+        for name, ch, fs in [("hybrid_swb_mono_20ms", 1, 48000),
+                             ("hybrid_fb_stereo_20ms", 2, 48000),
+                             ("hybrid_fb_stereo_20ms", 2, 16000)]:
+            src = str(fixture_path(name))
+            calls.clear()
+            pool = StreamPool([src] * 3, channels=ch, native=True,
+                              compat_ref=True, fixed_buckets=True,
+                              out_fs=fs)
+            outs = pool.run()
+            assert calls, f"{name}: device mix path did not fire"
+            ref = decode_file(src, DecoderConfig(
+                channels=ch, sample_rate=fs, compat_ref=True))
+            for o in outs:
+                assert np.array_equal(o, ref)
+    finally:
+        sp._hybrid_mix_step = orig

@@ -562,6 +562,35 @@ def _hybrid_mix_step(cparts, silk, perm):
     return jnp.transpose(m, (0, 2, 1))
 
 
+# --- on-chip consumer layout normalizers: tiny jitted relayouts that
+# present every launch family's PCM as (rows, T, CC) for a downstream
+# device stage (models/consumer.py) -------------------------------------
+@jax.jit
+def _rows_celt(parts):
+    """Packed CELT chunks (cap, CC, N) -> (cap, N, CC)."""
+    a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return jnp.transpose(a.astype(jnp.int16), (0, 2, 1))
+
+
+@jax.jit
+def _rows_celt_T(parts):
+    """Transposed-path lane chunks (CC, Nd, cap) -> (cap, Nd, CC)."""
+    a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return jnp.transpose(a, (2, 1, 0))
+
+
+@jax.jit
+def _rows_silk(a):
+    """Mono SILK (cap, L) -> (cap, L, 1)."""
+    return a[:, :, None]
+
+
+@jax.jit
+def _rows_silk2(a):
+    """Stereo SILK (cap, 2, L) -> (cap, L, 2)."""
+    return jnp.transpose(a, (0, 2, 1))
+
+
 class _SSBatch:
     """One dispatched (or to-be-dispatched) K-frame superstep. Frames
     buffered into it hold `frame(j)` handles; `result()` on a handle
@@ -657,6 +686,7 @@ class StreamPool:
         self.output = output
         self.device_keep = device_keep
         self._dev_out: list = []
+        self._consumer = None
         if out_fs not in (48000, 24000, 16000, 12000, 8000):
             raise ValueError(f"unsupported out_fs {out_fs}")
         self.downsample = 48000 // out_fs
@@ -1758,15 +1788,85 @@ class StreamPool:
 
     def _materialize(self, pend):
         """Retire one step's device launches: fetch + route (host
-        output), or hand the PCM to the on-device consumer window
+        output), feed an attached on-chip consumer (device output +
+        consumer), or hand the PCM to the on-device consumer window
         (device output — kept until drain(), bounded by device_keep)."""
         if self.output == "device":
+            if self._consumer is not None:
+                self._feed_consumer(pend)
+                return
             self._dev_out.append(pend)
             if self.device_keep is not None:
                 while len(self._dev_out) > self.device_keep:
                     self._dev_out.pop(0)   # consumed downstream on-chip
             return
         self._route(pend)
+
+    def attach_consumer(self, consumer):
+        """Feed every decoded frame block to `consumer` ON DEVICE
+        (models/consumer.py::OnChipConsumer): the decoder's PCM never
+        crosses the host link; the downstream jitted stage (vocoder /
+        feature front-end / ASR encoder on the same chip) runs straight
+        off HBM. Requires output='device'; per-frame dispatch only
+        (superstep pools retire K-frame blocks — hook _ss_dispatch if
+        that shape is needed)."""
+        if self.output != "device":
+            raise ValueError("attach_consumer requires output='device'")
+        if self._ss_k > 1:
+            raise NotImplementedError(
+                "consumer + superstep_k>1 not supported yet")
+        self._consumer = consumer
+
+    def _feed_consumer(self, pend):
+        """Normalize one retired step's device launches to (rows, T,
+        CC) blocks and hand them to the attached consumer. Hybrid
+        steps arrive pre-mixed (pend['mix']); an UNfused hybrid step
+        (loss/FEC in a hybrid pool) would double-feed its rows, so it
+        falls back to the host mix and re-uploads — correct, just not
+        link-free, and only on conceal steps."""
+        cons = self._consumer
+        meta = pend["meta"]
+
+        def trims(sidx):
+            return [meta[i] for i in sidx]
+
+        if pend["hybrid"] or pend["mute"]:
+            saved, self.output = self.output, "host"
+            outs = {i: len(self.pcm_out[i]) for i in pend["meta"]}
+            try:
+                self._route(pend)
+            finally:
+                self.output = saved
+            for i, k in outs.items():
+                new = self.pcm_out[i][k:]
+                del self.pcm_out[i][k:]
+                for pcm in new:
+                    blk = np.ascontiguousarray(pcm[None])
+                    cons._feed(jax.device_put(blk), [i],
+                               trims=[(0, 0)])
+            return
+        for dev, sidx in pend["mix"]:
+            cons._feed(dev, sidx, trims=trims(sidx))
+        for dev, sidx in pend["celt"]:
+            if self._t_mode:
+                if hasattr(dev, "result"):
+                    dev = dev.result()
+                cons._feed(_rows_celt_T(tuple(dev)), sidx,
+                           rows=np.asarray(sidx, dtype=np.int64),
+                           trims=trims(sidx))
+            else:
+                parts = dev if isinstance(dev, tuple) else (dev,)
+                cons._feed(_rows_celt(parts), sidx,
+                           rows=np.arange(len(sidx)), trims=trims(sidx))
+        for dev, sidx in pend["silk"]:
+            cons._feed(_rows_silk(dev), sidx,
+                       rows=np.arange(len(sidx)), trims=trims(sidx))
+        for dev, sidx in pend["silk2"]:
+            cons._feed(_rows_silk2(dev), sidx,
+                       rows=np.arange(len(sidx)), trims=trims(sidx))
+        for i, pcm in pend["direct"]:
+            blk = np.ascontiguousarray(pcm[None])
+            cons._feed(jax.device_put(blk), [i], trims=trims([i]))
 
     def _route(self, pend):
         """Fetch one step's device launches and route PCM per stream

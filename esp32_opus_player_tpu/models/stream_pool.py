@@ -607,14 +607,19 @@ class _SSBatch:
     def frame(self, j):
         return _SSFrame(self, j)
 
+    def device(self):
+        """The whole K-frame PCM block as a DEVICE array (resolves the
+        dispatch-thread future but does not fetch) — the on-chip
+        consumer path slices per-frame views out of it in HBM."""
+        if self.fut is None:         # accessed before K frames ran
+            self.pool._ss_flush()
+        if hasattr(self.fut, "result"):
+            self.fut = self.fut.result()
+        return self.fut
+
     def host(self):
         if self._np is None:
-            if self.fut is None:     # materialize before K frames ran
-                self.pool._ss_flush()
-            out = self.fut
-            if hasattr(out, "result"):
-                out = out.result()
-            self._np = np.asarray(out)
+            self._np = np.asarray(self.device())
         return self._np
 
 
@@ -1812,9 +1817,6 @@ class StreamPool:
         that shape is needed)."""
         if self.output != "device":
             raise ValueError("attach_consumer requires output='device'")
-        if self._ss_k > 1:
-            raise NotImplementedError(
-                "consumer + superstep_k>1 not supported yet")
         self._consumer = consumer
 
     def _feed_consumer(self, pend):
@@ -1848,7 +1850,14 @@ class StreamPool:
         for dev, sidx in pend["mix"]:
             cons._feed(dev, sidx, trims=trims(sidx))
         for dev, sidx in pend["celt"]:
-            if self._t_mode:
+            if isinstance(dev, _SSFrame):
+                # superstep window: slice this frame's (CC, Nd, cap)
+                # view out of the K-frame block IN HBM — no fetch
+                blk = dev.batch.device()[dev.j]
+                cons._feed(_rows_celt_T((blk,)), sidx,
+                           rows=np.asarray(sidx, dtype=np.int64),
+                           trims=trims(sidx))
+            elif self._t_mode:
                 if hasattr(dev, "result"):
                     dev = dev.result()
                 cons._feed(_rows_celt_T(tuple(dev)), sidx,
@@ -1859,6 +1868,8 @@ class StreamPool:
                 cons._feed(_rows_celt(parts), sidx,
                            rows=np.arange(len(sidx)), trims=trims(sidx))
         for dev, sidx in pend["silk"]:
+            if isinstance(dev, _SSFrame):
+                dev = dev.batch.device()[dev.j]     # (cap, L) in HBM
             cons._feed(_rows_silk(dev), sidx,
                        rows=np.arange(len(sidx)), trims=trims(sidx))
         for dev, sidx in pend["silk2"]:

@@ -21,13 +21,15 @@ def _expected(fx, ch, fe):
     return feats.reshape(-1, feats.shape[-1])
 
 
-@pytest.mark.parametrize("name,ch", [
-    ("celt_fb_mono_20ms", 1),        # transposed CELT layout
-    ("silk_wb_mono_20ms", 1),        # mono SILK layout
-    ("silk_wb_stereo_20ms", 2),      # stereo SILK layout
-    ("hybrid_fb_stereo_20ms", 2),    # fused device-mix layout
+@pytest.mark.parametrize("name,ch,ss_k", [
+    ("celt_fb_mono_20ms", 1, 1),     # transposed CELT layout
+    ("silk_wb_mono_20ms", 1, 1),     # mono SILK layout
+    ("silk_wb_stereo_20ms", 2, 1),   # stereo SILK layout
+    ("hybrid_fb_stereo_20ms", 2, 1),  # fused device-mix layout
+    ("celt_fb_mono_20ms", 1, 4),     # K-frame superstep, HBM slices
+    ("silk_wb_mono_20ms", 1, 4),     # SILK superstep, HBM slices
 ])
-def test_onchip_consumer_matches_scalar(name, ch):
+def test_onchip_consumer_matches_scalar(name, ch, ss_k):
     from esp32_opus_player_tpu.models.consumer import (LogMelFrontend,
                                                        OnChipConsumer)
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
@@ -36,7 +38,7 @@ def test_onchip_consumer_matches_scalar(name, ch):
     cons = OnChipConsumer(fe)
     pool = StreamPool([src] * 3, channels=ch, native=True,
                       compat_ref=True, fixed_buckets=True,
-                      output="device")
+                      output="device", superstep_k=ss_k)
     pool.attach_consumer(cons)
     while pool.step():
         pass

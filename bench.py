@@ -41,17 +41,24 @@ def _force_sync_mode():
     np.asarray(jnp.zeros((4,), jnp.int32) + 1)
 
 
-def bench_pool(src, B, channels, iters, output, warm=4, **pool_kw):
+def bench_pool(src, B, channels, iters, output, warm=4, consume=False,
+               **pool_kw):
     """Measured steady-state e2e streams/chip of a real StreamPool.
     Also returns the per-step host phase split (ms) over the timed
     window: host_symbol / dispatch / materialize — the materialize
     share is the pipeline-overlap evidence (deferred retirement +
     copy_to_host_async hide the D2H behind later host phases; compare
-    against the raw PCM size over the measured link rate)."""
+    against the raw PCM size over the measured link rate).
+    consume=True attaches an on-chip log-mel consumer (the decoded PCM
+    feeds a downstream jitted stage in HBM, never crossing the link)."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     kw = dict(device_keep=2) if output == "device" else {}
     pool = StreamPool([src] * B, channels=channels, native=True,
                       fixed_buckets=True, output=output, **kw, **pool_kw)
+    if consume:
+        from esp32_opus_player_tpu.models.consumer import (
+            LogMelFrontend, OnChipConsumer)
+        pool.attach_consumer(OnChipConsumer(LogMelFrontend()))
     pool.warmup()
     for _ in range(warm):
         pool.step()
@@ -65,6 +72,9 @@ def bench_pool(src, B, channels, iters, output, warm=4, **pool_kw):
             break
         n += 1
     pool.sync()
+    if consume and pool._consumer._chunks:
+        import jax
+        jax.block_until_ready([c[0] for c in pool._consumer._chunks])
     dt = time.time() - t0
     if n == 0:
         return 0.0, 0.0, {}
@@ -331,6 +341,9 @@ def main():
          "device", dict(compat_ref=True, superstep_k=8)),
         ("hybrid_fb_stereo", f"{FIX}/hybrid_fb_stereo_20ms.opus",
          B // 4, 2, "device", dict(compat_ref=True)),
+        # decode + on-chip log-mel consumer: PCM never crosses the link
+        ("celt_fb_mono_consumer", f"{FIX}/celt_fb_mono_20ms.opus", B, 1,
+         "device", dict(compat_ref=True, consume=True)),
     ]
     phase_split = {}
     for name, src, b, ch, out, kw in matrix:

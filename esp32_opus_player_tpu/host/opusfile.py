@@ -310,3 +310,59 @@ def parse_stream(data: bytes) -> OggOpusStream:
 def open_file(path) -> OggOpusStream:
     with open(path, "rb") as f:
         return parse_stream(f.read())
+
+
+def split_multistream(s: OggOpusStream) -> list[OggOpusStream]:
+    """Lift a single-link family>=1 multistream source into its
+    elementary streams: per composite packet, walk the self-delimited
+    sub-packets in stream order (the same walk as
+    opus_multistream_decode_native, reference src/opus_decoder.cpp:
+    826-931) and re-frame each as a REGULAR packet
+    (pkt.repack_packet). Child k inherits the parent job's timing
+    bookkeeping verbatim — RFC 6716 requires every stream in a packet
+    to share the frame duration, so duration/discard/trim align.
+    Children get synthetic single-stream OpusHeads (coupled -> stereo,
+    else mono) so a StreamPool can classify and batch them as ordinary
+    rows; the channel mapping stays with the parent for egress
+    interleave."""
+    head = s.head
+    if s.n_links > 1:
+        raise ValueError("split_multistream: single-link sources only")
+    S = head.stream_count
+    children: list[list[DecodeJob]] = [[] for _ in range(S)]
+    for j in s.jobs:
+        if j.data is None:          # hole: every elementary stream PLCs
+            for k in range(S):
+                children[k].append(DecodeJob(
+                    data=None, duration=j.duration,
+                    discard_front=j.discard_front, trim_end=j.trim_end,
+                    granulepos=j.granulepos, hole_before=j.hole_before,
+                    link=j.link))
+            continue
+        pos = 0
+        for k in range(S):
+            sd = k != S - 1
+            p = pkt.parse_packet(j.data[pos:], self_delimited=sd)
+            sub = pkt.repack_packet(p) if sd \
+                else j.data[pos:pos + p.packet_offset]
+            children[k].append(DecodeJob(
+                data=sub, duration=j.duration,
+                discard_front=j.discard_front, trim_end=j.trim_end,
+                granulepos=j.granulepos, hole_before=j.hole_before,
+                link=j.link))
+            pos += p.packet_offset
+    out = []
+    for k in range(S):
+        cc = 2 if k < head.coupled_count else 1
+        ch = OpusHead(version=head.version, channel_count=cc,
+                      pre_skip=head.pre_skip,
+                      input_sample_rate=head.input_sample_rate,
+                      output_gain=head.output_gain, mapping_family=0,
+                      stream_count=1,
+                      coupled_count=1 if cc == 2 else 0,
+                      mapping=b"\x00\x01")
+        out.append(OggOpusStream(head=ch, tags_vendor=s.tags_vendor,
+                                 jobs=children[k],
+                                 pcm_start=s.pcm_start,
+                                 pcm_end=s.pcm_end))
+    return out

@@ -219,3 +219,41 @@ def parse_packet(packet: bytes, self_delimited: bool = False) -> ParsedPacket:
     return ParsedPacket(toc=toc, frames=frames,
                         payload_offset=payload_offset,
                         packet_offset=pad + pos)
+
+
+def _encode_size(sz: int) -> bytes:
+    """One- or two-byte frame length (RFC 6716 §3.2.1, inverse of
+    _parse_size)."""
+    if sz < 252:
+        return bytes([sz])
+    b0 = 252 + ((sz - 252) & 3)
+    return bytes([b0, (sz - b0) >> 2])
+
+
+def repack_packet(p: ParsedPacket) -> bytes:
+    """Re-serialize a parsed (possibly self-delimited) packet as a
+    REGULAR undelimited packet: identical TOC and frame payloads, no
+    length suffix, no padding. Used to lift elementary streams out of a
+    multistream packet so the batched engines — which speak undelimited
+    framing only — can decode them as ordinary pool rows; the reference
+    instead threads self_delimited through every per-frame decode call
+    (opus_multistream_decode_native, src/opus_decoder.cpp:826-931)."""
+    toc = p.toc
+    fr = p.frames
+    code = toc & 3
+    if code == 0:
+        return bytes([toc]) + fr[0]
+    if code == 1:
+        if len(fr[0]) != len(fr[1]):
+            raise InvalidPacket("code-1 frames must be equal length")
+        return bytes([toc]) + fr[0] + fr[1]
+    if code == 2:
+        return bytes([toc]) + _encode_size(len(fr[0])) + fr[0] + fr[1]
+    eq = all(len(f) == len(fr[0]) for f in fr)
+    out = bytearray([toc, len(fr) | (0 if eq else 0x80)])
+    if not eq:
+        for f in fr[:-1]:
+            out += _encode_size(len(f))
+    for f in fr:
+        out += f
+    return bytes(out)

@@ -639,8 +639,19 @@ class StreamPool:
                  compat_ref: bool = True, host_threads: int = 0,
                  fixed_buckets: bool = False, rfc_plc: bool = False,
                  output: str = "host", device_keep: int | None = None,
-                 out_fs: int = 48000, superstep_k: int = 1):
-        """sources: list of paths/bytes of Ogg/Opus streams.
+                 out_fs: int = 48000, superstep_k: int = 1,
+                 ms_batch: bool = True):
+        """sources: list of paths/bytes of Ogg/Opus streams (or
+        pre-parsed OggOpusStream objects).
+
+        ms_batch: batch single-link family-1 surround sources by
+        lifting their elementary streams into internal sub-pools (one
+        stereo pool for the coupled streams, one mono pool for the
+        rest) and interleaving at egress per the mapping table — each
+        elementary stream becomes an ordinary batched pool row instead
+        of a scalar OpusMSDecoder walk (reference decodes surround one
+        stream at a time inside opus_multistream_decode_native,
+        src/opus_decoder.cpp:826-931). False keeps the scalar MS path.
 
         out_fs: output sample rate (48000/24000/16000/12000/8000) for
         any pool — CELT decimates on device, SILK resamples the
@@ -675,8 +686,11 @@ class StreamPool:
         shape, so steady-state serving never recompiles (at the cost of
         launching full-capacity kernels; the device phase is ~1000x ahead
         of the host phase, so the waste is invisible end to end)."""
-        self.streams = [opusfile.parse_stream(
-            s if isinstance(s, (bytes, bytearray)) else open(s, "rb").read())
+        self.streams = [
+            s if isinstance(s, opusfile.OggOpusStream)
+            else opusfile.parse_stream(
+                s if isinstance(s, (bytes, bytearray))
+                else open(s, "rb").read())
             for s in sources]
         self.n = len(self.streams)
         self.channels = channels
@@ -718,12 +732,46 @@ class StreamPool:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(host_threads)
 
+        # batched multistream: lift each single-link family-1 source's
+        # elementary streams into internal sub-pools (stereo rows for
+        # coupled streams, mono rows for the rest); the parent row only
+        # interleaves at egress (_assemble_ms)
+        self._ms_parents: dict[int, list] = {}
+        self._ms_subs: dict[str, "StreamPool"] = {}
+        if ms_batch:
+            specs: dict[str, list] = {"c": [], "m": []}
+            for i, s in enumerate(self.streams):
+                h = s.head
+                if h is None or (h.stream_count == 1
+                                 and h.channel_count <= 2) \
+                        or s.n_links > 1:
+                    continue
+                refs = []
+                for ks in opusfile.split_multistream(s):
+                    key = "c" if ks.head.channel_count == 2 else "m"
+                    refs.append((key, len(specs[key])))
+                    specs[key].append(ks)
+                self._ms_parents[i] = refs
+            for key, sl in specs.items():
+                if sl:
+                    self._ms_subs[key] = StreamPool(
+                        sl, channels=2 if key == "c" else 1,
+                        native=native, compat_ref=compat_ref,
+                        host_threads=host_threads,
+                        fixed_buckets=fixed_buckets, rfc_plc=rfc_plc,
+                        out_fs=out_fs)
+
         # classify each stream once
         self.path = []
         self._scalar_link = [0] * self.n
         self._ms_decs: dict[int, object] = {}
-        for s in self.streams:
+        for i, s in enumerate(self.streams):
             head = s.head
+            if i in self._ms_parents:
+                # batched surround: decode happens in the sub-pools;
+                # this row only tracks the packet cursor + interleaves
+                self.path.append(("msb",))
+                continue
             if head is not None and (head.stream_count > 1
                                      or head.channel_count > 2):
                 # family-1 surround / multi-stream source: decode through
@@ -891,7 +939,7 @@ class StreamPool:
         # on a not-yet-dispatched window
         self.pipeline_depth = max(2, self._ss_k)
         self._groups: list = []
-        is_ms = [p[0] == "ms" for p in self.path]
+        is_ms = [p[0] in ("ms", "msb") for p in self.path]
         if native:
             from ..host.native import NativeCELTHost, NativeSilkHost
             self.celt_hosts: list = [None] * self.n
@@ -1276,6 +1324,10 @@ class StreamPool:
 
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
+        if self.path[i][0] == "msb":
+            # batched-multistream parent: its packets were consumed by
+            # the sub-pool fan-out in step(); nothing to do per row
+            return None
         if self.positions[i] >= len(s.jobs):
             return None
         job = s.jobs[self.positions[i]]
@@ -1608,6 +1660,25 @@ class StreamPool:
         _t0 = time.perf_counter()
         lost = set(lost or ())
         fec = set(fec or ())
+        sub_work = False
+        if self._ms_subs:
+            # fan the step out to the elementary-stream sub-pools: a
+            # lost composite packet loses EVERY elementary packet in it
+            # (the reference conceals every sub-decoder,
+            # src/opus_decoder.cpp:858-868); FEC likewise per stream
+            sub_lost = {k: set() for k in self._ms_subs}
+            sub_fec = {k: set() for k in self._ms_subs}
+            for i, refs in self._ms_parents.items():
+                if self.positions[i] < len(self.streams[i].jobs):
+                    self.positions[i] += 1
+                for key, row in refs:
+                    if i in lost:
+                        sub_lost[key].add(row)
+                    if i in fec:
+                        sub_fec[key].add(row)
+            for key, sp in self._ms_subs.items():
+                sub_work = sp.step(sub_lost[key], sub_fec[key]) \
+                    or sub_work
         pend = dict(celt=[], silk=[], silk2=[], mute=set(), hybrid=set(),
                     meta={}, direct=[], mix=[])
         handled: set = set()
@@ -1631,7 +1702,7 @@ class StreamPool:
         self._phase_s["host_symbol"] += _t1 - _t0
         if not results and n_fast == 0:
             self._flush()
-            return False
+            return sub_work
         self._stats["steps"] += 1
         self._stats["frames"] += len(results) + n_fast
         _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
@@ -2491,6 +2562,8 @@ class StreamPool:
         """Pre-compile the device buckets this pool will hit (both CELT
         transient variants + each SILK rate at full capacity), so the
         first real frames run at steady-state speed."""
+        for sp in self._ms_subs.values():
+            sp.warmup()
         if self._t_mode:
             from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
                                                   OVERLAP)
@@ -2603,6 +2676,20 @@ class StreamPool:
             elif kind == "ms":
                 d = self._ms_decs.get(i)
                 out.append(d.final_range if d is not None else None)
+            elif kind == "msb":
+                # multistream final range = XOR of the elementary
+                # decoders' ranges (opus_multistream_decoder_ctl,
+                # src/opus_decoder.cpp:956-975)
+                sub_rng = {k: sp.final_ranges()
+                           for k, sp in self._ms_subs.items()}
+                r = 0
+                for key, row in self._ms_parents[i]:
+                    v = sub_rng[key][row]
+                    if v is None:
+                        r = None
+                        break
+                    r ^= v
+                out.append(r)
             elif kind in ("celt", "hybrid", "hybrid2"):
                 h = self.celt_hosts[i]
                 r = int(h.st.rng) if self.native else int(h.rng)
@@ -2641,6 +2728,38 @@ class StreamPool:
         for st in list(self.silk_buckets.values()) \
                 + list(self.silk2_buckets.values()):
             jax.block_until_ready(st["outBuf"])
+        for sp in self._ms_subs.values():
+            sp.sync()
+
+    def _assemble_ms(self):
+        """Interleave the elementary-stream sub-pools' PCM into each
+        batched-multistream parent row per its channel-mapping table
+        (RFC 7845 §5.1.1 semantics — channel c reads decoded-channel
+        mapping[c], where coupled stream k contributes channels 2k/2k+1
+        and mono stream j contributes channel 2*coupled + (j - coupled);
+        the reference does the same per-sample in
+        opus_copy_channel_out_short, src/opus_decoder.cpp:886-902)."""
+        if not self._ms_subs:
+            return
+        sub_pcm = {key: sp.drain() for key, sp in self._ms_subs.items()}
+        for i, refs in self._ms_parents.items():
+            head = self.streams[i].head
+            chans = [sub_pcm[key][row] for key, row in refs]
+            n = chans[0].shape[0]
+            if n == 0:
+                continue
+            cc = head.coupled_count
+            out = np.zeros((n, head.channel_count), dtype=np.int16)
+            for c in range(head.channel_count):
+                m = head.mapping[c]
+                if m == 255:
+                    continue            # silent channel
+                if m < 2 * cc:
+                    out[:, c] = chans[m >> 1][:, m & 1]
+                else:
+                    out[:, c] = chans[cc + (m - 2 * cc)][:, 0]
+            self.pcm_out[i].append(out)
+            self._stats["samples_out"] += n
 
     def drain(self):
         """Return the PCM decoded since the last drain (list of
@@ -2651,6 +2770,7 @@ class StreamPool:
             held, self._dev_out = self._dev_out, []
             for pend in held:
                 self._route(pend)
+        self._assemble_ms()
         out = [np.concatenate(p) if p else
                np.zeros((0, self.channels), dtype=np.int16)
                for p in self.pcm_out]
@@ -2695,6 +2815,7 @@ class StreamPool:
             held, self._dev_out = self._dev_out, []
             for pend in held:
                 self._route(pend)
+        self._assemble_ms()
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

@@ -66,15 +66,21 @@ def snapshot(pool) -> dict:
                                          {}).items()},
     )
     if pool.native:
-        ck["celt_hosts"] = [bytes(h.st) for h in pool.celt_hosts]
-        ck["celt_hosts_start"] = [h.start for h in pool.celt_hosts]
+        # ms/msb rows have no per-row host engines (None)
+        ck["celt_hosts"] = [None if h is None else bytes(h.st)
+                            for h in pool.celt_hosts]
+        ck["celt_hosts_start"] = [None if h is None else h.start
+                                  for h in pool.celt_hosts]
         # rfc_plc pools use python silk hosts even when native
         ck["silk_hosts"] = None if pool.silk_hosts is None else \
-            [bytes(h.st) for h in pool.silk_hosts]
+            [None if h is None else bytes(h.st) for h in pool.silk_hosts]
     else:
         ck["celt_hosts"] = [pickle.dumps(h) for h in pool.celt_hosts]
     # scalar decoders are pure-Python state (numpy + ints) — picklable
     ck["scalar"] = [pickle.dumps(d) for d in pool.scalar]
+    # batched-multistream sub-pools checkpoint recursively
+    ck["ms_subs"] = {key: snapshot(sp)
+                     for key, sp in getattr(pool, "_ms_subs", {}).items()}
     return ck
 
 
@@ -133,14 +139,19 @@ def restore(pool, ck: dict) -> None:
     if pool.native:
         for h, raw, start in zip(pool.celt_hosts, ck["celt_hosts"],
                                  ck["celt_hosts_start"]):
+            if h is None or raw is None:
+                continue
             _memmove_checked(h.st, raw)
             h.start = start
         if ck["silk_hosts"] is not None and pool.silk_hosts is not None:
             for h, raw in zip(pool.silk_hosts, ck["silk_hosts"]):
-                _memmove_checked(h.st, raw)
+                if h is not None and raw is not None:
+                    _memmove_checked(h.st, raw)
     else:
         pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]
+    for key, sub_ck in ck.get("ms_subs", {}).items():
+        restore(pool._ms_subs[key], sub_ck)
 
 
 def save(pool, path: str) -> None:

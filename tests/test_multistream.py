@@ -108,10 +108,73 @@ def test_ms51_in_stream_pool(name):
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     s, gold, ranges = _load(name)
     pool = StreamPool([str(fixture_path(name))], channels=6,
-                      native=True, compat_ref=True)
+                      native=True, compat_ref=True, ms_batch=False)
     assert pool.path[0][0] == "ms"
     out = pool.run()[0]
     # pool applies pre-skip/end-trim; gold is the raw frame concat
     pre = s.jobs[0].discard_front
     assert np.array_equal(out, gold[pre:pre + out.shape[0]])
     assert pool.final_ranges()[0] == ranges[len(s.jobs) - 1]["final_range"]
+
+
+def test_split_multistream_repack():
+    """split_multistream lifts each elementary stream out of the
+    composite packets as ordinary undelimited packets; a scalar decode
+    of each child must equal the MS decoder's per-stream internals —
+    checked end to end by comparing the re-assembled surround PCM."""
+    s, gold, _r = _load("ms51_silk_wb_20ms")
+    subs = opusfile.split_multistream(s)
+    assert len(subs) == s.head.stream_count
+    assert [k.head.channel_count for k in subs] == [2, 2, 1, 1]
+    for k in subs:
+        assert len(k.jobs) == len(s.jobs)
+        assert all(j.duration == pj.duration
+                   for j, pj in zip(k.jobs, s.jobs))
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_ms51_batched_pool(name):
+    """ms_batch=True (default) lifts the elementary streams into
+    batched sub-pools and interleaves at egress — output and final
+    range must be bit-identical to the scalar MS route."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    s, gold, ranges = _load(name)
+    pool = StreamPool([str(fixture_path(name))], channels=6,
+                      native=True, compat_ref=True)
+    assert pool.path[0][0] == "msb"
+    out = pool.run()[0]
+    pre = s.jobs[0].discard_front
+    assert np.array_equal(out, gold[pre:pre + out.shape[0]])
+    assert pool.final_ranges()[0] == ranges[len(s.jobs) - 1]["final_range"]
+
+
+def test_ms51_batched_pool_loss():
+    """A lost composite packet conceals EVERY elementary stream
+    (reference conceals every sub-decoder, src/opus_decoder.cpp:858)
+    — batched route must equal the scalar MS route under loss."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    name = "ms51_silk_wb_20ms"
+    loss = lambda i, k: k in (3, 7)
+    ref = StreamPool([str(fixture_path(name))], channels=6,
+                     native=True, compat_ref=True,
+                     ms_batch=False).run(loss=loss)[0]
+    got = StreamPool([str(fixture_path(name))], channels=6,
+                     native=True, compat_ref=True).run(loss=loss)[0]
+    assert np.array_equal(got, ref)
+
+
+def test_ms51_batched_pool_mixed_sources():
+    """Surround parents batch alongside ordinary mono/stereo rows in
+    one pool; each row's output is unchanged by the company it keeps."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    name = "ms51_music_fb_20ms"
+    mono = fixture_path("celt_fb_mono_20ms")
+    solo_ms = StreamPool([str(fixture_path(name))], channels=6,
+                         native=True, compat_ref=True).run()[0]
+    solo_mono = StreamPool([str(mono)], channels=1,
+                           native=True, compat_ref=True).run()[0]
+    pool = StreamPool([str(fixture_path(name)), str(mono)], channels=1,
+                      native=True, compat_ref=True)
+    got = pool.run()
+    assert np.array_equal(got[0], solo_ms)
+    assert np.array_equal(got[1], solo_mono)

@@ -759,7 +759,7 @@ class StreamPool:
                         native=native, compat_ref=compat_ref,
                         host_threads=host_threads,
                         fixed_buckets=fixed_buckets, rfc_plc=rfc_plc,
-                        out_fs=out_fs)
+                        out_fs=out_fs, superstep_k=superstep_k)
 
         # classify each stream once
         self.path = []

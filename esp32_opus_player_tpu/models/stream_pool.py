@@ -373,14 +373,12 @@ def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
     return out48.astype(jnp.int16), st2
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("fs", "order", "has_glue", "out_khz"),
-                   donate_argnums=(0,))
-def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
+def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
                      glue, *, fs: int, order: int, has_glue: bool = False,
                      out_khz: int = 48):
-    """One fused stereo-SILK device frame over a bucket: mid core, masked
+    """One fused stereo-SILK device frame over a bucket (traced by both
+    the per-frame step and the K-frame superstep): mid core, masked
     side core, MS->LR unmix, both channels resampled.
     side_flags: (2, cap) int32 = [has_side, side_reset];
     glue: (cap, 2) bool per-channel first-good-frame-after-loss flags —
@@ -461,6 +459,51 @@ def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     st2["sMid"] = st["sMid"].at[jidx].set(nm)
     st2["sSide"] = st["sSide"].at[jidx].set(ns)
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "order", "has_glue", "out_khz"),
+                   donate_argnums=(0,))
+def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
+                     s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
+                     glue, *, fs: int, order: int, has_glue: bool = False,
+                     out_khz: int = 48):
+    """Per-frame jit wrapper of _silk2_step_body (state donated)."""
+    return _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
+                            s_exc, s_A, s_B, s_iv, s_bools, side_flags,
+                            pred, glue, fs=fs, order=order,
+                            has_glue=has_glue, out_khz=out_khz)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "order", "has_glue", "out_khz"),
+                   donate_argnums=(0,))
+def _silk2_pool_superstep(st, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK,
+                          s_excK, s_AK, s_BK, s_ivK, s_boolsK,
+                          side_flagsK, predK, glueK, actK, *, fs: int,
+                          order: int, has_glue: bool = False,
+                          out_khz: int = 48):
+    """K-frame stereo-SILK superstep: K frames of staged mid/side symbol
+    columns run as ONE device program (lax.scan over _silk2_step_body,
+    bucket state carried in the loop — same launch-amortization move as
+    the mono _silk_pool_superstep). actK (K,) bool marks real frames;
+    padded flush frames select the untouched state wholesale. Returns
+    (pcmK (K, cap, 2, L_out) int16, st')."""
+    def body(carry, xs):
+        (jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B, s_iv,
+         s_bools, side_flags, pred, glue, act) = xs
+        out, st2 = _silk2_step_body(
+            carry, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A,
+            s_B, s_iv, s_bools, side_flags, pred, glue, fs=fs,
+            order=order, has_glue=has_glue, out_khz=out_khz)
+        st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
+        return st2, out
+
+    st, outs = jax.lax.scan(
+        body, st, (jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK, s_excK,
+                   s_AK, s_BK, s_ivK, s_boolsK, side_flagsK, predK,
+                   glueK, actK))
+    return outs, st
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
@@ -906,7 +949,8 @@ class StreamPool:
         # pools superstep too (lax.scan over _silk_step_body); other
         # mixes fall back to per-frame dispatch.
         silk_ss_ok = (fixed_buckets and bool(self.path)
-                      and all(p[0] == "silk" for p in self.path))
+                      and (all(p[0] == "silk" for p in self.path)
+                           or all(p[0] == "silk2" for p in self.path)))
         self._ss_k = max(1, int(superstep_k)) \
             if (self._t_mode or silk_ss_ok) else 1
         self._ss_silk = self._ss_k > 1 and not self._t_mode
@@ -1944,6 +1988,8 @@ class StreamPool:
             cons._feed(_rows_silk(dev), sidx,
                        rows=np.arange(len(sidx)), trims=trims(sidx))
         for dev, sidx in pend["silk2"]:
+            if isinstance(dev, _SSFrame):
+                dev = dev.batch.device()[dev.j]     # (cap, 2, L) in HBM
             cons._feed(_rows_silk2(dev), sidx,
                        rows=np.arange(len(sidx)), trims=trims(sidx))
         for i, pcm in pend["direct"]:
@@ -1984,6 +2030,8 @@ class StreamPool:
                            else np.concatenate(ps))[:, None]
         parts2: dict[int, list] = {}
         for dev, sidx in pend["silk2"]:
+            if hasattr(dev, "result"):      # superstep frame handle
+                dev = dev.result()[0]
             arr = np.asarray(dev).astype(np.int16, copy=False)
             for r, i in enumerate(sidx):
                 parts2.setdefault(i, []).append(arr[r].T)
@@ -2198,6 +2246,8 @@ class StreamPool:
         batch, stgs = self._ss_buf.pop(key)
         if key[0] == "silk":
             return self._ss_dispatch_silk(key, batch, stgs)
+        if key[0] == "silk2":
+            return self._ss_dispatch_silk2(key, batch, stgs)
         if len(stgs) < self._ss_k:
             pad = np.zeros_like(stgs[0])
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
@@ -2250,6 +2300,36 @@ class StreamPool:
                 frame=frame, has_glue=self.rfc_plc,
                 out_khz=self._out_khz)
             self.silk_buckets[fs] = st2
+            if self.output == "host":
+                try:
+                    pcmK.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return pcmK
+
+        batch.fut = self._dev_exec.submit(run) \
+            if self._dev_exec is not None else run()
+
+    def _ss_dispatch_silk2(self, key, batch, stgs):
+        """Run one buffered K-frame stereo-SILK superstep as a single
+        device program (_silk2_pool_superstep). Partial windows pad with
+        inactive frames like the mono dispatch."""
+        _, fs = key
+        K = self._ss_k
+        act = np.zeros(K, dtype=bool)
+        act[:len(stgs)] = True
+        while len(stgs) < K:
+            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
+        cols = [np.stack(parts) for parts in zip(*stgs)]
+        order = 16 if fs == 16 else 10
+
+        def run():
+            pcmK, st2 = _silk2_pool_superstep(
+                self._silk2_bucket(fs),
+                *(jax.device_put(c) for c in cols),
+                jax.device_put(act), fs=fs, order=order,
+                has_glue=self.rfc_plc, out_khz=self._out_khz)
+            self.silk2_buckets[fs] = st2
             if self.output == "host":
                 try:
                     pcmK.copy_to_host_async()
@@ -2548,6 +2628,21 @@ class StreamPool:
                                  axis=1).astype(np.int32)).T.copy()
         garr = padded(glue) if glue is not None \
             else np.zeros((cap, 2), dtype=bool)
+        if self._ss_silk:
+            # superstep mode: buffer this frame's columns; ONE K-frame
+            # device program per bucket when the window fills (or at
+            # flush). has_glue compiles in statically (rfc_plc) — an
+            # all-False glue row is an exact passthrough.
+            key = ("silk2", fs)
+            if key not in self._ss_buf:
+                self._ss_buf[key] = (_SSBatch(self), [])
+            batch, stgs = self._ss_buf[key]
+            h = batch.frame(len(stgs))
+            stgs.append((idxs,) + pack(mid) + pack(side)
+                        + (flags2, padded(pred.astype(np.int32)), garr))
+            if len(stgs) >= self._ss_k:
+                self._ss_dispatch(key)
+            return h
         out48, st2 = _silk2_pool_step(
             st, jnp.asarray(idxs),
             *(jnp.asarray(v) for v in pack(mid)),
@@ -2663,6 +2758,31 @@ class StreamPool:
             sjc.resample_batch(st["sIIR"][:cap], st["sFIR"][:cap],
                                st["delay"][:cap], zl, fs_in_khz=fs,
                                fs_out_khz=self._out_khz, in_len=frame)
+        if self._ss_silk:
+            for fs, cap in self._cap_silk2.items():
+                # stereo superstep pools compile ONLY the K-frame program
+                st = self._silk2_bucket(fs)
+                frame = 20 * fs
+                order = 16 if fs == 16 else 10
+                K = self._ss_k
+
+                def z(*s, dt=I32):
+                    return jnp.zeros(s, dtype=dt)
+
+                pcmK, st2 = _silk2_pool_superstep(
+                    st, z(K, cap),
+                    z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                    z(K, cap, 4, 5), z(K, cap, 4, 4),
+                    z(K, cap, 3, 4, dt=bool),
+                    z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                    z(K, cap, 4, 5), z(K, cap, 4, 4),
+                    z(K, cap, 3, 4, dt=bool),
+                    z(K, 2, cap), z(K, cap, 2), z(K, cap, 2, dt=bool),
+                    z(K, dt=bool), fs=fs, order=order,
+                    has_glue=self.rfc_plc, out_khz=self._out_khz)
+                self.silk2_buckets[fs] = st2
+                if self.output == "host":
+                    np.asarray(pcmK)
 
     def final_ranges(self):
         """Per-stream range-coder state after the last decoded packet — the

@@ -130,3 +130,42 @@ def test_silk_superstep_out_fs():
                                          compat_ref=True))
     for o in outs:
         assert np.array_equal(o, ref)
+
+
+@pytest.mark.slow
+def test_silk2_superstep_bitexact():
+    """K-frame STEREO-SILK superstep (uniform silk2 pool,
+    superstep_k=3): frames buffer into ONE K-frame device program
+    (lax.scan over _silk2_step_body) and must match the per-frame pool
+    bit-exactly, including a partial final window."""
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_stereo_20ms"))
+    pool = StreamPool([src] * 3, channels=2, native=True,
+                      compat_ref=True, fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk and pool._ss_k == 3
+    outs = pool.run()
+    ref = decode_file(src, DecoderConfig(channels=2, compat_ref=True))
+    for o in outs:
+        assert np.array_equal(o, ref)
+
+
+@pytest.mark.slow
+def test_silk2_superstep_multiframe_and_loss():
+    """Stereo superstep with 60 ms payloads (3 window entries/packet)
+    under RFC loss: buffered frames flush before the conceal step, and
+    the output equals the per-frame rfc_plc pool."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_stereo_60ms"))
+    loss = lambda i, k: k == 2
+    pool = StreamPool([src] * 2, channels=2, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=4)
+    assert pool._ss_silk
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 2, channels=2, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)

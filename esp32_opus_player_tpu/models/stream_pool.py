@@ -586,6 +586,54 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "chunk", "fs",
+                                    "order", "has_glue", "out_khz",
+                                    "downsample"),
+                   donate_argnums=(0, 1, 2))
+def _hybrid2_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK,
+                            m_excK, m_AK, m_BK, m_ivK, m_boolsK,
+                            s_excK, s_AK, s_BK, s_ivK, s_boolsK,
+                            side_flagsK, predK, glueK, permK, actK, *,
+                            LM: int, C: int, CC: int, chunk: int,
+                            fs: int, order: int, has_glue: bool,
+                            out_khz: int, downsample: int):
+    """K-frame STEREO-HYBRID superstep: per frame the stereo-SILK core
+    (mid+side+MS->LR+resample), the packed CELT synthesis, and the
+    saturating SILK+CELT mix (src/opus_decoder.cpp:272) all run inside
+    ONE lax.scan device program — one upload, one dispatch, one fetch
+    of HALF the unmixed bytes per K frames. permK maps each CELT
+    staging row to its SILK bucket row. actK masks padded flush frames
+    (state kept bit-for-bit). Returns (mixedK (K, cap, N, CC) int16,
+    dm', pre', silk_st')."""
+    def body(carry, xs):
+        dm, pre, st = carry
+        (cstg, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B,
+         s_iv, s_bools, side_flags, pred, glue, perm, act) = xs
+        out48, st2 = _silk2_step_body(
+            st, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B,
+            s_iv, s_bools, side_flags, pred, glue, fs=fs, order=order,
+            has_glue=has_glue, out_khz=out_khz)
+        pcm_c, dm2, pre2 = _celt_packed_frame(
+            dm, pre, cstg, LM=LM, C=C, CC=CC, chunk=chunk,
+            identity=False, downsample=downsample)
+        s = jnp.take(out48, perm, axis=0)       # (cap_c, 2, L)
+        mixed = jnp.clip(pcm_c.astype(jnp.int32) + s.astype(jnp.int32),
+                         -32768, 32767).astype(jnp.int16)
+        mixed = jnp.transpose(mixed, (0, 2, 1))
+        st2 = {k: jnp.where(act, v, st[k]) for k, v in st2.items()}
+        dm2 = jnp.where(act, dm2, dm)
+        pre2 = jnp.where(act, pre2, pre)
+        return (dm2, pre2, st2), mixed
+
+    (dm, pre, sst), outs = jax.lax.scan(
+        body, (dm_all, pre_all, sst),
+        (cstgK, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK, s_excK,
+         s_AK, s_BK, s_ivK, s_boolsK, side_flagsK, predK, glueK, permK,
+         actK))
+    return outs, dm, pre, sst
+
+
 @jax.jit
 def _hybrid_mix_step(cparts, silk, perm):
     """Saturating SILK+CELT hybrid mix ON DEVICE for one uniform-hybrid
@@ -951,11 +999,16 @@ class StreamPool:
         silk_ss_ok = (fixed_buckets and bool(self.path)
                       and (all(p[0] == "silk" for p in self.path)
                            or all(p[0] == "silk2" for p in self.path)))
+        # uniform stereo-hybrid pools superstep too: SILK core + CELT
+        # synthesis + device mix fused into one K-frame program
+        hyb_ss_ok = (fixed_buckets and bool(self.path)
+                     and all(p[0] == "hybrid2" for p in self.path))
         self._ss_k = max(1, int(superstep_k)) \
-            if (self._t_mode or silk_ss_ok) else 1
-        self._ss_silk = self._ss_k > 1 and not self._t_mode
+            if (self._t_mode or silk_ss_ok or hyb_ss_ok) else 1
+        self._ss_silk = self._ss_k > 1 and silk_ss_ok
+        self._ss_hyb = self._ss_k > 1 and hyb_ss_ok
         self._ss_buf: dict[tuple, list] = {}
-        if self._ss_silk and self._dev_exec is None \
+        if (self._ss_silk or self._ss_hyb) and self._dev_exec is None \
                 and jax.default_backend() == "tpu":
             from concurrent.futures import ThreadPoolExecutor
             self._dev_exec = ThreadPoolExecutor(1)
@@ -1833,7 +1886,8 @@ class StreamPool:
             self._silk_group(items, fs, nfr, frame_ms, pend)
         for (fs, nfr), items in silk2_groups.items():
             self._silk2_group(items, fs, nfr, pend)
-        if self._ss_silk and (plc_groups or plc2_groups):
+        if (self._ss_silk or self._ss_hyb) \
+                and (plc_groups or plc2_groups):
             # conceal steps read/write the bucket state directly, so any
             # buffered superstep frames must execute first (partial
             # windows pad as no-ops; the state stays exact). The PLC
@@ -1847,7 +1901,10 @@ class StreamPool:
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
         for (fs, dfp), items in plc2_groups.items():
             self._silk2_plc_group(items, fs, dfp, pend)
-        self._fuse_hybrid_mix(pend)
+        if self._ss_hyb:
+            self._hyb_collect(pend)
+        else:
+            self._fuse_hybrid_mix(pend)
         # start the D2H copies NOW (async): they stream back in the
         # background while the next steps' host phases run, so the
         # materialize `depth` steps later finds the data already on host
@@ -1869,6 +1926,99 @@ class StreamPool:
             self._materialize(self._pending.pop(0))
         self._phase_s["materialize"] += time.perf_counter() - _t2
         return True
+
+    def _hyb_collect(self, pend):
+        """Hybrid-superstep collection point (end of step): a PURE
+        uniform stereo-hybrid step (one deferred CELT staging + one
+        deferred SILK staging covering exactly pend['hybrid'], no
+        mutes) buffers into the K-frame window and retires as a device-
+        mixed _SSFrame; any other step (loss/FEC/mixed) flushes the
+        window first — state order — then dispatches its deferred
+        stagings per-frame and keeps the generic mix."""
+        cdef = [r for r, e in enumerate(pend["celt"])
+                if isinstance(e[0], tuple) and e[0]
+                and e[0][0] == "hdef_c"]
+        sdef = [r for r, e in enumerate(pend["silk2"])
+                if isinstance(e[0], tuple) and e[0]
+                and e[0][0] == "hdef_s"]
+        hyb = pend["hybrid"]
+        pure = (len(pend["celt"]) == 1 and len(cdef) == 1
+                and len(pend["silk2"]) == 1 and len(sdef) == 1
+                and not pend["silk"] and not pend["mute"] and hyb
+                and set(pend["celt"][0][1]) == hyb
+                and set(pend["silk2"][0][1]) == hyb)
+        if not pure:
+            if ("hyb2",) in self._ss_buf:
+                self._ss_dispatch(("hyb2",))
+            for r in cdef:
+                (_m, stg, ok62, identity, LM, C), sidx = pend["celt"][r]
+                chunk = 62 if ok62 else 13
+                dev = self._celt_dispatch_packed(stg, LM, C, chunk,
+                                                 identity)
+                pend["celt"][r] = (dev, sidx)
+            for r in sdef:
+                (_m, cols, fs), sidx = pend["silk2"][r]
+                dev = self._silk2_dispatch_frame(cols, fs,
+                                                 has_glue=self.rfc_plc)
+                pend["silk2"][r] = (dev, sidx)
+            self._fuse_hybrid_mix(pend)
+            return
+        (_mc, cstg, ok62, _ident, _LM, _C), csidx = pend["celt"][0]
+        (_ms, scols, _fs), ssidx = pend["silk2"][0]
+        pos = {i: r for r, i in enumerate(ssidx)}
+        perm = np.zeros(cstg.shape[0], dtype=np.int32)
+        perm[:len(csidx)] = [pos[i] for i in csidx]
+        perm[len(csidx):] = perm[0]     # pad rows: output discarded
+        key = ("hyb2",)
+        if key not in self._ss_buf:
+            self._ss_buf[key] = (_SSBatch(self), [])
+        batch, stgs = self._ss_buf[key]
+        h = batch.frame(len(stgs))
+        stgs.append((cstg,) + scols + (perm, np.asarray(ok62)))
+        pend["celt"] = []
+        pend["silk2"] = []
+        pend["hybrid"] = set()
+        pend["mix"] = [(h, csidx)]
+        if len(stgs) >= self._ss_k:
+            self._ss_dispatch(key)
+
+    def _ss_dispatch_hyb2(self, batch, stgs):
+        """Run one buffered K-frame stereo-hybrid superstep as a single
+        device program (_hybrid2_pool_superstep). Partial windows pad
+        with inactive frames; the comb chunk compiles to 62 only when
+        every frame in the window allows it (13 is always safe)."""
+        K = self._ss_k
+        n_real = len(stgs)
+        act = np.zeros(K, dtype=bool)
+        act[:n_real] = True
+        ok62 = all(bool(s[-1]) for s in stgs)
+        while len(stgs) < K:
+            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
+        cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
+        chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
+        bk = ("hyb2", self._ss_k, cols[0].shape[1])
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+
+        def run():
+            mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
+                self.state["decode_mem"], self.state["preemph"],
+                self._silk2_bucket(16),
+                *(jax.device_put(c) for c in cols),
+                jax.device_put(act), LM=3, C=2, CC=self.channels,
+                chunk=chunk, fs=16, order=16, has_glue=self.rfc_plc,
+                out_khz=self._out_khz, downsample=self.downsample)
+            self.state["decode_mem"] = dm
+            self.state["preemph"] = pre
+            self.silk2_buckets[16] = st2
+            if self.output == "host":
+                try:
+                    mixedK.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return mixedK
+
+        batch.fut = self._dev_exec.submit(run) \
+            if self._dev_exec is not None else run()
 
     def _fuse_hybrid_mix(self, pend):
         """Uniform-hybrid step: replace the per-stream host SILK+CELT
@@ -1963,6 +2113,8 @@ class StreamPool:
                                trims=[(0, 0)])
             return
         for dev, sidx in pend["mix"]:
+            if isinstance(dev, _SSFrame):
+                dev = dev.batch.device()[dev.j]  # (cap, N, CC) in HBM
             cons._feed(dev, sidx, trims=trims(sidx))
         for dev, sidx in pend["celt"]:
             if isinstance(dev, _SSFrame):
@@ -2042,6 +2194,8 @@ class StreamPool:
         meta = pend["meta"]
         for dev, sidx in pend["mix"]:
             # device-mixed hybrid PCM: (n, N, CC) rows, ready to route
+            if hasattr(dev, "result"):      # superstep frame handle
+                dev = dev.result()[0]
             arr = np.asarray(dev)
             for r, i in enumerate(sidx):
                 lo, te = meta[i]
@@ -2156,9 +2310,17 @@ class StreamPool:
             chunk = 13
         identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
                     and np.array_equal(idxs, np.arange(cap)))
+        if self._ss_hyb and LM == 3 and C == 2:
+            # hybrid superstep: defer — _hyb_collect pairs this staging
+            # with the step's SILK staging into the K-frame window (or
+            # dispatches it per-frame on impure loss/FEC steps)
+            return ("hdef_c", stg, chunk == 62, identity, LM, C)
+        return self._celt_dispatch_packed(stg, LM, C, chunk, identity)
+
+    def _celt_dispatch_packed(self, stg, LM, C, chunk, identity):
         outs = _celt_pool_step_packed(
             self.state["decode_mem"], self.state["preemph"],
-            jnp.asarray(stg), LM=LM, C=C, CC=CC, chunk=chunk,
+            jnp.asarray(stg), LM=LM, C=C, CC=self.channels, chunk=chunk,
             identity=identity, downsample=self.downsample)
         self.state["decode_mem"] = outs[-2]
         self.state["preemph"] = outs[-1]
@@ -2248,6 +2410,8 @@ class StreamPool:
             return self._ss_dispatch_silk(key, batch, stgs)
         if key[0] == "silk2":
             return self._ss_dispatch_silk2(key, batch, stgs)
+        if key[0] == "hyb2":
+            return self._ss_dispatch_hyb2(batch, stgs)
         if len(stgs) < self._ss_k:
             pad = np.zeros_like(stgs[0])
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
@@ -2628,6 +2792,12 @@ class StreamPool:
                                  axis=1).astype(np.int32)).T.copy()
         garr = padded(glue) if glue is not None \
             else np.zeros((cap, 2), dtype=bool)
+        if self._ss_hyb and fs == 16:
+            # hybrid superstep: defer — paired with the CELT staging by
+            # _hyb_collect at the end of this step
+            cols = (idxs,) + pack(mid) + pack(side) \
+                + (flags2, padded(pred.astype(np.int32)), garr)
+            return ("hdef_s", cols, fs)
         if self._ss_silk:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
@@ -2643,13 +2813,17 @@ class StreamPool:
             if len(stgs) >= self._ss_k:
                 self._ss_dispatch(key)
             return h
+        cols = (idxs,) + pack(mid) + pack(side) \
+            + (flags2, padded(pred.astype(np.int32)), garr)
+        return self._silk2_dispatch_frame(cols, fs,
+                                          has_glue=glue is not None)
+
+    def _silk2_dispatch_frame(self, cols, fs: int, has_glue: bool):
+        order = 16 if fs == 16 else 10
         out48, st2 = _silk2_pool_step(
-            st, jnp.asarray(idxs),
-            *(jnp.asarray(v) for v in pack(mid)),
-            *(jnp.asarray(v) for v in pack(side)), jnp.asarray(flags2),
-            jnp.asarray(padded(pred.astype(np.int32))),
-            jnp.asarray(garr), fs=fs, order=order,
-            has_glue=glue is not None, out_khz=self._out_khz)
+            self._silk2_bucket(fs), *(jnp.asarray(v) for v in cols),
+            fs=fs, order=order, has_glue=has_glue,
+            out_khz=self._out_khz)
         self.silk2_buckets[fs] = st2
         return out48
 
@@ -2783,6 +2957,39 @@ class StreamPool:
                 self.silk2_buckets[fs] = st2
                 if self.output == "host":
                     np.asarray(pcmK)
+        if self._ss_hyb:
+            # stereo-hybrid superstep pools compile ONLY the K-frame
+            # fused SILK+CELT+mix program (chunk=13, the always-safe
+            # comb variant; the 62 variant compiles on first use)
+            K = self._ss_k
+            cap_c = self._cap_celt
+            cap_s = self._cap_silk2[16]
+            W = _CELT_HDR + 2 * NB_EBANDS + 2 * 960
+            frame = 320
+
+            def z(*s, dt=I32):
+                return jnp.zeros(s, dtype=dt)
+
+            mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
+                self.state["decode_mem"], self.state["preemph"],
+                self._silk2_bucket(16),
+                jnp.zeros((K, cap_c, W), dtype=jnp.int16),
+                z(K, cap_s), z(K, cap_s, frame),
+                z(K, cap_s, 2, MAX_LPC_ORDER), z(K, cap_s, 4, 5),
+                z(K, cap_s, 4, 4), z(K, cap_s, 3, 4, dt=bool),
+                z(K, cap_s, frame), z(K, cap_s, 2, MAX_LPC_ORDER),
+                z(K, cap_s, 4, 5), z(K, cap_s, 4, 4),
+                z(K, cap_s, 3, 4, dt=bool),
+                z(K, 2, cap_s), z(K, cap_s, 2), z(K, cap_s, 2, dt=bool),
+                z(K, cap_c), z(K, dt=bool),
+                LM=3, C=2, CC=self.channels, chunk=13, fs=16, order=16,
+                has_glue=self.rfc_plc, out_khz=self._out_khz,
+                downsample=self.downsample)
+            self.state["decode_mem"] = dm
+            self.state["preemph"] = pre
+            self.silk2_buckets[16] = st2
+            if self.output == "host":
+                np.asarray(mixedK)
 
     def final_ranges(self):
         """Per-stream range-coder state after the last decoded packet — the

@@ -169,3 +169,25 @@ def test_silk2_superstep_multiframe_and_loss():
     refs = ref_pool.run(loss=loss)
     for o, r in zip(outs, refs):
         assert np.array_equal(o, r)
+
+
+@pytest.mark.slow
+def test_hybrid2_superstep_bitexact():
+    """K-frame STEREO-HYBRID superstep: SILK core + CELT synthesis +
+    saturating mix fused into ONE K-frame device program. Must match
+    the per-frame hybrid pool bit-exactly, including a lost packet
+    mid-window (impure step: window flushes, per-frame fallback, mute
+    row) and a partial final window."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("hybrid_fb_stereo_20ms"))
+    loss = lambda i, k: k == 5
+    pool = StreamPool([src] * 3, channels=2, native=True,
+                      compat_ref=True, fixed_buckets=True, superstep_k=3)
+    assert pool._ss_hyb and pool._ss_k == 3
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 3, channels=2, native=True,
+                          compat_ref=True, fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
+    assert any(k[0] == "hyb2" for k in pool.stats()["buckets"])

@@ -341,6 +341,9 @@ def main():
          "device", dict(compat_ref=True, superstep_k=8)),
         ("hybrid_fb_stereo", f"{FIX}/hybrid_fb_stereo_20ms.opus",
          B // 4, 2, "device", dict(compat_ref=True)),
+        # fused K-frame SILK+CELT+mix program (one dispatch per 8 frames)
+        ("hybrid_fb_stereo_ss8", f"{FIX}/hybrid_fb_stereo_20ms.opus",
+         B // 4, 2, "device", dict(compat_ref=True, superstep_k=8)),
         # decode + on-chip log-mel consumer: PCM never crosses the link
         ("celt_fb_mono_consumer", f"{FIX}/celt_fb_mono_20ms.opus", B, 1,
          "device", dict(compat_ref=True, consume=True)),

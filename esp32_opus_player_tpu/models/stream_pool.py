@@ -634,6 +634,48 @@ def _hybrid2_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK,
     return outs, dm, pre, sst
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "chunk", "fs",
+                                    "nb", "order", "has_glue",
+                                    "out_khz", "downsample"),
+                   donate_argnums=(0, 1, 2))
+def _hybrid1_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK, excK,
+                            AK, BK, ivK, boolsK, glueK, permK, actK, *,
+                            LM: int, C: int, CC: int, chunk: int,
+                            fs: int, nb: int, order: int,
+                            has_glue: bool, out_khz: int,
+                            downsample: int):
+    """K-frame MONO-HYBRID superstep: the mono-SILK core, the packed
+    CELT synthesis, and the saturating mix fused into ONE lax.scan
+    device program (the stereo variant is _hybrid2_pool_superstep).
+    Returns (mixedK (K, cap, N, CC) int16, dm', pre', silk_st')."""
+    frame = 20 * fs
+
+    def body(carry, xs):
+        dm, pre, st = carry
+        cstg, jidx, exc, A, B, iv, bools, glue, perm, act = xs
+        out48, st2 = _silk_step_body(
+            st, jidx, exc, A, B, iv, bools, glue, fs=fs, nb=nb,
+            order=order, frame=frame, has_glue=has_glue,
+            out_khz=out_khz)
+        pcm_c, dm2, pre2 = _celt_packed_frame(
+            dm, pre, cstg, LM=LM, C=C, CC=CC, chunk=chunk,
+            identity=False, downsample=downsample)
+        s = jnp.take(out48, perm, axis=0)[:, None, :]   # (cap_c, 1, L)
+        mixed = jnp.clip(pcm_c.astype(jnp.int32) + s.astype(jnp.int32),
+                         -32768, 32767).astype(jnp.int16)
+        mixed = jnp.transpose(mixed, (0, 2, 1))
+        st2 = {k: jnp.where(act, v, st[k]) for k, v in st2.items()}
+        dm2 = jnp.where(act, dm2, dm)
+        pre2 = jnp.where(act, pre2, pre)
+        return (dm2, pre2, st2), mixed
+
+    (dm, pre, sst), outs = jax.lax.scan(
+        body, (dm_all, pre_all, sst),
+        (cstgK, jidxK, excK, AK, BK, ivK, boolsK, glueK, permK, actK))
+    return outs, dm, pre, sst
+
+
 @jax.jit
 def _hybrid_mix_step(cparts, silk, perm):
     """Saturating SILK+CELT hybrid mix ON DEVICE for one uniform-hybrid
@@ -999,16 +1041,21 @@ class StreamPool:
         silk_ss_ok = (fixed_buckets and bool(self.path)
                       and (all(p[0] == "silk" for p in self.path)
                            or all(p[0] == "silk2" for p in self.path)))
-        # uniform stereo-hybrid pools superstep too: SILK core + CELT
-        # synthesis + device mix fused into one K-frame program
+        # uniform hybrid pools superstep too: SILK core + CELT synthesis
+        # + device mix fused into one K-frame program (stereo and mono)
         hyb_ss_ok = (fixed_buckets and bool(self.path)
                      and all(p[0] == "hybrid2" for p in self.path))
+        hyb1_ss_ok = (fixed_buckets and bool(self.path)
+                      and all(p[0] == "hybrid" for p in self.path))
         self._ss_k = max(1, int(superstep_k)) \
-            if (self._t_mode or silk_ss_ok or hyb_ss_ok) else 1
+            if (self._t_mode or silk_ss_ok or hyb_ss_ok or hyb1_ss_ok) \
+            else 1
         self._ss_silk = self._ss_k > 1 and silk_ss_ok
-        self._ss_hyb = self._ss_k > 1 and hyb_ss_ok
+        self._ss_hyb = self._ss_k > 1 and hyb_ss_ok      # stereo
+        self._ss_hyb1 = self._ss_k > 1 and hyb1_ss_ok    # mono
         self._ss_buf: dict[tuple, list] = {}
-        if (self._ss_silk or self._ss_hyb) and self._dev_exec is None \
+        if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
+                and self._dev_exec is None \
                 and jax.default_backend() == "tpu":
             from concurrent.futures import ThreadPoolExecutor
             self._dev_exec = ThreadPoolExecutor(1)
@@ -1886,7 +1933,7 @@ class StreamPool:
             self._silk_group(items, fs, nfr, frame_ms, pend)
         for (fs, nfr), items in silk2_groups.items():
             self._silk2_group(items, fs, nfr, pend)
-        if (self._ss_silk or self._ss_hyb) \
+        if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
                 and (plc_groups or plc2_groups):
             # conceal steps read/write the bucket state directly, so any
             # buffered superstep frames must execute first (partial
@@ -1901,7 +1948,7 @@ class StreamPool:
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
         for (fs, dfp), items in plc2_groups.items():
             self._silk2_plc_group(items, fs, dfp, pend)
-        if self._ss_hyb:
+        if self._ss_hyb or self._ss_hyb1:
             self._hyb_collect(pend)
         else:
             self._fuse_hybrid_mix(pend)
@@ -1935,21 +1982,26 @@ class StreamPool:
         mixed _SSFrame; any other step (loss/FEC/mixed) flushes the
         window first — state order — then dispatches its deferred
         stagings per-frame and keeps the generic mix."""
+        stereo = self._ss_hyb
+        skey = "silk2" if stereo else "silk"
+        smark = "hdef_s" if stereo else "hdef_s1"
+        wkey = ("hyb2",) if stereo else ("hyb1",)
         cdef = [r for r, e in enumerate(pend["celt"])
                 if isinstance(e[0], tuple) and e[0]
                 and e[0][0] == "hdef_c"]
-        sdef = [r for r, e in enumerate(pend["silk2"])
+        sdef = [r for r, e in enumerate(pend[skey])
                 if isinstance(e[0], tuple) and e[0]
-                and e[0][0] == "hdef_s"]
+                and e[0][0] == smark]
         hyb = pend["hybrid"]
         pure = (len(pend["celt"]) == 1 and len(cdef) == 1
-                and len(pend["silk2"]) == 1 and len(sdef) == 1
-                and not pend["silk"] and not pend["mute"] and hyb
+                and len(pend[skey]) == 1 and len(sdef) == 1
+                and not pend["silk2" if skey == "silk" else "silk"]
+                and not pend["mute"] and hyb
                 and set(pend["celt"][0][1]) == hyb
-                and set(pend["silk2"][0][1]) == hyb)
+                and set(pend[skey][0][1]) == hyb)
         if not pure:
-            if ("hyb2",) in self._ss_buf:
-                self._ss_dispatch(("hyb2",))
+            if wkey in self._ss_buf:
+                self._ss_dispatch(wkey)
             for r in cdef:
                 (_m, stg, ok62, identity, LM, C), sidx = pend["celt"][r]
                 chunk = 62 if ok62 else 13
@@ -1957,30 +2009,33 @@ class StreamPool:
                                                  identity)
                 pend["celt"][r] = (dev, sidx)
             for r in sdef:
-                (_m, cols, fs), sidx = pend["silk2"][r]
-                dev = self._silk2_dispatch_frame(cols, fs,
-                                                 has_glue=self.rfc_plc)
-                pend["silk2"][r] = (dev, sidx)
+                (_m, cols, fs), sidx = pend[skey][r]
+                if stereo:
+                    dev = self._silk2_dispatch_frame(
+                        cols, fs, has_glue=self.rfc_plc)
+                else:
+                    dev = self._silk_dispatch_frame(
+                        cols, fs, 4, 20 * fs, has_glue=self.rfc_plc)
+                pend[skey][r] = (dev, sidx)
             self._fuse_hybrid_mix(pend)
             return
         (_mc, cstg, ok62, _ident, _LM, _C), csidx = pend["celt"][0]
-        (_ms, scols, _fs), ssidx = pend["silk2"][0]
+        (_ms, scols, _fs), ssidx = pend[skey][0]
         pos = {i: r for r, i in enumerate(ssidx)}
         perm = np.zeros(cstg.shape[0], dtype=np.int32)
         perm[:len(csidx)] = [pos[i] for i in csidx]
         perm[len(csidx):] = perm[0]     # pad rows: output discarded
-        key = ("hyb2",)
-        if key not in self._ss_buf:
-            self._ss_buf[key] = (_SSBatch(self), [])
-        batch, stgs = self._ss_buf[key]
+        if wkey not in self._ss_buf:
+            self._ss_buf[wkey] = (_SSBatch(self), [])
+        batch, stgs = self._ss_buf[wkey]
         h = batch.frame(len(stgs))
         stgs.append((cstg,) + scols + (perm, np.asarray(ok62)))
         pend["celt"] = []
-        pend["silk2"] = []
+        pend[skey] = []
         pend["hybrid"] = set()
         pend["mix"] = [(h, csidx)]
         if len(stgs) >= self._ss_k:
-            self._ss_dispatch(key)
+            self._ss_dispatch(wkey)
 
     def _ss_dispatch_hyb2(self, batch, stgs):
         """Run one buffered K-frame stereo-hybrid superstep as a single
@@ -2010,6 +2065,42 @@ class StreamPool:
             self.state["decode_mem"] = dm
             self.state["preemph"] = pre
             self.silk2_buckets[16] = st2
+            if self.output == "host":
+                try:
+                    mixedK.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return mixedK
+
+        batch.fut = self._dev_exec.submit(run) \
+            if self._dev_exec is not None else run()
+
+    def _ss_dispatch_hyb1(self, batch, stgs):
+        """Run one buffered K-frame MONO-hybrid superstep as a single
+        device program (_hybrid1_pool_superstep)."""
+        K = self._ss_k
+        act = np.zeros(K, dtype=bool)
+        act[:len(stgs)] = True
+        ok62 = all(bool(s[-1]) for s in stgs)
+        while len(stgs) < K:
+            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
+        cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
+        chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
+        bk = ("hyb1", self._ss_k, cols[0].shape[1])
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+
+        def run():
+            mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
+                self.state["decode_mem"], self.state["preemph"],
+                self._silk_bucket(16),
+                *(jax.device_put(c) for c in cols),
+                jax.device_put(act), LM=3, C=1, CC=self.channels,
+                chunk=chunk, fs=16, nb=4, order=16,
+                has_glue=self.rfc_plc, out_khz=self._out_khz,
+                downsample=self.downsample)
+            self.state["decode_mem"] = dm
+            self.state["preemph"] = pre
+            self.silk_buckets[16] = st2
             if self.output == "host":
                 try:
                     mixedK.copy_to_host_async()
@@ -2310,7 +2401,8 @@ class StreamPool:
             chunk = 13
         identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
                     and np.array_equal(idxs, np.arange(cap)))
-        if self._ss_hyb and LM == 3 and C == 2:
+        if LM == 3 and ((self._ss_hyb and C == 2)
+                        or (self._ss_hyb1 and C == 1)):
             # hybrid superstep: defer — _hyb_collect pairs this staging
             # with the step's SILK staging into the K-frame window (or
             # dispatches it per-frame on impure loss/FEC steps)
@@ -2412,6 +2504,8 @@ class StreamPool:
             return self._ss_dispatch_silk2(key, batch, stgs)
         if key[0] == "hyb2":
             return self._ss_dispatch_hyb2(batch, stgs)
+        if key[0] == "hyb1":
+            return self._ss_dispatch_hyb1(batch, stgs)
         if len(stgs) < self._ss_k:
             pad = np.zeros_like(stgs[0])
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
@@ -2562,6 +2656,10 @@ class StreamPool:
                 if pad else glue
         else:
             garr = np.zeros(cap, dtype=bool)
+        if self._ss_hyb1 and fs == 16 and frame_ms == 20:
+            # hybrid superstep: defer — paired with the CELT staging by
+            # _hyb_collect at the end of this step
+            return ("hdef_s1", (idxs, exc, A, B, iv, bools, garr), fs)
         if self._ss_silk:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
@@ -2575,11 +2673,16 @@ class StreamPool:
             if len(stgs) >= self._ss_k:
                 self._ss_dispatch(key)
             return h
+        return self._silk_dispatch_frame(
+            (idxs, exc, A, B, iv, bools, garr), fs, nb, frame,
+            has_glue=glue is not None)
+
+    def _silk_dispatch_frame(self, cols, fs, nb, frame, has_glue):
+        order = 16 if fs == 16 else 10
         out48, st2 = _silk_pool_step(
-            st, jnp.asarray(idxs), jnp.asarray(exc), jnp.asarray(A),
-            jnp.asarray(B), jnp.asarray(iv), jnp.asarray(bools),
-            jnp.asarray(garr), fs=fs, nb=nb, order=order, frame=frame,
-            has_glue=glue is not None, out_khz=self._out_khz)
+            self._silk_bucket(fs), *(jnp.asarray(v) for v in cols),
+            fs=fs, nb=nb, order=order, frame=frame,
+            has_glue=has_glue, out_khz=self._out_khz)
         self.silk_buckets[fs] = st2
         return out48
 
@@ -2957,6 +3060,33 @@ class StreamPool:
                 self.silk2_buckets[fs] = st2
                 if self.output == "host":
                     np.asarray(pcmK)
+        if self._ss_hyb1:
+            # mono-hybrid superstep: compile the K-frame fused program
+            K = self._ss_k
+            cap_c = self._cap_celt
+            cap_s = self._cap_silk[16]
+            W1 = _CELT_HDR + 2 * NB_EBANDS + 960
+            frame = 320
+
+            def z1(*s, dt=I32):
+                return jnp.zeros(s, dtype=dt)
+
+            mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
+                self.state["decode_mem"], self.state["preemph"],
+                self._silk_bucket(16),
+                jnp.zeros((K, cap_c, W1), dtype=jnp.int16),
+                z1(K, cap_s), z1(K, cap_s, frame),
+                z1(K, cap_s, 2, MAX_LPC_ORDER), z1(K, cap_s, 4, 5),
+                z1(K, cap_s, 4, 4), z1(K, cap_s, 3, 4, dt=bool),
+                z1(K, cap_s, dt=bool), z1(K, cap_c), z1(K, dt=bool),
+                LM=3, C=1, CC=self.channels, chunk=13, fs=16, nb=4,
+                order=16, has_glue=self.rfc_plc, out_khz=self._out_khz,
+                downsample=self.downsample)
+            self.state["decode_mem"] = dm
+            self.state["preemph"] = pre
+            self.silk_buckets[16] = st2
+            if self.output == "host":
+                np.asarray(mixedK)
         if self._ss_hyb:
             # stereo-hybrid superstep pools compile ONLY the K-frame
             # fused SILK+CELT+mix program (chunk=13, the always-safe

@@ -191,3 +191,23 @@ def test_hybrid2_superstep_bitexact():
     for o, r in zip(outs, refs):
         assert np.array_equal(o, r)
     assert any(k[0] == "hyb2" for k in pool.stats()["buckets"])
+
+
+@pytest.mark.slow
+def test_hybrid1_superstep_bitexact():
+    """K-frame MONO-HYBRID superstep (fused SILK core + CELT + mix):
+    bit-exact vs the per-frame hybrid pool, including a lost packet
+    mid-window and a partial final window."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("hybrid_swb_mono_20ms"))
+    loss = lambda i, k: k == 4
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=True, fixed_buckets=True, superstep_k=3)
+    assert pool._ss_hyb1 and pool._ss_k == 3
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 2, channels=1, native=True,
+                          compat_ref=True, fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
+    assert any(k[0] == "hyb1" for k in pool.stats()["buckets"])

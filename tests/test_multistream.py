@@ -178,3 +178,18 @@ def test_ms51_batched_pool_mixed_sources():
     got = pool.run()
     assert np.array_equal(got[0], solo_ms)
     assert np.array_equal(got[1], solo_mono)
+
+
+def test_ms51_batched_pool_rfc_loss():
+    """RFC mode: a lost composite packet is concealed with REAL silk_PLC
+    in every elementary stream — the batched sub-pool conceal kernels
+    must match the scalar MS route (per-sub-decoder silk_PLC,
+    src/silk.cpp:2871) bit-exactly, including burst loss."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    name = "ms51_silk_wb_20ms"
+    loss = lambda i, k: k in (3, 4, 9)
+    kw = dict(channels=6, native=True, compat_ref=False, rfc_plc=True)
+    ref = StreamPool([str(fixture_path(name))], ms_batch=False,
+                     **kw).run(loss=loss)[0]
+    got = StreamPool([str(fixture_path(name))], **kw).run(loss=loss)[0]
+    assert np.array_equal(got, ref)

@@ -82,12 +82,15 @@ def bench_pool(src, B, channels, iters, output, warm=4, consume=False,
     return B * 0.02 / (dt / n), dt / n * 1000, phases
 
 
-def bench_pool_loss(src, B, channels, iters):
-    """Config 5: 10% periodic loss with real batched PLC (rfc mode)."""
+def bench_pool_loss(src, B, channels, iters, **pool_kw):
+    """Config 5: 10% periodic loss with real batched PLC (rfc mode).
+    pool_kw superstep_k=K keeps lossy steps INSIDE the K-frame window
+    (masked decode|conceal dual-path program, _silk_pool_superstep_lossy)
+    instead of flushing it per loss step."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     pool = StreamPool([src] * B, channels=channels, native=True,
                       fixed_buckets=True, compat_ref=False, rfc_plc=True,
-                      output="device", device_keep=2)
+                      output="device", device_keep=2, **pool_kw)
     pool.warmup()
     for k in range(4):
         pool.step({i for i in range(B) if i % 10 == k % 10})
@@ -366,6 +369,16 @@ def main():
     configs["silk_wb_10pct_loss_plc"] = round(streams, 1)
     print(f"# e2e silk_wb + 10% loss (batched PLC): {step_ms:.0f} ms/step"
           f" -> {streams:.0f} realtime streams", file=sys.stderr)
+
+    # lossy superstep: conceal rows ride the K-frame window as masked
+    # rows (no flush, no per-frame conceal launches)
+    streams, step_ms = bench_pool_loss(
+        f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters,
+        superstep_k=8)
+    configs["silk_wb_10pct_loss_plc_ss8"] = round(streams, 1)
+    print(f"# e2e silk_wb + 10% loss (in-window PLC, K=8 superstep): "
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams",
+          file=sys.stderr)
 
     # headline = the CHIP's full decode capacity (PCM to HBM, K-frame
     # superstep, varied lags, synchronized execution): the north-star

@@ -373,6 +373,133 @@ def _silk_plc_pool_step(st, jidx, rand, A, B4, lag4, inv_gain,
     return out48.astype(jnp.int16), st2
 
 
+def _silk_lossy_body(st, jidx, exc, A, B, iv, bools, glue, lost,
+                     rand, cA, cB4, clag4, cg3, cng_exc, cng_a, cfirst,
+                     *, fs: int, nb: int, order: int, frame: int,
+                     out_khz: int = 48):
+    """One fused mono-SILK frame where each row is EITHER decoded from
+    staged symbols OR concealed (silk_PLC conceal + CNG) under the
+    per-row `lost` mask. Both paths run masked so a lossy step can stay
+    inside the K-frame superstep window instead of flushing it — the
+    r02 loss-config bottleneck (every 10%-loss step used to force a
+    window flush plus separate per-frame conceal launches). Decode
+    semantics == _silk_step_body; conceal semantics ==
+    _silk_plc_pool_step (conceal -> outBuf roll of the RAW signal ->
+    CNG add -> glue-energy capture, src/silk.cpp:1974-2050).
+
+    cg3: (cap, 3) int32 = [inv_gain_q30, prev_gain_q10_1, cng_gain].
+    Rows not covered by either path this frame are pad rows duplicating
+    a real row (same inputs -> same scattered value)."""
+    from ..ops.silk import jax_plc as jplc
+    ltp = 20 * fs
+    outBuf = st["outBuf"][jidx]
+    sLPC0 = st["sLPC"][jidx]
+    xq_d, sLPC_d = sjc.silk_core_frame(
+        outBuf[:, :ltp + frame], sLPC0, exc, A, B,
+        iv[:, 0], iv[:, 1], iv[:, 2], bools[:, 0], bools[:, 1],
+        iv[:, 3], bools[:, 2], fs_khz=fs, nb_subfr=nb, order=order)
+    xq_c, sLPC_c = jplc.silk_plc_conceal_frame(
+        outBuf[:, :ltp + frame], sLPC0, rand, cA, cB4, clag4,
+        cg3[:, 0], cg3[:, 1], fs_khz=fs, nb_subfr=nb, order=order)
+    lm = lost[:, None]
+    xq = jnp.where(lm, xq_c, xq_d)        # RAW signal rolls into outBuf
+    sLPC2 = jnp.where(lm, sLPC_c, sLPC_d)
+    # audible decode rows: glue-smoothed on the first good frame after a
+    # concealment run (glue flags are False on lost rows)
+    xq_dg = jplc.glue_frames(xq_d, st["conc_e"][jidx],
+                             st["conc_s"][jidx], glue, frame=frame)
+    # audible conceal rows: post-CNG frame (also the glue ref energy)
+    state0 = jnp.where((cfirst & lost)[:, None], 0, st["cng"][jidx])
+    xq_cng, cng2 = jplc.cng_add(xq_c, cng_exc, cng_a, cg3[:, 2], state0,
+                                lost, frame=frame, order=order)
+    ce, cs = jplc.frame_energy(xq_cng, frame=frame)
+    xq_out = jnp.where(lm, xq_cng, xq_dg)
+    hist = jnp.concatenate([outBuf[:, frame:ltp], xq], axis=-1)
+    new_outbuf = jnp.concatenate(
+        [hist, jnp.zeros((xq.shape[0], 20 * fs), dtype=I32)], axis=-1)
+    sMid = st["sMid"][jidx]
+    resin = jnp.concatenate([sMid[:, 1:2], xq_out[:, :-1]], axis=-1)
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
+        st["sIIR"][jidx], st["sFIR"][jidx], st["delay"][jidx], resin,
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(new_outbuf)
+    st2["sLPC"] = st["sLPC"].at[jidx].set(sLPC2)
+    st2["cng"] = st["cng"].at[jidx].set(cng2)
+    st2["conc_e"] = st["conc_e"].at[jidx].set(
+        jnp.where(lost, ce, st["conc_e"][jidx]))
+    st2["conc_s"] = st["conc_s"].at[jidx].set(
+        jnp.where(lost, cs, st["conc_s"][jidx]))
+    st2["sMid"] = st["sMid"].at[jidx].set(xq_out[:, frame - 2:frame])
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR)
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR)
+    st2["delay"] = st["delay"].at[jidx].set(delay)
+    return out48.astype(jnp.int16), st2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "nb", "order", "frame",
+                                    "out_khz"),
+                   donate_argnums=(0,))
+def _silk_pool_superstep_lossy(st, jidxK, excK, AK, BK, ivK, boolsK,
+                               glueK, lostK, randK, cAK, cB4K, clag4K,
+                               cg3K, cngeK, cngaK, cfirstK, actK, *,
+                               fs: int, nb: int, order: int, frame: int,
+                               out_khz: int = 48):
+    """K-frame mono-SILK superstep with per-row packet-loss concealment
+    (lax.scan over _silk_lossy_body): K frames of staged symbols AND
+    conceal preps run as ONE device program, so a lossy workload keeps
+    the superstep's launch amortization — only frames whose window saw
+    any loss pay the masked dual-path compute. actK (K,) bool marks real
+    frames; padded flush frames keep the state wholesale."""
+    def body(carry, xs):
+        (jidx, exc, A, B, iv, bools, glue, lost, rand, cA, cB4, clag4,
+         cg3, cnge, cnga, cfirst, act) = xs
+        out, st2 = _silk_lossy_body(
+            carry, jidx, exc, A, B, iv, bools, glue, lost, rand, cA,
+            cB4, clag4, cg3, cnge, cnga, cfirst, fs=fs, nb=nb,
+            order=order, frame=frame, out_khz=out_khz)
+        st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
+        return st2, out
+
+    st, outs = jax.lax.scan(
+        body, st, (jidxK, excK, AK, BK, ivK, boolsK, glueK, lostK,
+                   randK, cAK, cB4K, clag4K, cg3K, cngeK, cngaK,
+                   cfirstK, actK))
+    return outs, st
+
+
+def _dummy_conceal_cols(cap: int, frame: int, order: int):
+    """All-zero conceal staging for frames/rows without loss (the lossy
+    superstep computes both paths on every row and selects by mask;
+    zeros are numerically safe: lag 0 reads recent in-buffer history,
+    and no conceal op divides by a staged value)."""
+    return (np.zeros((cap, frame), dtype=np.int32),
+            np.zeros((cap, order), dtype=np.int32),
+            np.zeros((cap, 4, 5), dtype=np.int32),
+            np.zeros((cap, 4), dtype=np.int32),
+            np.zeros((cap, 3), dtype=np.int32),
+            np.zeros((cap, frame), dtype=np.int32),
+            np.zeros((cap, order), dtype=np.int32),
+            np.zeros(cap, dtype=bool))
+
+
+def _stack_conceal_cols(preps, order: int):
+    """Host conceal preps (batch_silk.silk_plc_host_params dicts) ->
+    the lossy superstep's conceal column tuple (rows in list order)."""
+    g3 = np.stack([[int(p["inv_gain"]), int(p["prev_gain"]),
+                    int(p["cng_gain"])] for p in preps]).astype(np.int32)
+    return (np.stack([p["rand"] for p in preps]).astype(np.int32),
+            np.stack([p["A"][:order] for p in preps]).astype(np.int32),
+            np.stack([p["B4"] for p in preps]).astype(np.int32),
+            np.stack([p["lag4"] for p in preps]).astype(np.int32),
+            g3,
+            np.stack([p["cng_exc"] for p in preps]).astype(np.int32),
+            np.stack([p["cng_a"][:order] for p in preps]
+                     ).astype(np.int32),
+            np.array([bool(p["cng_first"]) for p in preps]))
+
+
 def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
                      glue, *, fs: int, order: int, has_glue: bool = False,
@@ -1053,7 +1180,17 @@ class StreamPool:
         self._ss_silk = self._ss_k > 1 and silk_ss_ok
         self._ss_hyb = self._ss_k > 1 and hyb_ss_ok      # stereo
         self._ss_hyb1 = self._ss_k > 1 and hyb1_ss_ok    # mono
+        # mono-SILK superstep pools keep LOSSY steps inside the window:
+        # conceal rows join the staged frame under a per-row mask
+        # (_silk_plc_group_ss) instead of flushing it
+        self._ss_silk1 = (self._ss_k > 1 and fixed_buckets
+                          and bool(self.path)
+                          and all(p[0] == "silk" for p in self.path))
         self._ss_buf: dict[tuple, list] = {}
+        # (frame_index, step_seq) of the good-row staging each window
+        # key buffered THIS step — the conceal merge point
+        self._ss_mark: dict[tuple, tuple] = {}
+        self._step_seq = 0
         if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
                 and self._dev_exec is None \
                 and jax.default_backend() == "tpu":
@@ -1802,6 +1939,7 @@ class StreamPool:
         end of the NEXT step, so step t+1's host symbol phase overlaps
         step t's device execution. drain()/run()/save_checkpoint flush."""
         _t0 = time.perf_counter()
+        self._step_seq += 1
         lost = set(lost or ())
         fec = set(fec or ())
         sub_work = False
@@ -1933,6 +2071,14 @@ class StreamPool:
             self._silk_group(items, fs, nfr, frame_ms, pend)
         for (fs, nfr), items in silk2_groups.items():
             self._silk2_group(items, fs, nfr, pend)
+        if self._ss_silk1 and self.rfc_plc and plc_groups:
+            # mono-SILK superstep pools: single-frame conceals join the
+            # window as masked rows (no flush); multi-frame conceals
+            # (lost 40/60 ms packets) keep the flush path below
+            for k in [k for k in plc_groups if k[2] == 1]:
+                fs_, frame_ms_, _one = k
+                self._silk_plc_group_ss(plc_groups.pop(k), fs_,
+                                        frame_ms_, pend)
         if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
                 and (plc_groups or plc2_groups):
             # conceal steps read/write the bucket state directly, so any
@@ -2532,21 +2678,57 @@ class StreamPool:
 
     def _ss_dispatch_silk(self, key, batch, stgs):
         """Run one buffered K-frame SILK superstep as a single device
-        program (_silk_pool_superstep). Partial windows pad with
-        inactive frames (actK False -> the scan body selects the
-        untouched state wholesale), so the ONE compiled (K, cap, ...)
-        shape serves every dispatch."""
+        program. Partial windows pad with inactive frames (actK False ->
+        the scan body selects the untouched state wholesale), so ONE
+        compiled (K, cap, ...) shape serves every dispatch. Windows
+        holding any conceal rows (lossy steps, _silk_plc_group_ss) run
+        the dual-path program (_silk_pool_superstep_lossy); clean
+        windows keep the cheaper decode-only program."""
         _, fs, frame_ms = key
         K = self._ss_k
         act = np.zeros(K, dtype=bool)
         act[:len(stgs)] = True
-        while len(stgs) < K:
-            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
-        cols = [np.stack(parts) for parts in zip(*stgs)]
-        idxK, excK, AK, BK, ivK, boolsK, glueK = cols
         nb = 2 if frame_ms == 10 else 4
         frame = frame_ms * fs
         order = 16 if fs == 16 else 10
+        lossy = any(s[1] is not None for s in stgs)
+        cap = stgs[0][0][0].shape[0]
+        while len(stgs) < K:
+            stgs = stgs + [[tuple(np.zeros_like(a) for a in stgs[0][0]),
+                            None, None]]
+        cols = [np.stack(parts) for parts in zip(*(s[0] for s in stgs))]
+        idxK, excK, AK, BK, ivK, boolsK, glueK = cols
+
+        if lossy:
+            for s in stgs:
+                if s[1] is None:
+                    s[1] = _dummy_conceal_cols(cap, frame, order)
+                    s[2] = np.zeros(cap, dtype=bool)
+            concK = [np.stack(parts)
+                     for parts in zip(*(s[1] for s in stgs))]
+            lostK = np.stack([s[2] for s in stgs])
+
+            def run():
+                pcmK, st2 = _silk_pool_superstep_lossy(
+                    self._silk_bucket(fs), jax.device_put(idxK),
+                    jax.device_put(excK), jax.device_put(AK),
+                    jax.device_put(BK), jax.device_put(ivK),
+                    jax.device_put(boolsK), jax.device_put(glueK),
+                    jax.device_put(lostK),
+                    *(jax.device_put(c) for c in concK),
+                    jax.device_put(act), fs=fs, nb=nb, order=order,
+                    frame=frame, out_khz=self._out_khz)
+                self.silk_buckets[fs] = st2
+                if self.output == "host":
+                    try:
+                        pcmK.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                return pcmK
+
+            batch.fut = self._dev_exec.submit(run) \
+                if self._dev_exec is not None else run()
+            return
 
         def run():
             pcmK, st2 = _silk_pool_superstep(
@@ -2664,12 +2846,16 @@ class StreamPool:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
             # flush). has_glue is compiled in statically (rfc_plc).
+            # Staging entries are [cols7, conceal_cols|None, lost|None]
+            # lists — _silk_plc_group_ss amends this step's entry with
+            # masked conceal rows on a lossy step.
             key = ("silk", fs, frame_ms)
             if key not in self._ss_buf:
                 self._ss_buf[key] = (_SSBatch(self), [])
             batch, stgs = self._ss_buf[key]
             h = batch.frame(len(stgs))
-            stgs.append((idxs, exc, A, B, iv, bools, garr))
+            stgs.append([(idxs, exc, A, B, iv, bools, garr), None, None])
+            self._ss_mark[key] = (len(stgs) - 1, self._step_seq)
             if len(stgs) >= self._ss_k:
                 self._ss_dispatch(key)
             return h
@@ -2709,6 +2895,87 @@ class StreamPool:
         if not flags.any():
             return None
         return flags
+
+    def _silk_plc_group_ss(self, items, fs: int, frame_ms: int, pend):
+        """Superstep-resident RFC concealment (mono-SILK pools,
+        single-frame payloads): lost rows JOIN the K-frame window as
+        masked rows instead of flushing it. Rows of one step are
+        disjoint, so when this step already staged a good-row frame for
+        the bucket the conceal rows take over its pad rows (one shared
+        window frame per step); an all-lost step becomes its own window
+        frame. Either way the window keeps filling and one lossy device
+        program (_silk_pool_superstep_lossy) serves K frames."""
+        key = ("silk", fs, frame_ms)
+        frame = frame_ms * fs
+        order = 16 if fs == 16 else 10
+        cap = self._cap_silk[fs]
+        sidx = [it[0] for it in items]
+        n = len(sidx)
+        conc = _stack_conceal_cols([it[1][0] for it in items], order)
+        bk = ("silk_plc_ss", fs, frame_ms, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+
+        ent = self._ss_buf.get(key)
+        mark = self._ss_mark.get(key)
+        if ent is not None and ent[1] and mark is not None \
+                and mark == (len(ent[1]) - 1, self._step_seq):
+            # this step staged a good-row frame: place the conceal rows
+            # on its pad rows (pad rows beyond them keep duplicating
+            # row 0, a good row — consistent duplicate scatters)
+            batch, stgs = ent
+            j = len(stgs) - 1
+            cols7, conc0, lost0 = stgs[j]
+            idxs = cols7[0]
+            slist = None
+            for dev, sl in pend["silk"]:
+                if isinstance(dev, _SSFrame) and dev.batch is batch \
+                        and dev.j == j:
+                    slist = sl
+                    break
+            n_good = len(slist)
+            assert n_good + n <= cap
+            idxs[n_good:n_good + n] = sidx
+            if conc0 is None:
+                conc0 = _dummy_conceal_cols(cap, frame, order)
+                lost0 = np.zeros(cap, dtype=bool)
+            for dst, src in zip(conc0, conc):
+                dst[n_good:n_good + n] = src
+            lost0[n_good:n_good + n] = True
+            # lost rows keep row 0's (good) decode columns — valid
+            # numerics, output discarded by the mask; their glue flags
+            # stay False
+            for a in cols7[1:]:
+                a[n_good:n_good + n] = a[:1]
+            stgs[j] = [cols7, conc0, lost0]
+            slist.extend(sidx)
+            return
+        # no good-row frame this step (all streams lost, or the window
+        # just dispatched): the conceal becomes its own window frame;
+        # pads duplicate row 0 (a lost row) wholesale
+        if ent is None:
+            self._ss_buf[key] = ent = (_SSBatch(self), [])
+        batch, stgs = ent
+        pad = cap - n
+        idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
+
+        def padded(v):
+            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+                else v
+
+        cols7 = (idxs,
+                 np.zeros((cap, frame), dtype=np.int32),            # exc
+                 np.zeros((cap, 2, MAX_LPC_ORDER), dtype=np.int32),  # A
+                 np.zeros((cap, 4, 5), dtype=np.int32),             # B
+                 np.zeros((cap, 4, 4), dtype=np.int32),             # iv
+                 np.zeros((cap, 3, 4), dtype=bool),                 # bools
+                 np.zeros(cap, dtype=bool))                         # glue
+        conc0 = tuple(padded(c) for c in conc)
+        lost0 = np.ones(cap, dtype=bool)
+        h = batch.frame(len(stgs))
+        stgs.append([cols7, conc0, lost0])
+        pend["silk"].append((h, sidx))
+        if len(stgs) >= self._ss_k:
+            self._ss_dispatch(key)
 
     def _silk_plc_group(self, items, fs: int, nfr: int = 1,
                         frame_ms: int = 20, pend=None):
@@ -3018,6 +3285,29 @@ class StreamPool:
                 self.silk_buckets[fs] = st2
                 if self.output == "host":
                     np.asarray(pcmK)
+                if self._ss_silk1 and self.rfc_plc:
+                    # also pre-compile the lossy (decode|conceal) window
+                    # program the first lost packet would otherwise
+                    # stall on
+
+                    def z(*s, dt=I32):
+                        return jnp.zeros(s, dtype=dt)
+
+                    pcmK, st3 = _silk_pool_superstep_lossy(
+                        self.silk_buckets[fs], z(K, cap),
+                        z(K, cap, frame),
+                        z(K, cap, 2, MAX_LPC_ORDER), z(K, cap, 4, 5),
+                        z(K, cap, 4, 4), z(K, cap, 3, 4, dt=bool),
+                        z(K, cap, dt=bool), z(K, cap, dt=bool),
+                        z(K, cap, frame), z(K, cap, order),
+                        z(K, cap, 4, 5), z(K, cap, 4), z(K, cap, 3),
+                        z(K, cap, frame), z(K, cap, order),
+                        z(K, cap, dt=bool), z(K, dt=bool),
+                        fs=fs, nb=4, order=order, frame=frame,
+                        out_khz=self._out_khz)
+                    self.silk_buckets[fs] = st3
+                    if self.output == "host":
+                        np.asarray(pcmK)
                 continue
             zl = jnp.zeros((cap, frame), dtype=I32)
             sjc.silk_core_frame(

@@ -94,13 +94,81 @@ def test_silk_superstep_bitexact():
 
 
 @pytest.mark.slow
-def test_silk_superstep_loss_plc_flush():
-    """A lost packet mid-window forces the buffered superstep frames to
-    execute before the conceal step touches the bucket state; output
-    must equal the per-frame rfc_plc pool replaying the same losses."""
+def test_silk_superstep_loss_in_window():
+    """Lossy steps stay INSIDE the K-frame window: every stream lost at
+    the same step buffers a conceal-only window frame (the create path)
+    and the window keeps filling — output must equal the per-frame
+    rfc_plc pool replaying the same losses."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
     src = str(fixture_path("silk_wb_mono_20ms"))
     loss = lambda i, k: k in (4, 11)
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk and pool._ss_silk1
+    outs = pool.run(loss=loss)
+    assert ("silk_plc_ss", 16, 20, pool._cap_silk[16]) \
+        in pool.stats()["buckets"]
+    ref_pool = StreamPool([src] * 2, channels=1, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
+
+
+@pytest.mark.slow
+def test_silk_superstep_mixed_loss_joins_frame():
+    """Steps where SOME rows are lost and others decode: the conceal
+    rows take over the staged good-frame's pad rows (join path) — one
+    shared window frame per step, per-row masked dual-path program.
+    Covers bursts (deepening lossCnt), glue on recovery, CNG state
+    across the run, and a burst crossing a window boundary."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_mono_20ms"))
+    pat = {0: {4, 11}, 1: {5, 6, 7}, 2: set(), 3: {2, 3, 14}}
+    loss = lambda i, k: k in pat[i]
+    pool = StreamPool([src] * 4, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk1
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 4, channels=1, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
+def test_silk_superstep_loss_with_fec():
+    """FEC-recovered rows decode (LBRR symbols) while unrecoverable
+    ones conceal — both inside the superstep window."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_fec_mono_20ms"))
+    loss = lambda i, k: k > 0 and k % 5 == (1 if i == 0 else 2)
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk1
+    outs = pool.run(loss=loss, fec=True)
+    ref_pool = StreamPool([src] * 2, channels=1, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss, fec=True)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
+def test_silk_superstep_multiframe_loss_still_flushes():
+    """Lost 40 ms packets conceal 2 internal frames (deepening
+    lossCnt) — multi-frame conceals keep the window-flush path and
+    stay bit-exact."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_mono_40ms"))
+    loss = lambda i, k: k in (3, 9)
     pool = StreamPool([src] * 2, channels=1, native=True,
                       compat_ref=False, rfc_plc=True,
                       fixed_buckets=True, superstep_k=3)

@@ -143,7 +143,7 @@ def bench_host(B=256, reps=3):
                               for k, v in curve.items()}
 
 
-def bench_device(B=2048, iters=12, K=8):
+def bench_device(B=2048, iters=12, K=32):
     """Fused device synthesis capacity, transposed pipeline: the packed
     identity T-step chained on-device (synchronized execution, no
     per-step transfers), with VARIED per-stream pitch lags (uniform
@@ -212,7 +212,7 @@ def bench_device(B=2048, iters=12, K=8):
     return (B * 0.02 / step, step * 1000, compile_s, best, per_B)
 
 
-def bench_device_silk(B=2048, iters=10, K=8):
+def bench_device_silk(B=2048, iters=10, K=32):
     """Isolated SILK device step capacity: the fused Pallas core
     (rewhitening FIR + bit-shift LTP recurrence + LPC ring in one VMEM
     program) + 48 kHz resampler over a WB bucket, synchronized. Also
@@ -221,13 +221,24 @@ def bench_device_silk(B=2048, iters=10, K=8):
     import jax
     import jax.numpy as jnp
     from esp32_opus_player_tpu.models.stream_pool import (
-        StreamPool, _silk_pool_step, _silk_pool_superstep)
+        _silk_pool_step, _silk_pool_superstep)
+    from esp32_opus_player_tpu.ops.silk import jax_core as sjc
     fs = 16
     frame = 20 * fs
     rng = np.random.default_rng(0)
-    pool = StreamPool([f"{FIX}/silk_wb_mono_20ms.opus"] * B, channels=1,
-                      native=True, fixed_buckets=True, output="device")
-    st = pool._silk_bucket(fs)
+
+    def bucket(n):
+        I = jnp.int32
+        return dict(outBuf=jnp.zeros((n, 20 * fs + frame), I),
+                    sLPC=jnp.zeros((n, 16), I),
+                    cng=jnp.zeros((n, 16), I),
+                    conc_e=jnp.zeros(n, I), conc_s=jnp.zeros(n, I),
+                    sIIR=jnp.zeros((n, 6), I),
+                    sFIR=jnp.zeros((n, sjc.sfir_width(fs, 48)), I),
+                    delay=jnp.zeros((n, fs), I),
+                    sMid=jnp.zeros((n, 2), I))
+
+    st = bucket(B)
     jidx = jnp.arange(B, dtype=jnp.int32)
     exc = jnp.asarray(rng.integers(-(1 << 16), 1 << 16, (B, frame),
                                    dtype=np.int32))
@@ -254,25 +265,33 @@ def bench_device_silk(B=2048, iters=10, K=8):
     jax.block_until_ready(out)
     ms = (time.time() - t0) / iters * 1000
 
-    # K-frame superstep over the same inputs (broadcast K x); the
-    # per-frame loop donated the pool's bucket arrays, so carry on
-    # from its live output state
-    stK = st
+    # K-frame superstep (broadcast K x), probing batch sizes for the
+    # chip's peak like the CELT probe
     bK = lambda a: jnp.asarray(np.broadcast_to(
         np.asarray(a), (K,) + np.asarray(a).shape).copy())
-    argsK = (bK(jidx), bK(exc), bK(A), bK(Bc),
-             bK(iv), bK(bools), bK(np.zeros(B, bool)),
-             jnp.ones(K, dtype=bool))
-    outK, stK = _silk_pool_superstep(stK, *argsK, **kw)
-    jax.block_until_ready(outK)
-    reps = max(iters // 2, 2)
-    t0 = time.time()
-    for _ in range(reps):
+    best = 0.0
+    best_ms = 0.0
+    per_B = {}
+    for Bs in (B, 2 * B):
+        r = 1 if Bs == B else 2
+        rep2 = lambda a: np.repeat(np.asarray(a), r, axis=0)
+        stK = bucket(Bs)
+        argsK = (bK(np.arange(Bs, dtype=np.int32)), bK(rep2(exc)),
+                 bK(rep2(A)), bK(rep2(Bc)), bK(rep2(iv)),
+                 bK(rep2(bools)), bK(np.zeros(Bs, bool)),
+                 jnp.ones(K, dtype=bool))
         outK, stK = _silk_pool_superstep(stK, *argsK, **kw)
-    jax.block_until_ready(outK)
-    ss_ms = (time.time() - t0) / reps / K * 1000
-    return (B * 0.02 / (ms / 1000), ms,
-            B * 0.02 / (ss_ms / 1000), ss_ms)
+        jax.block_until_ready(outK)
+        reps = max(iters // 4, 2)
+        t0 = time.time()
+        for _ in range(reps):
+            outK, stK = _silk_pool_superstep(stK, *argsK, **kw)
+        jax.block_until_ready(outK)
+        ss_ms = (time.time() - t0) / reps / K * 1000
+        per_B[Bs] = round(Bs * 0.02 / (ss_ms / 1000), 1)
+        if per_B[Bs] > best:
+            best, best_ms = per_B[Bs], ss_ms
+    return (B * 0.02 / (ms / 1000), ms, best, best_ms, per_B)
 
 
 def bench_link():
@@ -308,16 +327,17 @@ def main():
         bench_device()
     print(f"# device synthesis (transposed fused step, synchronized, "
           f"varied lags): {dev_ms:.1f} ms/frame at B=2048 -> "
-          f"{dev_streams:.0f} realtime streams/chip; K=8 superstep -> "
+          f"{dev_streams:.0f} realtime streams/chip; K=32 superstep -> "
           f"{sstep_streams:.0f} (by B: {sstep_by_B}; compile "
           f"{compile_s:.0f}s)", file=sys.stderr)
 
-    silk_streams, silk_ms, silk_ss_streams, silk_ss_ms = \
+    silk_streams, silk_ms, silk_ss_streams, silk_ss_ms, silk_ss_by_B = \
         bench_device_silk()
     print(f"# silk device step (fused Pallas core + resampler): "
           f"{silk_ms:.1f} ms at B=2048 -> {silk_streams:.0f} realtime "
-          f"streams/chip; K=8 superstep {silk_ss_ms:.1f} ms/frame -> "
-          f"{silk_ss_streams:.0f}", file=sys.stderr)
+          f"streams/chip; K=32 superstep {silk_ss_ms:.2f} ms/frame -> "
+          f"{silk_ss_streams:.0f} (by B: {silk_ss_by_B})",
+          file=sys.stderr)
 
     host_frame, cores, host_curve = bench_host()
     host_streams_core = 0.02 / host_frame
@@ -397,6 +417,7 @@ def main():
             "device_superstep_streams_by_B": sstep_by_B,
             "device_silk_streams": round(silk_streams),
             "device_silk_superstep_streams": round(silk_ss_streams),
+            "device_silk_superstep_streams_by_B": silk_ss_by_B,
             "e2e_rig_celt_fb_mono": configs["celt_fb_mono"],
             "host_symbol_us_per_frame_by_threads": host_curve,
             "host_symbol_us_per_frame_per_core": round(host_frame * 1e6,

@@ -633,6 +633,167 @@ def _silk2_pool_superstep(st, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK,
     return outs, st
 
 
+def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
+                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
+                      glue, lost, conc, *, fs: int, order: int,
+                      out_khz: int = 48):
+    """One fused stereo-SILK frame where each row is EITHER decoded
+    from staged mid/side symbols OR concealed per channel under the
+    per-row `lost` mask — the stereo counterpart of _silk_lossy_body,
+    so lossy steps stay inside the silk2 K-frame superstep window.
+    Decode semantics == _silk2_step_body; conceal semantics ==
+    _silk2_plc_pool_step (side concealed only when the previous frame
+    had one; MS->LR keeps the PREVIOUS predictors via the staged
+    per-row pred). conc: 17-tuple = 8 mid conceal cols + 8 side
+    conceal cols + c_has_side."""
+    from ..ops.silk import jax_plc as jplc
+    from ..ops.silk.jax_stereo import ms_to_lr_batch
+    (cm_rand, cm_A, cm_B4, cm_lag4, cm_g3, cm_cnge, cm_cnga, cm_first,
+     cs_rand, cs_A, cs_B4, cs_lag4, cs_g3, cs_cnge, cs_cnga, cs_first,
+     c_has_side) = conc
+    frame = 20 * fs
+    ltp = 20 * fs
+    cap = m_exc.shape[0]
+    lostc = lost[:, None]
+
+    # ---- decode path (== _silk2_step_body pre-MS->LR) ----------------
+    has_side = side_flags[0].astype(bool)
+    reset = side_flags[1].astype(bool)
+    ob = st["outBuf"][jidx]
+    sl = st["sLPC"][jidx]
+    cng = st["cng"][jidx]
+    ob0 = ob[:, 0]
+    ob1_old = ob[:, 1]
+    sl1_old = sl[:, 1]
+    ob1 = jnp.where(reset[:, None], 0, ob1_old)
+    sl1 = jnp.where(reset[:, None], 0, sl1_old)
+    xq_both, sLPC_both = sjc.silk_core_frame(
+        jnp.concatenate([ob0, ob1]),
+        jnp.concatenate([sl[:, 0], sl1]),
+        jnp.concatenate([m_exc, s_exc]),
+        jnp.concatenate([m_A, s_A]), jnp.concatenate([m_B, s_B]),
+        jnp.concatenate([m_iv[:, 0], s_iv[:, 0]]),
+        jnp.concatenate([m_iv[:, 1], s_iv[:, 1]]),
+        jnp.concatenate([m_iv[:, 2], s_iv[:, 2]]),
+        jnp.concatenate([m_bools[:, 0], s_bools[:, 0]]),
+        jnp.concatenate([m_bools[:, 1], s_bools[:, 1]]),
+        jnp.concatenate([m_iv[:, 3], s_iv[:, 3]]),
+        jnp.concatenate([m_bools[:, 2], s_bools[:, 2]]),
+        fs_khz=fs, nb_subfr=4, order=order)
+    d_mid, d_side = xq_both[:cap], xq_both[cap:]
+    d_sl0, d_sl1 = sLPC_both[:cap], sLPC_both[cap:]
+    d_ob0 = jnp.concatenate(
+        [ob0[:, frame:ltp], d_mid, jnp.zeros((cap, frame), dtype=I32)],
+        axis=-1)
+    d_ob1 = jnp.where(
+        has_side[:, None],
+        jnp.concatenate([ob1[:, frame:ltp], d_side,
+                         jnp.zeros((cap, frame), dtype=I32)], axis=-1),
+        ob1_old)
+    d_sl1 = jnp.where(has_side[:, None], d_sl1, sl1_old)
+    d_side = jnp.where(has_side[:, None], d_side, 0)
+    ce_old = st["conc_e"][jidx]
+    cs_old = st["conc_s"][jidx]
+    d_mid_aud = jplc.glue_frames(d_mid, ce_old[:, 0], cs_old[:, 0],
+                                 glue[:, 0], frame=frame)
+    d_side_aud = jplc.glue_frames(d_side, ce_old[:, 1], cs_old[:, 1],
+                                  glue[:, 1], frame=frame)
+
+    # ---- conceal path (== _silk2_plc_pool_step pre-MS->LR) -----------
+    def conceal(ch, rand, A, B4, lag4, g3, cexc, ca, first):
+        xq, sl2 = jplc.silk_plc_conceal_frame(
+            ob[:, ch, :ltp + frame], sl[:, ch], rand, A, B4,
+            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=4,
+            order=order)
+        hist = jnp.concatenate([ob[:, ch, frame:ltp], xq], axis=-1)
+        new_ob = jnp.concatenate(
+            [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
+        state0 = jnp.where((first & lost)[:, None], 0, cng[:, ch])
+        xq_out, cng2 = jplc.cng_add(
+            xq, cexc, ca, g3[:, 2], state0, lost, frame=frame,
+            order=order)
+        ce, cs_ = jplc.frame_energy(xq_out, frame=frame)
+        return xq_out, new_ob, sl2, cng2, ce, cs_
+
+    m = conceal(0, cm_rand, cm_A, cm_B4, cm_lag4, cm_g3, cm_cnge,
+                cm_cnga, cm_first)
+    sd_ = conceal(1, cs_rand, cs_A, cs_B4, cs_lag4, cs_g3, cs_cnge,
+                  cs_cnga, cs_first)
+    hs1 = c_has_side[:, None]
+    c_mid_aud = m[0]
+    c_side_aud = jnp.where(hs1, sd_[0], 0)
+    c_ob = jnp.stack([m[1], jnp.where(hs1, sd_[1], ob1_old)], axis=1)
+    c_sl = jnp.stack([m[2], jnp.where(hs1, sd_[2], sl1_old)], axis=1)
+    c_cng = jnp.stack([m[3], jnp.where(hs1, sd_[3], cng[:, 1])], axis=1)
+    c_ce = jnp.stack([m[4], jnp.where(c_has_side, sd_[4],
+                                      ce_old[:, 1])], axis=1)
+    c_cs = jnp.stack([m[5], jnp.where(c_has_side, sd_[5],
+                                      cs_old[:, 1])], axis=1)
+
+    # ---- per-row select, then ONE MS->LR + resample ------------------
+    xq_mid = jnp.where(lostc, c_mid_aud, d_mid_aud)
+    xq_side = jnp.where(lostc, c_side_aud, d_side_aud)
+    new_ob = jnp.where(lostc[:, :, None],
+                       c_ob, jnp.stack([d_ob0, d_ob1], axis=1))
+    new_sl = jnp.where(lostc[:, :, None],
+                       c_sl, jnp.stack([d_sl0, d_sl1], axis=1))
+    new_cng = jnp.where(lostc[:, :, None], c_cng, cng)
+    new_ce = jnp.where(lostc, c_ce, ce_old)
+    new_cs = jnp.where(lostc, c_cs, cs_old)
+
+    L, R, nm, ns = ms_to_lr_batch(
+        st["sMid"][jidx], st["sSide"][jidx], st["pred_prev"][jidx],
+        xq_mid, xq_side, pred, fs_khz=fs, frame_length=frame)
+    resin = jnp.stack([L, R], axis=1).reshape(2 * cap, frame)
+    W = sjc.sfir_width(fs, out_khz)
+    out48, sIIR, sFIR, delay = sjc.resample_batch(
+        st["sIIR"][jidx].reshape(2 * cap, 6),
+        st["sFIR"][jidx].reshape(2 * cap, W),
+        st["delay"][jidx].reshape(2 * cap, fs), resin,
+        fs_in_khz=fs, fs_out_khz=out_khz, in_len=frame)
+
+    st2 = dict(st)
+    st2["outBuf"] = st["outBuf"].at[jidx].set(new_ob)
+    st2["sLPC"] = st["sLPC"].at[jidx].set(new_sl)
+    st2["cng"] = st["cng"].at[jidx].set(new_cng)
+    st2["conc_e"] = st["conc_e"].at[jidx].set(new_ce)
+    st2["conc_s"] = st["conc_s"].at[jidx].set(new_cs)
+    st2["sIIR"] = st["sIIR"].at[jidx].set(sIIR.reshape(cap, 2, 6))
+    st2["sFIR"] = st["sFIR"].at[jidx].set(sFIR.reshape(cap, 2, W))
+    st2["delay"] = st["delay"].at[jidx].set(delay.reshape(cap, 2, fs))
+    st2["pred_prev"] = st["pred_prev"].at[jidx].set(pred)
+    st2["sMid"] = st["sMid"].at[jidx].set(nm)
+    st2["sSide"] = st["sSide"].at[jidx].set(ns)
+    return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
+                   donate_argnums=(0,))
+def _silk2_pool_superstep_lossy(st, jidxK, m_excK, m_AK, m_BK, m_ivK,
+                                m_boolsK, s_excK, s_AK, s_BK, s_ivK,
+                                s_boolsK, side_flagsK, predK, glueK,
+                                lostK, concK, actK, *, fs: int,
+                                order: int, out_khz: int = 48):
+    """K-frame stereo-SILK superstep with per-row loss concealment
+    (lax.scan over _silk2_lossy_body) — the stereo counterpart of
+    _silk_pool_superstep_lossy."""
+    def body(carry, xs):
+        (jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B, s_iv,
+         s_bools, side_flags, pred, glue, lost, conc, act) = xs
+        out, st2 = _silk2_lossy_body(
+            carry, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A,
+            s_B, s_iv, s_bools, side_flags, pred, glue, lost, conc,
+            fs=fs, order=order, out_khz=out_khz)
+        st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
+        return st2, out
+
+    st, outs = jax.lax.scan(
+        body, st, (jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK, s_excK,
+                   s_AK, s_BK, s_ivK, s_boolsK, side_flagsK, predK,
+                   glueK, lostK, concK, actK))
+    return outs, st
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
                    donate_argnums=(0,))
 def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
@@ -1186,6 +1347,9 @@ class StreamPool:
         self._ss_silk1 = (self._ss_k > 1 and fixed_buckets
                           and bool(self.path)
                           and all(p[0] == "silk" for p in self.path))
+        self._ss_silk2 = (self._ss_k > 1 and fixed_buckets
+                          and bool(self.path)
+                          and all(p[0] == "silk2" for p in self.path))
         self._ss_buf: dict[tuple, list] = {}
         # (frame_index, step_seq) of the good-row staging each window
         # key buffered THIS step — the conceal merge point
@@ -2079,6 +2243,10 @@ class StreamPool:
                 fs_, frame_ms_, _one = k
                 self._silk_plc_group_ss(plc_groups.pop(k), fs_,
                                         frame_ms_, pend)
+        if self._ss_silk2 and self.rfc_plc and plc2_groups:
+            # stereo pools likewise (single-frame stereo conceals)
+            for k in [k for k in plc2_groups if k[1] == 1]:
+                self._silk2_plc_group_ss(plc2_groups.pop(k), k[0], pend)
         if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
                 and (plc_groups or plc2_groups):
             # conceal steps read/write the bucket state directly, so any
@@ -2752,16 +2920,52 @@ class StreamPool:
 
     def _ss_dispatch_silk2(self, key, batch, stgs):
         """Run one buffered K-frame stereo-SILK superstep as a single
-        device program (_silk2_pool_superstep). Partial windows pad with
-        inactive frames like the mono dispatch."""
+        device program. Partial windows pad with inactive frames like
+        the mono dispatch; windows holding conceal rows run the
+        dual-path program (_silk2_pool_superstep_lossy)."""
         _, fs = key
         K = self._ss_k
         act = np.zeros(K, dtype=bool)
         act[:len(stgs)] = True
-        while len(stgs) < K:
-            stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
-        cols = [np.stack(parts) for parts in zip(*stgs)]
         order = 16 if fs == 16 else 10
+        frame = 20 * fs
+        lossy = any(s[1] is not None for s in stgs)
+        cap = stgs[0][0][0].shape[0]
+        while len(stgs) < K:
+            stgs = stgs + [[tuple(np.zeros_like(a) for a in stgs[0][0]),
+                            None, None]]
+        cols = [np.stack(parts) for parts in zip(*(s[0] for s in stgs))]
+
+        if lossy:
+            for s in stgs:
+                if s[1] is None:
+                    s[1] = (_dummy_conceal_cols(cap, frame, order)
+                            + _dummy_conceal_cols(cap, frame, order)
+                            + (np.zeros(cap, dtype=bool),))
+                    s[2] = np.zeros(cap, dtype=bool)
+            concK = tuple(np.stack(parts)
+                          for parts in zip(*(s[1] for s in stgs)))
+            lostK = np.stack([s[2] for s in stgs])
+
+            def run():
+                pcmK, st2 = _silk2_pool_superstep_lossy(
+                    self._silk2_bucket(fs),
+                    *(jax.device_put(c) for c in cols),
+                    jax.device_put(lostK),
+                    tuple(jax.device_put(c) for c in concK),
+                    jax.device_put(act), fs=fs, order=order,
+                    out_khz=self._out_khz)
+                self.silk2_buckets[fs] = st2
+                if self.output == "host":
+                    try:
+                        pcmK.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                return pcmK
+
+            batch.fut = self._dev_exec.submit(run) \
+                if self._dev_exec is not None else run()
+            return
 
         def run():
             pcmK, st2 = _silk2_pool_superstep(
@@ -3016,6 +3220,110 @@ class StreamPool:
             self.silk_buckets[fs] = st2
             pend["silk"].append((out48, sidx))
 
+    def _silk2_plc_group_ss(self, items, fs: int, pend):
+        """Superstep-resident stereo RFC concealment: lost rows join
+        the silk2 K-frame window as masked rows (the stereo counterpart
+        of _silk_plc_group_ss). items: (stream_idx, ([(m_prep,
+        s_prep|None)], prev_pred)). Side conceals only when the
+        previous frame had one (c_has_side); MS->LR keeps the previous
+        predictors via the staged per-row pred."""
+        key = ("silk2", fs)
+        frame = 20 * fs
+        order = 16 if fs == 16 else 10
+        cap = self._cap_silk2[fs]
+        sidx = [it[0] for it in items]
+        n = len(sidx)
+        zero_prep = dict(
+            rand=np.zeros(frame, dtype=np.int32),
+            A=np.zeros(MAX_LPC_ORDER, dtype=np.int32),
+            B4=np.zeros((4, 5), dtype=np.int32),
+            lag4=np.zeros(4, dtype=np.int32),
+            inv_gain=0, prev_gain=0, cng_gain=0,
+            cng_exc=np.zeros(frame, dtype=np.int32),
+            cng_a=np.zeros(MAX_LPC_ORDER, dtype=np.int32),
+            cng_first=True)
+        m_preps = [it[1][0][0][0] for it in items]
+        s_preps = [it[1][0][0][1] for it in items]
+        has_side = np.array([sp is not None for sp in s_preps])
+        conc_m = _stack_conceal_cols(m_preps, order)
+        conc_s = _stack_conceal_cols(
+            [sp if sp is not None else zero_prep for sp in s_preps],
+            order)
+        pred = np.stack([np.asarray(it[1][1], dtype=np.int32)
+                         for it in items])
+        bk = ("silk2_plc_ss", fs, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+
+        ent = self._ss_buf.get(key)
+        mark = self._ss_mark.get(key)
+        if ent is not None and ent[1] and mark is not None \
+                and mark == (len(ent[1]) - 1, self._step_seq):
+            batch, stgs = ent
+            j = len(stgs) - 1
+            cols14, conc0, lost0 = stgs[j]
+            idxs = cols14[0]
+            slist = None
+            for dev, sl in pend["silk2"]:
+                if isinstance(dev, _SSFrame) and dev.batch is batch \
+                        and dev.j == j:
+                    slist = sl
+                    break
+            n_good = len(slist)
+            assert n_good + n <= cap
+            rows = slice(n_good, n_good + n)
+            idxs[rows] = sidx
+            if conc0 is None:
+                conc0 = (_dummy_conceal_cols(cap, frame, order)
+                         + _dummy_conceal_cols(cap, frame, order)
+                         + (np.zeros(cap, dtype=bool),))
+                lost0 = np.zeros(cap, dtype=bool)
+            for dst, src in zip(conc0[:8], conc_m):
+                dst[rows] = src
+            for dst, src in zip(conc0[8:16], conc_s):
+                dst[rows] = src
+            conc0[16][rows] = has_side
+            lost0[rows] = True
+            # lost rows: decode cols dup row 0 (valid numerics, masked
+            # away); flags2 is (2, cap); pred rows carry the PREVIOUS
+            # predictors; glue stays False
+            for a in cols14[1:11]:
+                a[rows] = a[:1]
+            cols14[11][:, rows] = cols14[11][:, :1]
+            cols14[12][rows] = pred
+            cols14[13][rows] = False
+            stgs[j] = [cols14, conc0, lost0]
+            slist.extend(sidx)
+            return
+        # conceal-only window frame (every stream lost this step, or
+        # the window just dispatched)
+        if ent is None:
+            self._ss_buf[key] = ent = (_SSBatch(self), [])
+        batch, stgs = ent
+        pad = cap - n
+        idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
+
+        def padded(v):
+            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+                else v
+
+        def zc(*s, dt=np.int32):
+            return np.zeros(s, dtype=dt)
+
+        zdec = (zc(cap, frame), zc(cap, 2, MAX_LPC_ORDER),
+                zc(cap, 4, 5), zc(cap, 4, 4), zc(cap, 3, 4, dt=bool))
+        cols14 = (idxs,) + zdec \
+            + tuple(np.copy(a) for a in zdec) \
+            + (zc(2, cap), padded(pred), zc(cap, 2, dt=bool))
+        conc0 = (tuple(padded(c) for c in conc_m)
+                 + tuple(padded(c) for c in conc_s)
+                 + (padded(has_side),))
+        lost0 = np.ones(cap, dtype=bool)
+        h = batch.frame(len(stgs))
+        stgs.append([cols14, conc0, lost0])
+        pend["silk2"].append((h, sidx))
+        if len(stgs) >= self._ss_k:
+            self._ss_dispatch(key)
+
     def _silk2_plc_group(self, items, fs: int, dfp: int, pend):
         """Batched stereo concealment: per-channel host preps -> the
         fused conceal/CNG/MS->LR/resample step, one launch per 20 ms
@@ -3172,14 +3480,18 @@ class StreamPool:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
             # flush). has_glue compiles in statically (rfc_plc) — an
-            # all-False glue row is an exact passthrough.
+            # all-False glue row is an exact passthrough. Entries are
+            # [cols14, conceal|None, lost|None] — _silk2_plc_group_ss
+            # amends this step's entry with masked conceal rows.
             key = ("silk2", fs)
             if key not in self._ss_buf:
                 self._ss_buf[key] = (_SSBatch(self), [])
             batch, stgs = self._ss_buf[key]
             h = batch.frame(len(stgs))
-            stgs.append((idxs,) + pack(mid) + pack(side)
-                        + (flags2, padded(pred.astype(np.int32)), garr))
+            stgs.append([(idxs,) + pack(mid) + pack(side)
+                         + (flags2, padded(pred.astype(np.int32)), garr),
+                         None, None])
+            self._ss_mark[key] = (len(stgs) - 1, self._step_seq)
             if len(stgs) >= self._ss_k:
                 self._ss_dispatch(key)
             return h
@@ -3350,6 +3662,28 @@ class StreamPool:
                 self.silk2_buckets[fs] = st2
                 if self.output == "host":
                     np.asarray(pcmK)
+                if self._ss_silk2 and self.rfc_plc:
+                    # pre-compile the stereo lossy window program too
+                    conc = (z(K, cap, frame), z(K, cap, order),
+                            z(K, cap, 4, 5), z(K, cap, 4),
+                            z(K, cap, 3), z(K, cap, frame),
+                            z(K, cap, order), z(K, cap, dt=bool)) * 2 \
+                        + (z(K, cap, dt=bool),)
+                    pcmK, st3 = _silk2_pool_superstep_lossy(
+                        self.silk2_buckets[fs], z(K, cap),
+                        z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                        z(K, cap, 4, 5), z(K, cap, 4, 4),
+                        z(K, cap, 3, 4, dt=bool),
+                        z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                        z(K, cap, 4, 5), z(K, cap, 4, 4),
+                        z(K, cap, 3, 4, dt=bool),
+                        z(K, 2, cap), z(K, cap, 2),
+                        z(K, cap, 2, dt=bool), z(K, cap, dt=bool),
+                        conc, z(K, dt=bool), fs=fs, order=order,
+                        out_khz=self._out_khz)
+                    self.silk2_buckets[fs] = st3
+                    if self.output == "host":
+                        np.asarray(pcmK)
         if self._ss_hyb1:
             # mono-hybrid superstep: compile the K-frame fused program
             K = self._ss_k

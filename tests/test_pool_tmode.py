@@ -162,6 +162,41 @@ def test_silk_superstep_loss_with_fec():
 
 
 @pytest.mark.slow
+def test_silk2_superstep_loss_in_window():
+    """STEREO lossy steps stay inside the silk2 K-frame window: mixed
+    per-stream losses join the staged frame (pad-row takeover), an
+    all-lost step becomes a conceal-only window frame; side conceals
+    only when the previous frame had one, MS->LR keeps the previous
+    predictors. Bit-exact vs the per-frame stereo rfc_plc pool."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_stereo_20ms"))
+    pat = {0: {4, 5, 11}, 1: {4, 7}, 2: set()}
+    loss = lambda i, k: k in pat[i]
+    pool = StreamPool([src] * 3, channels=2, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk and pool._ss_silk2
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 3, channels=2, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+    # all-lost steps too (conceal-only window frames)
+    loss2 = lambda i, k: k in (3, 4)
+    pool2 = StreamPool([src] * 2, channels=2, native=True,
+                       compat_ref=False, rfc_plc=True,
+                       fixed_buckets=True, superstep_k=3)
+    outs2 = pool2.run(loss=loss2)
+    ref2 = StreamPool([src] * 2, channels=2, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True).run(loss=loss2)
+    for i, (o, r) in enumerate(zip(outs2, ref2)):
+        assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
 def test_silk_superstep_multiframe_loss_still_flushes():
     """Lost 40 ms packets conceal 2 internal frames (deepening
     lossCnt) — multi-frame conceals keep the window-flush path and

@@ -36,8 +36,19 @@ import numpy as np
 __all__ = ["ProcFarm"]
 
 
-def _worker_main(conn, sources, pool_kw, platform: str):
-    """Worker process entry: build the pool, serve the command loop.
+def _set_platform(platform: str):
+    """Pin the worker's JAX platform BEFORE first jax import."""
+    os.environ["JAX_PLATFORMS"] = platform
+    if platform == "cpu":
+        # match the coordinator's virtual-device setup if any
+        os.environ.setdefault("XLA_FLAGS", "")
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+def serve_pool(conn, pool):
+    """Serve the farm command loop over any conn with send()/recv().
 
     Protocol (coordinator -> worker):
       ("step", lost_set, fec_set) -> ("ok", any_active: bool)
@@ -48,16 +59,6 @@ def _worker_main(conn, sources, pool_kw, platform: str):
     Any exception is reported as ("err", repr) and the loop continues
     (the coordinator decides whether to tear down).
     """
-    os.environ["JAX_PLATFORMS"] = platform
-    if platform == "cpu":
-        # match the coordinator's virtual-device setup if any
-        os.environ.setdefault("XLA_FLAGS", "")
-    import jax
-
-    jax.config.update("jax_platforms", platform)
-    from ..models.stream_pool import StreamPool
-
-    pool = StreamPool(sources, **pool_kw)
     while True:
         msg = conn.recv()
         cmd = msg[0]
@@ -86,16 +87,21 @@ def _worker_main(conn, sources, pool_kw, platform: str):
             conn.send(("err", repr(e)))
 
 
-class ProcFarm:
-    """Coordinator for a farm of worker processes (round-robin stream
-    assignment), API-compatible with ``PoolFarm.step/run/collect``."""
+def _worker_main(conn, sources, pool_kw, platform: str):
+    """Pipe-worker process entry: build the pool, serve the loop."""
+    _set_platform(platform)
+    from ..models.stream_pool import StreamPool
 
-    def __init__(self, sources, n_workers: int = 2, platform=None,
-                 **pool_kw):
-        if platform is None:
-            import jax
-            platform = jax.default_backend()
-        self.channels = pool_kw.get("channels", 1)
+    serve_pool(conn, StreamPool(sources, **pool_kw))
+
+
+class _FarmBase:
+    """Coordinator control plane shared by the pipe farm (``ProcFarm``)
+    and the TCP farm (``NetFarm``): round-robin stream assignment,
+    per-step loss/FEC fan-out, result gather. Subclasses fill
+    self._conns (objects with send/recv/close) and self._procs."""
+
+    def _assign(self, sources, n_workers: int):
         n_workers = max(1, min(n_workers, len(sources) or 1))
         self._shard_sources = [[] for _ in range(n_workers)]
         self.placement = []      # global idx -> (worker, slot)
@@ -103,18 +109,7 @@ class ProcFarm:
             w = g % n_workers
             self.placement.append((w, len(self._shard_sources[w])))
             self._shard_sources[w].append(src)
-        ctx = mp.get_context("spawn")   # clean JAX in every child
-        self._conns, self._procs = [], []
-        for w in range(n_workers):
-            parent, child = ctx.Pipe()
-            p = ctx.Process(target=_worker_main,
-                            args=(child, self._shard_sources[w],
-                                  pool_kw, platform),
-                            daemon=True)
-            p.start()
-            child.close()
-            self._conns.append(parent)
-            self._procs.append(p)
+        return n_workers
 
     @property
     def n(self) -> int:
@@ -122,11 +117,13 @@ class ProcFarm:
 
     @property
     def n_workers(self) -> int:
-        return len(self._procs)
+        # count connections, not local processes: a NetFarm worker on
+        # another host has a conn here but no process
+        return len(self._conns)
 
     # ------------------------------------------------------------------
     def _split(self, idx_set):
-        per = [set() for _ in self._procs]
+        per = [set() for _ in self._conns]
         for g in idx_set or ():
             if 0 <= g < len(self.placement):
                 w, slot = self.placement[g]
@@ -191,13 +188,16 @@ class ProcFarm:
         return self._gather()
 
     def close(self):
-        for conn, p in zip(self._conns, self._procs):
+        # conns and procs can differ in count (NetFarm with external
+        # workers): stop every peer, then reap the local processes
+        for conn in self._conns:
             try:
                 conn.send(("stop",))
                 conn.recv()
             except (BrokenPipeError, EOFError, OSError):
                 pass
             conn.close()
+        for p in self._procs:
             p.join(timeout=10)
             if p.is_alive():
                 p.terminate()
@@ -208,3 +208,29 @@ class ProcFarm:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class ProcFarm(_FarmBase):
+    """Coordinator for a farm of worker processes over OS pipes
+    (round-robin stream assignment), API-compatible with
+    ``PoolFarm.step/run/collect``."""
+
+    def __init__(self, sources, n_workers: int = 2, platform=None,
+                 **pool_kw):
+        if platform is None:
+            import jax
+            platform = jax.default_backend()
+        self.channels = pool_kw.get("channels", 1)
+        n_workers = self._assign(sources, n_workers)
+        ctx = mp.get_context("spawn")   # clean JAX in every child
+        self._conns, self._procs = [], []
+        for w in range(n_workers):
+            parent, child = ctx.Pipe()
+            p = ctx.Process(target=_worker_main,
+                            args=(child, self._shard_sources[w],
+                                  pool_kw, platform),
+                            daemon=True)
+            p.start()
+            child.close()
+            self._conns.append(parent)
+            self._procs.append(p)

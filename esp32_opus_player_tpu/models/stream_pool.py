@@ -470,34 +470,74 @@ def _silk_pool_superstep_lossy(st, jidxK, excK, AK, BK, ivK, boolsK,
 
 
 def _dummy_conceal_cols(cap: int, frame: int, order: int):
-    """All-zero conceal staging for frames/rows without loss (the lossy
-    superstep computes both paths on every row and selects by mask;
-    zeros are numerically safe: lag 0 reads recent in-buffer history,
-    and no conceal op divides by a staged value)."""
-    return (np.zeros((cap, frame), dtype=np.int32),
-            np.zeros((cap, order), dtype=np.int32),
+    """All-zero SMALL conceal staging (per-row params) for frames/rows
+    without loss (the lossy superstep computes both paths on every row
+    and selects by mask; zeros are numerically safe: lag 0 reads recent
+    in-buffer history, and no conceal op divides by a staged value).
+    The two FRAME-SIZED conceal arrays (rand, cng_exc) are staged
+    COMPACT — only lost rows' data crosses the host->device link, a
+    device-side scatter (_expand_rows) densifies them — so they are
+    not part of this tuple. Order: [A, B4, lag4, g3, cng_a, first]."""
+    return (np.zeros((cap, order), dtype=np.int32),
             np.zeros((cap, 4, 5), dtype=np.int32),
             np.zeros((cap, 4), dtype=np.int32),
             np.zeros((cap, 3), dtype=np.int32),
-            np.zeros((cap, frame), dtype=np.int32),
             np.zeros((cap, order), dtype=np.int32),
             np.zeros(cap, dtype=bool))
 
 
 def _stack_conceal_cols(preps, order: int):
     """Host conceal preps (batch_silk.silk_plc_host_params dicts) ->
-    the lossy superstep's conceal column tuple (rows in list order)."""
+    the SMALL per-row conceal columns (rows in list order), matching
+    _dummy_conceal_cols."""
     g3 = np.stack([[int(p["inv_gain"]), int(p["prev_gain"]),
                     int(p["cng_gain"])] for p in preps]).astype(np.int32)
-    return (np.stack([p["rand"] for p in preps]).astype(np.int32),
-            np.stack([p["A"][:order] for p in preps]).astype(np.int32),
+    return (np.stack([p["A"][:order] for p in preps]).astype(np.int32),
             np.stack([p["B4"] for p in preps]).astype(np.int32),
             np.stack([p["lag4"] for p in preps]).astype(np.int32),
             g3,
-            np.stack([p["cng_exc"] for p in preps]).astype(np.int32),
             np.stack([p["cng_a"][:order] for p in preps]
                      ).astype(np.int32),
             np.array([bool(p["cng_first"]) for p in preps]))
+
+
+def _stack_conceal_frames(preps):
+    """The frame-sized conceal inputs, COMPACT (one row per lost
+    stream): (rand (m, frame), cng_exc (m, frame)) int32."""
+    return (np.stack([p["rand"] for p in preps]).astype(np.int32),
+            np.stack([p["cng_exc"] for p in preps]).astype(np.int32))
+
+
+def _pad_compact(parts, cap: int, frame: int):
+    """Per-frame compact conceal inputs (positions (m,), rand (m, F),
+    cng_exc (m, F)) -> fixed-shape window arrays (rows (K, S),
+    rand/cnge (K, S, F)) padded to the pow2 slot count S; pad slots
+    use position `cap`, which the device scatter DROPS."""
+    K = len(parts)
+    S = max(1, _pow2_cap(max(p[0].shape[0] for p in parts) or 1))
+    rows = np.full((K, S), cap, dtype=np.int32)
+    rand = np.zeros((K, S, frame), dtype=np.int32)
+    cnge = np.zeros((K, S, frame), dtype=np.int32)
+    for k, (pos, r, c) in enumerate(parts):
+        m = pos.shape[0]
+        rows[k, :m] = pos
+        rand[k, :m] = r
+        cnge[k, :m] = c
+    return rows, rand, cnge
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _expand_rows(rows, vals, *, cap: int):
+    """Densify compact per-frame conceal data on DEVICE: rows (K, S)
+    frame-row positions (cap == out-of-range slots DROP, the scatter's
+    OOB semantics), vals (K, S, F) -> (K, cap, F). Duplicate positions
+    carry identical values, so the scatter is deterministic. This keeps
+    the host->device link traffic at the LOST fraction instead of a
+    dense (K, cap, F) upload per window."""
+    K, S, F = vals.shape
+    out = jnp.zeros((K, cap, F), vals.dtype)
+    return out.at[jnp.arange(K, dtype=jnp.int32)[:, None], rows].set(
+        vals)
 
 
 def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
@@ -2868,22 +2908,37 @@ class StreamPool:
         idxK, excK, AK, BK, ivK, boolsK, glueK = cols
 
         if lossy:
+            empty = [_dummy_conceal_cols(cap, frame, order),
+                     np.zeros((0,), dtype=np.int32),
+                     np.zeros((0, frame), dtype=np.int32),
+                     np.zeros((0, frame), dtype=np.int32)]
             for s in stgs:
                 if s[1] is None:
-                    s[1] = _dummy_conceal_cols(cap, frame, order)
+                    s[1] = empty
                     s[2] = np.zeros(cap, dtype=bool)
-            concK = [np.stack(parts)
-                     for parts in zip(*(s[1] for s in stgs))]
+            smallsK = [np.stack(parts)
+                       for parts in zip(*(s[1][0] for s in stgs))]
             lostK = np.stack([s[2] for s in stgs])
+            # frame-sized conceal inputs stay COMPACT on the link: pad
+            # each frame's lost rows to the window's pow2 slot count
+            # (position `cap` slots drop in the device scatter)
+            rowsK, randK, cngeK = _pad_compact(
+                [s[1][1:] for s in stgs], cap, frame)
 
             def run():
+                rand_d = _expand_rows(jax.device_put(rowsK),
+                                      jax.device_put(randK), cap=cap)
+                cnge_d = _expand_rows(jax.device_put(rowsK),
+                                      jax.device_put(cngeK), cap=cap)
+                cA, cB4, clag4, cg3, cnga, cfirst = (
+                    jax.device_put(c) for c in smallsK)
                 pcmK, st2 = _silk_pool_superstep_lossy(
                     self._silk_bucket(fs), jax.device_put(idxK),
                     jax.device_put(excK), jax.device_put(AK),
                     jax.device_put(BK), jax.device_put(ivK),
                     jax.device_put(boolsK), jax.device_put(glueK),
                     jax.device_put(lostK),
-                    *(jax.device_put(c) for c in concK),
+                    rand_d, cA, cB4, clag4, cg3, cnge_d, cnga, cfirst,
                     jax.device_put(act), fs=fs, nb=nb, order=order,
                     frame=frame, out_khz=self._out_khz)
                 self.silk_buckets[fs] = st2
@@ -2939,20 +2994,42 @@ class StreamPool:
         if lossy:
             for s in stgs:
                 if s[1] is None:
-                    s[1] = (_dummy_conceal_cols(cap, frame, order)
-                            + _dummy_conceal_cols(cap, frame, order)
-                            + (np.zeros(cap, dtype=bool),))
+                    s[1] = [_dummy_conceal_cols(cap, frame, order),
+                            _dummy_conceal_cols(cap, frame, order),
+                            np.zeros(cap, dtype=bool),
+                            np.zeros((0,), dtype=np.int32),
+                            np.zeros((0, frame), dtype=np.int32),
+                            np.zeros((0, frame), dtype=np.int32),
+                            np.zeros((0, frame), dtype=np.int32),
+                            np.zeros((0, frame), dtype=np.int32)]
                     s[2] = np.zeros(cap, dtype=bool)
-            concK = tuple(np.stack(parts)
-                          for parts in zip(*(s[1] for s in stgs)))
+            sm_mK = [np.stack(parts)
+                     for parts in zip(*(s[1][0] for s in stgs))]
+            sm_sK = [np.stack(parts)
+                     for parts in zip(*(s[1][1] for s in stgs))]
+            hsK = np.stack([s[1][2] for s in stgs])
             lostK = np.stack([s[2] for s in stgs])
+            rowsK, m_randK, m_cngeK = _pad_compact(
+                [(s[1][3], s[1][4], s[1][5]) for s in stgs], cap, frame)
+            _, s_randK, s_cngeK = _pad_compact(
+                [(s[1][3], s[1][6], s[1][7]) for s in stgs], cap, frame)
 
             def run():
+                rows_d = jax.device_put(rowsK)
+                dense = [_expand_rows(rows_d, jax.device_put(v),
+                                      cap=cap)
+                         for v in (m_randK, m_cngeK, s_randK, s_cngeK)]
+                m_sm = [jax.device_put(c) for c in sm_mK]
+                s_sm = [jax.device_put(c) for c in sm_sK]
+                concK = (dense[0], m_sm[0], m_sm[1], m_sm[2], m_sm[3],
+                         dense[1], m_sm[4], m_sm[5],
+                         dense[2], s_sm[0], s_sm[1], s_sm[2], s_sm[3],
+                         dense[3], s_sm[4], s_sm[5],
+                         jax.device_put(hsK))
                 pcmK, st2 = _silk2_pool_superstep_lossy(
                     self._silk2_bucket(fs),
                     *(jax.device_put(c) for c in cols),
-                    jax.device_put(lostK),
-                    tuple(jax.device_put(c) for c in concK),
+                    jax.device_put(lostK), concK,
                     jax.device_put(act), fs=fs, order=order,
                     out_khz=self._out_khz)
                 self.silk2_buckets[fs] = st2
@@ -3115,7 +3192,9 @@ class StreamPool:
         cap = self._cap_silk[fs]
         sidx = [it[0] for it in items]
         n = len(sidx)
-        conc = _stack_conceal_cols([it[1][0] for it in items], order)
+        preps = [it[1][0] for it in items]
+        smalls = _stack_conceal_cols(preps, order)
+        randc, cngec = _stack_conceal_frames(preps)
         bk = ("silk_plc_ss", fs, frame_ms, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
 
@@ -3138,32 +3217,44 @@ class StreamPool:
                     break
             n_good = len(slist)
             assert n_good + n <= cap
-            idxs[n_good:n_good + n] = sidx
+            rows = slice(n_good, n_good + n)
+            idxs[rows] = sidx
             if conc0 is None:
-                conc0 = _dummy_conceal_cols(cap, frame, order)
+                conc0 = [_dummy_conceal_cols(cap, frame, order),
+                         np.zeros((0,), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32)]
                 lost0 = np.zeros(cap, dtype=bool)
-            for dst, src in zip(conc0, conc):
-                dst[n_good:n_good + n] = src
-            lost0[n_good:n_good + n] = True
+            for dst, src in zip(conc0[0], smalls):
+                dst[rows] = src
+            conc0[1] = np.concatenate(
+                [conc0[1], np.arange(n_good, n_good + n,
+                                     dtype=np.int32)])
+            conc0[2] = np.concatenate([conc0[2], randc])
+            conc0[3] = np.concatenate([conc0[3], cngec])
+            lost0[rows] = True
             # lost rows keep row 0's (good) decode columns — valid
             # numerics, output discarded by the mask; their glue flags
             # stay False
             for a in cols7[1:]:
-                a[n_good:n_good + n] = a[:1]
+                a[rows] = a[:1]
             stgs[j] = [cols7, conc0, lost0]
             slist.extend(sidx)
             return
         # no good-row frame this step (all streams lost, or the window
-        # just dispatched): the conceal becomes its own window frame;
-        # pads duplicate row 0 (a lost row) wholesale
+        # just dispatched): the conceal becomes its own window frame.
+        # Pad rows point at an out-of-range state row (self.n): their
+        # gathers clamp to real data and their state scatters DROP, so
+        # pads need no input consistency at all.
         if ent is None:
             self._ss_buf[key] = ent = (_SSBatch(self), [])
         batch, stgs = ent
         pad = cap - n
-        idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
+        idxs = np.asarray(sidx + [self.n] * pad, dtype=np.int32)
 
         def padded(v):
-            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+            return np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)]) if pad \
                 else v
 
         cols7 = (idxs,
@@ -3173,8 +3264,10 @@ class StreamPool:
                  np.zeros((cap, 4, 4), dtype=np.int32),             # iv
                  np.zeros((cap, 3, 4), dtype=bool),                 # bools
                  np.zeros(cap, dtype=bool))                         # glue
-        conc0 = tuple(padded(c) for c in conc)
-        lost0 = np.ones(cap, dtype=bool)
+        conc0 = [tuple(padded(c) for c in smalls),
+                 np.arange(n, dtype=np.int32), randc, cngec]
+        lost0 = np.concatenate(
+            [np.ones(n, dtype=bool), np.zeros(pad, dtype=bool)])
         h = batch.frame(len(stgs))
         stgs.append([cols7, conc0, lost0])
         pend["silk"].append((h, sidx))
@@ -3245,10 +3338,11 @@ class StreamPool:
         m_preps = [it[1][0][0][0] for it in items]
         s_preps = [it[1][0][0][1] for it in items]
         has_side = np.array([sp is not None for sp in s_preps])
-        conc_m = _stack_conceal_cols(m_preps, order)
-        conc_s = _stack_conceal_cols(
-            [sp if sp is not None else zero_prep for sp in s_preps],
-            order)
+        s_full = [sp if sp is not None else zero_prep for sp in s_preps]
+        sm_m = _stack_conceal_cols(m_preps, order)
+        sm_s = _stack_conceal_cols(s_full, order)
+        m_randc, m_cngec = _stack_conceal_frames(m_preps)
+        s_randc, s_cngec = _stack_conceal_frames(s_full)
         pred = np.stack([np.asarray(it[1][1], dtype=np.int32)
                          for it in items])
         bk = ("silk2_plc_ss", fs, cap)
@@ -3273,15 +3367,26 @@ class StreamPool:
             rows = slice(n_good, n_good + n)
             idxs[rows] = sidx
             if conc0 is None:
-                conc0 = (_dummy_conceal_cols(cap, frame, order)
-                         + _dummy_conceal_cols(cap, frame, order)
-                         + (np.zeros(cap, dtype=bool),))
+                conc0 = [_dummy_conceal_cols(cap, frame, order),
+                         _dummy_conceal_cols(cap, frame, order),
+                         np.zeros(cap, dtype=bool),
+                         np.zeros((0,), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32),
+                         np.zeros((0, frame), dtype=np.int32)]
                 lost0 = np.zeros(cap, dtype=bool)
-            for dst, src in zip(conc0[:8], conc_m):
+            for dst, src in zip(conc0[0], sm_m):
                 dst[rows] = src
-            for dst, src in zip(conc0[8:16], conc_s):
+            for dst, src in zip(conc0[1], sm_s):
                 dst[rows] = src
-            conc0[16][rows] = has_side
+            conc0[2][rows] = has_side
+            conc0[3] = np.concatenate(
+                [conc0[3], np.arange(n_good, n_good + n,
+                                     dtype=np.int32)])
+            for ci, arr in ((4, m_randc), (5, m_cngec),
+                            (6, s_randc), (7, s_cngec)):
+                conc0[ci] = np.concatenate([conc0[ci], arr])
             lost0[rows] = True
             # lost rows: decode cols dup row 0 (valid numerics, masked
             # away); flags2 is (2, cap); pred rows carry the PREVIOUS
@@ -3295,15 +3400,18 @@ class StreamPool:
             slist.extend(sidx)
             return
         # conceal-only window frame (every stream lost this step, or
-        # the window just dispatched)
+        # the window just dispatched). Pad rows point at the
+        # out-of-range state row self.n: gathers clamp, scatters DROP,
+        # so pads need no input consistency.
         if ent is None:
             self._ss_buf[key] = ent = (_SSBatch(self), [])
         batch, stgs = ent
         pad = cap - n
-        idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
+        idxs = np.asarray(sidx + [self.n] * pad, dtype=np.int32)
 
         def padded(v):
-            return np.concatenate([v, np.repeat(v[:1], pad, 0)]) if pad \
+            return np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)]) if pad \
                 else v
 
         def zc(*s, dt=np.int32):
@@ -3314,10 +3422,13 @@ class StreamPool:
         cols14 = (idxs,) + zdec \
             + tuple(np.copy(a) for a in zdec) \
             + (zc(2, cap), padded(pred), zc(cap, 2, dt=bool))
-        conc0 = (tuple(padded(c) for c in conc_m)
-                 + tuple(padded(c) for c in conc_s)
-                 + (padded(has_side),))
-        lost0 = np.ones(cap, dtype=bool)
+        conc0 = [tuple(padded(c) for c in sm_m),
+                 tuple(padded(c) for c in sm_s),
+                 padded(has_side),
+                 np.arange(n, dtype=np.int32),
+                 m_randc, m_cngec, s_randc, s_cngec]
+        lost0 = np.concatenate(
+            [np.ones(n, dtype=bool), np.zeros(pad, dtype=bool)])
         h = batch.frame(len(stgs))
         stgs.append([cols14, conc0, lost0])
         pend["silk2"].append((h, sidx))

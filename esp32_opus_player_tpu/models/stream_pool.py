@@ -976,8 +976,9 @@ def _hybrid1_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK, excK,
     """K-frame MONO-HYBRID superstep: the mono-SILK core, the packed
     CELT synthesis, and the saturating mix fused into ONE lax.scan
     device program (the stereo variant is _hybrid2_pool_superstep).
-    Returns (mixedK (K, cap, N, CC) int16, dm', pre', silk_st')."""
-    frame = 20 * fs
+    nb_subfr 4 = 20 ms frames (LM 3), 2 = 10 ms (LM 2). Returns
+    (mixedK (K, cap, N, CC) int16, dm', pre', silk_st')."""
+    frame = nb * 5 * fs
 
     def body(carry, xs):
         dm, pre, st = carry
@@ -1313,9 +1314,19 @@ class StreamPool:
                     self.path.append(("silk2", next(iter(fss)),
                                       nfr * (spf // 960), spf // 48))
                     continue
-                if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
+                # hybrid batches 20 ms (spf 960) and, in RFC mode, 10 ms
+                # (spf 480) packets — RFC 6716 hybrid's two legal frame
+                # sizes; compat mode keeps 10 ms scalar (the reference
+                # hard-codes audiosize 960, src/opus_decoder.cpp:161 —
+                # short payloads mis-decode, kept scalar for garbage
+                # parity like short SILK). The path tuple carries the
+                # device frame duration.
+                hyb_spf_ok = spf == 960 if compat_ref \
+                    else spf in (480, 960)
+                if mode == Mode.HYBRID and hyb_spf_ok and nfr == 1 \
                         and sch == 1 and channels == 1 and fb_only_ok:
-                    self.path.append(("hybrid", endband))
+                    self.path.append(("hybrid", endband,
+                                      10 if spf == 480 else 20))
                     continue
                 if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
                         and sch == 2 and channels == 2 and fb_only_ok:
@@ -1487,7 +1498,7 @@ class StreamPool:
             if k == "celt":
                 by_key.setdefault(("celt", p[1]), []).append(i)
             elif k == "hybrid":
-                by_key.setdefault(("hybrid",), []).append(i)
+                by_key.setdefault(("hybrid", p[2]), []).append(i)
             elif k == "silk":
                 fs, dfp, payload_ms = p[1], p[2], p[3]
                 nfr = dfp // max(1, (payload_ms * 48) // 960)
@@ -1517,8 +1528,10 @@ class StreamPool:
                     self.silk_hosts[i] = g.hosts[r]
                 self._groups.append(("silk", g))
             elif key[0] == "hybrid":
-                sg = hg.SilkGroup(idxs, jls, 16, 20, hybrid=True)
-                cg = hg.CeltGroup(idxs, jls, 960, self.channels, 17,
+                frame_ms = key[1]
+                sg = hg.SilkGroup(idxs, jls, 16, frame_ms, hybrid=True)
+                cg = hg.CeltGroup(idxs, jls, frame_ms * 48,
+                                  self.channels, 17,
                                   [self.path[i][1] for i in idxs])
                 for r, i in enumerate(idxs):
                     self.silk_hosts[i] = sg.hosts[r]
@@ -1920,35 +1933,38 @@ class StreamPool:
             # resumes the same coder state (start band 17)
             parsed = parse_packet(job.data)
             frame = parsed.frames[0]
+            frame_ms = self.path[i][2]
+            N = frame_ms * 48
             host = self.celt_hosts[i]
             host.start = 17
             host.end = self.path[i][1]
             if self.silk_hosts is not None:
-                sp = self.silk_hosts[i].frame(frame, 16, hybrid=True)
+                sp = self.silk_hosts[i].frame(frame, 16, frame_ms,
+                                              hybrid=True)
                 if self.rfc_plc:
                     from .batch_silk import apply_plc_transition
-                    trk = self._plc_tracker(i, 16)
+                    trk = self._plc_tracker(i, 16, frame_ms)
                     apply_plc_transition(sp, trk)
                     trk.good_frame(sp, self.silk_hosts[i].st)
-                csi = host.decode_symbol_phase(frame, 960,
+                csi = host.decode_symbol_phase(frame, N,
                                                ec_state=sp["ec_state"])
             else:
                 # python path: the live RangeDecoder carries straight
                 # from the SILK symbol walk into the CELT one
                 from ..host.range_decoder import RangeDecoder
                 silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(1, 1, 20, 16000, 48000)
+                silk.set_raw_params(1, 1, frame_ms, 16000, 48000)
                 dec = RangeDecoder(frame)
-                sp = silk_host_frame(silk, dec, 16, 20)
+                sp = silk_host_frame(silk, dec, 16, frame_ms)
                 if dec.tell() + 37 <= 8 * len(frame):
                     dec.dec_bit_logp(12)  # redundancy flag
                 if self.native:
                     # python silk host (rfc_plc) + native CELT engine:
                     # hand over the live coder state
                     csi = host.decode_symbol_phase(
-                        frame, 960, ec_state=dec.export_state())
+                        frame, N, ec_state=dec.export_state())
                 else:
-                    csi = host.decode_with_ec(dec, None, 960,
+                    csi = host.decode_with_ec(dec, None, N,
                                               defer_synthesis=True)
             return ("hybrid", i, (sp, csi), job)
         if job.link != self._scalar_link[i]:
@@ -1974,8 +1990,9 @@ class StreamPool:
         SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
         same state evolution as a scalar decode_fec + decode sequence."""
         if use_fec and kind in ("silk", "hybrid") \
-                and (kind == "hybrid" or (self.path[i][2] == 1
-                                          and self.path[i][4] == 20)) \
+                and (self.path[i][2] == 20 if kind == "hybrid"
+                     else (self.path[i][2] == 1
+                           and self.path[i][4] == 20)) \
                 and self.positions[i] < len(self.streams[i].jobs):
             fs = self.path[i][1] if kind == "silk" else 16
             nxt = parse_packet(
@@ -2028,7 +2045,8 @@ class StreamPool:
                 # streams conceal one nb_subfr=2 frame
                 fs = self.path[i][1] if kind == "silk" else 16
                 dfp = self.path[i][2] if kind == "silk" else 1
-                frame_ms = self.path[i][4] if kind == "silk" else 20
+                frame_ms = self.path[i][4] if kind == "silk" \
+                    else self.path[i][2]
                 from .batch_silk import silk_plc_host_params
                 preps = []
                 for _ in range(dfp):
@@ -2263,7 +2281,8 @@ class StreamPool:
             elif kind == "hybrid":
                 sp, csi = payload
                 pend["hybrid"].add(i)
-                silk_groups.setdefault((16, 20, 1), []).append((i, [sp]))
+                silk_groups.setdefault((16, self.path[i][2], 1),
+                                       []).append((i, [sp]))
                 key = (csi["LM"], csi["C"], self.channels)
                 celt_groups.setdefault(key, []).append((i, csi))
             else:
@@ -2339,7 +2358,6 @@ class StreamPool:
         stereo = self._ss_hyb
         skey = "silk2" if stereo else "silk"
         smark = "hdef_s" if stereo else "hdef_s1"
-        wkey = ("hyb2",) if stereo else ("hyb1",)
         cdef = [r for r, e in enumerate(pend["celt"])
                 if isinstance(e[0], tuple) and e[0]
                 and e[0][0] == "hdef_c"]
@@ -2354,7 +2372,8 @@ class StreamPool:
                 and set(pend["celt"][0][1]) == hyb
                 and set(pend[skey][0][1]) == hyb)
         if not pure:
-            if wkey in self._ss_buf:
+            for wkey in [k for k in self._ss_buf
+                         if k[0] in ("hyb1", "hyb2")]:
                 self._ss_dispatch(wkey)
             for r in cdef:
                 (_m, stg, ok62, identity, LM, C), sidx = pend["celt"][r]
@@ -2363,18 +2382,28 @@ class StreamPool:
                                                  identity)
                 pend["celt"][r] = (dev, sidx)
             for r in sdef:
-                (_m, cols, fs), sidx = pend[skey][r]
+                e0, sidx = pend[skey][r]
                 if stereo:
+                    (_m, cols, fs) = e0
                     dev = self._silk2_dispatch_frame(
                         cols, fs, has_glue=self.rfc_plc)
                 else:
+                    (_m, cols, fs, frame_ms) = e0
+                    nb = 2 if frame_ms == 10 else 4
                     dev = self._silk_dispatch_frame(
-                        cols, fs, 4, 20 * fs, has_glue=self.rfc_plc)
+                        cols, fs, nb, frame_ms * fs,
+                        has_glue=self.rfc_plc)
                 pend[skey][r] = (dev, sidx)
             self._fuse_hybrid_mix(pend)
             return
-        (_mc, cstg, ok62, _ident, _LM, _C), csidx = pend["celt"][0]
-        (_ms, scols, _fs), ssidx = pend[skey][0]
+        (_mc, cstg, ok62, _ident, LM_, _C), csidx = pend["celt"][0]
+        if stereo:
+            (_ms, scols, _fs), ssidx = pend[skey][0]
+            wkey = ("hyb2",)
+        else:
+            (_ms, scols, _fs, _fms), ssidx = pend[skey][0]
+            wkey = ("hyb1", LM_)   # 10 ms (LM 2) and 20 ms (LM 3)
+            # windows are distinct compiled programs
         pos = {i: r for r, i in enumerate(ssidx)}
         perm = np.zeros(cstg.shape[0], dtype=np.int32)
         perm[:len(csidx)] = [pos[i] for i in csidx]
@@ -2429,9 +2458,10 @@ class StreamPool:
         batch.fut = self._dev_exec.submit(run) \
             if self._dev_exec is not None else run()
 
-    def _ss_dispatch_hyb1(self, batch, stgs):
+    def _ss_dispatch_hyb1(self, batch, stgs, LM: int = 3):
         """Run one buffered K-frame MONO-hybrid superstep as a single
-        device program (_hybrid1_pool_superstep)."""
+        device program (_hybrid1_pool_superstep). LM 3 = 20 ms frames
+        (nb_subfr 4), LM 2 = 10 ms (nb_subfr 2)."""
         K = self._ss_k
         act = np.zeros(K, dtype=bool)
         act[:len(stgs)] = True
@@ -2440,7 +2470,8 @@ class StreamPool:
             stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
         cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
         chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
-        bk = ("hyb1", self._ss_k, cols[0].shape[1])
+        nb = 4 if LM == 3 else 2
+        bk = ("hyb1", LM, self._ss_k, cols[0].shape[1])
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
 
         def run():
@@ -2448,8 +2479,8 @@ class StreamPool:
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk_bucket(16),
                 *(jax.device_put(c) for c in cols),
-                jax.device_put(act), LM=3, C=1, CC=self.channels,
-                chunk=chunk, fs=16, nb=4, order=16,
+                jax.device_put(act), LM=LM, C=1, CC=self.channels,
+                chunk=chunk, fs=16, nb=nb, order=16,
                 has_glue=self.rfc_plc, out_khz=self._out_khz,
                 downsample=self.downsample)
             self.state["decode_mem"] = dm
@@ -2755,11 +2786,12 @@ class StreamPool:
             chunk = 13
         identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
                     and np.array_equal(idxs, np.arange(cap)))
-        if LM == 3 and ((self._ss_hyb and C == 2)
-                        or (self._ss_hyb1 and C == 1)):
+        if (LM == 3 and self._ss_hyb and C == 2) \
+                or (LM in (2, 3) and self._ss_hyb1 and C == 1):
             # hybrid superstep: defer — _hyb_collect pairs this staging
             # with the step's SILK staging into the K-frame window (or
-            # dispatches it per-frame on impure loss/FEC steps)
+            # dispatches it per-frame on impure loss/FEC steps); mono
+            # windows exist per LM (10 ms hybrid = LM 2)
             return ("hdef_c", stg, chunk == 62, identity, LM, C)
         return self._celt_dispatch_packed(stg, LM, C, chunk, identity)
 
@@ -2859,7 +2891,8 @@ class StreamPool:
         if key[0] == "hyb2":
             return self._ss_dispatch_hyb2(batch, stgs)
         if key[0] == "hyb1":
-            return self._ss_dispatch_hyb1(batch, stgs)
+            return self._ss_dispatch_hyb1(batch, stgs,
+                                          key[1] if len(key) > 1 else 3)
         if len(stgs) < self._ss_k:
             pad = np.zeros_like(stgs[0])
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
@@ -3119,10 +3152,11 @@ class StreamPool:
                 if pad else glue
         else:
             garr = np.zeros(cap, dtype=bool)
-        if self._ss_hyb1 and fs == 16 and frame_ms == 20:
+        if self._ss_hyb1 and fs == 16 and frame_ms in (10, 20):
             # hybrid superstep: defer — paired with the CELT staging by
             # _hyb_collect at the end of this step
-            return ("hdef_s1", (idxs, exc, A, B, iv, bools, garr), fs)
+            return ("hdef_s1", (idxs, exc, A, B, iv, bools, garr), fs,
+                    frame_ms)
         if self._ss_silk:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
@@ -3797,31 +3831,37 @@ class StreamPool:
                         np.asarray(pcmK)
         if self._ss_hyb1:
             # mono-hybrid superstep: compile the K-frame fused program
+            # for each frame duration the pool carries (20 ms -> LM 3 /
+            # nb 4; 10 ms -> LM 2 / nb 2)
             K = self._ss_k
             cap_c = self._cap_celt
             cap_s = self._cap_silk[16]
-            W1 = _CELT_HDR + 2 * NB_EBANDS + 960
-            frame = 320
 
             def z1(*s, dt=I32):
                 return jnp.zeros(s, dtype=dt)
 
-            mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
-                self.state["decode_mem"], self.state["preemph"],
-                self._silk_bucket(16),
-                jnp.zeros((K, cap_c, W1), dtype=jnp.int16),
-                z1(K, cap_s), z1(K, cap_s, frame),
-                z1(K, cap_s, 2, MAX_LPC_ORDER), z1(K, cap_s, 4, 5),
-                z1(K, cap_s, 4, 4), z1(K, cap_s, 3, 4, dt=bool),
-                z1(K, cap_s, dt=bool), z1(K, cap_c), z1(K, dt=bool),
-                LM=3, C=1, CC=self.channels, chunk=13, fs=16, nb=4,
-                order=16, has_glue=self.rfc_plc, out_khz=self._out_khz,
-                downsample=self.downsample)
-            self.state["decode_mem"] = dm
-            self.state["preemph"] = pre
-            self.silk_buckets[16] = st2
-            if self.output == "host":
-                np.asarray(mixedK)
+            for frame_ms in sorted({p[2] for p in self.path
+                                    if p[0] == "hybrid"}):
+                LM = 3 if frame_ms == 20 else 2
+                nb = 4 if frame_ms == 20 else 2
+                W1 = _CELT_HDR + 2 * NB_EBANDS + frame_ms * 48
+                frame = frame_ms * 16
+                mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
+                    self.state["decode_mem"], self.state["preemph"],
+                    self._silk_bucket(16),
+                    jnp.zeros((K, cap_c, W1), dtype=jnp.int16),
+                    z1(K, cap_s), z1(K, cap_s, frame),
+                    z1(K, cap_s, 2, MAX_LPC_ORDER), z1(K, cap_s, 4, 5),
+                    z1(K, cap_s, 4, 4), z1(K, cap_s, 3, 4, dt=bool),
+                    z1(K, cap_s, dt=bool), z1(K, cap_c), z1(K, dt=bool),
+                    LM=LM, C=1, CC=self.channels, chunk=13, fs=16,
+                    nb=nb, order=16, has_glue=self.rfc_plc,
+                    out_khz=self._out_khz, downsample=self.downsample)
+                self.state["decode_mem"] = dm
+                self.state["preemph"] = pre
+                self.silk_buckets[16] = st2
+                if self.output == "host":
+                    np.asarray(mixedK)
         if self._ss_hyb:
             # stereo-hybrid superstep pools compile ONLY the K-frame
             # fused SILK+CELT+mix program (chunk=13, the always-safe

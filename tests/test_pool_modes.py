@@ -45,7 +45,7 @@ def test_rfc_pool_routes_and_matches():
     pool = StreamPool(srcs, channels=1, compat_ref=False)
     assert pool.path[0] == ("celt", 960, 21)
     assert pool.path[1] == ("celt", 960, 13)
-    assert pool.path[2] == ("hybrid", 19)
+    assert pool.path[2] == ("hybrid", 19, 20)
     assert pool.path[3][0] == "silk"
     outs = pool.run()
     for i, src in enumerate(srcs):
@@ -123,3 +123,71 @@ def test_hybrid_device_mix_fused():
                 assert np.array_equal(o, ref)
     finally:
         sp._hybrid_mix_step = orig
+
+
+@pytest.mark.slow
+def test_pool_batches_10ms_hybrid():
+    """10 ms hybrid packets (RFC 6716's other legal hybrid frame size,
+    LM 2 / nb_subfr 2) batch on the device path in RFC mode instead of
+    falling to the scalar decoder — bit-exact vs scalar decode_file.
+    Compat mode keeps them scalar: the reference hard-codes audiosize
+    960 (src/opus_decoder.cpp:161), so short payloads mis-decode and
+    parity requires the scalar quirk path."""
+    src = str(fixture_path("hybrid_fb_mono_10ms"))
+    pool = StreamPool([src] * 3, channels=1, native=True,
+                      compat_ref=False)
+    assert pool.path[0] == ("hybrid", 21, 10), pool.path[0]
+    outs = pool.run()
+    ref = decode_file(src, DecoderConfig(channels=1, compat_ref=False))
+    for o in outs:
+        assert np.array_equal(o, ref)
+    assert pool.stats()["frames_scalar"] == 0
+    assert StreamPool([src], channels=1, native=True,
+                      compat_ref=True).path[0] == ("scalar",)
+
+
+@pytest.mark.slow
+def test_pool_10ms_hybrid_loss_and_plc():
+    """Loss on a batched 10 ms hybrid pool (rfc_plc): conceals one
+    nb_subfr=2 SILK frame per lost packet — bit-exact vs the scalar
+    RFC replay."""
+    from esp32_opus_player_tpu.host import opusfile
+    from esp32_opus_player_tpu.models.opus_decoder import OpusDecoder
+    src = str(fixture_path("hybrid_fb_mono_10ms"))
+    lossfn = lambda k: k in (5, 11, 12)
+    s = opusfile.open_file(src)
+    dec = OpusDecoder(1, compat_ref=False)
+    exp = []
+    for k, job in enumerate(s.jobs):
+        pcm = dec.decode(None) if lossfn(k) else dec.decode(job.data)
+        lo, hi = job.discard_front, pcm.shape[0] - job.trim_end
+        exp.append(pcm[lo:max(hi, lo)])
+    ref = np.concatenate(exp)
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True)
+    outs = pool.run(loss=lambda i, k: lossfn(k))
+    for o in outs:
+        assert np.array_equal(o, ref)
+
+
+@pytest.mark.slow
+def test_pool_10ms_hybrid_superstep():
+    """Uniform 10 ms hybrid pools superstep (LM 2 window key): the
+    fused SILK+CELT+mix K-frame program matches the per-frame pool,
+    including a loss step flushing the window."""
+    src = str(fixture_path("hybrid_fb_mono_10ms"))
+    loss = lambda i, k: k == 7 and i == 0
+    pool = StreamPool([src] * 2, channels=1, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_hyb1
+    outs = pool.run(loss=loss)
+    assert any(k[0] == "hyb1" and k[1] == 2
+               for k in pool.stats()["buckets"]), \
+        pool.stats()["buckets"]
+    ref_pool = StreamPool([src] * 2, channels=1, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)

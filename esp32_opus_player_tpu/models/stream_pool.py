@@ -216,29 +216,6 @@ def _celt_pool_superstep_T(dmT, pre, stgK, *, LM: int, C: int, CC: int,
     return pcmK, dmT, pre
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("LM", "C", "CC", "chunk", "identity",
-                                    "downsample"),
-                   donate_argnums=(0, 1))
-def _celt_pool_superstep(dm_all, pre_all, stgK, *, LM: int, C: int,
-                         CC: int, chunk: int = 13,
-                         identity: bool = False, downsample: int = 1):
-    """K-frame CELT superstep: stgK (K, cap, W) int16 — K frames of
-    packed staging run as ONE device program (lax.scan over frames,
-    state carried in HBM across iterations). Amortizes the per-launch
-    dispatch/RPC cost K x and lets one H2D upload and one D2H fetch
-    carry K frames — the VERDICT r02 superstep prescription. Returns
-    (pcmK (K, cap, CC, N//downsample) int16, dm', pre')."""
-    def body(carry, stg):
-        dm, pre = carry
-        pcm, dm2, pre2 = _celt_packed_frame(
-            dm, pre, stg, LM=LM, C=C, CC=CC, chunk=chunk,
-            identity=identity, downsample=downsample)
-        return (dm2, pre2), pcm
-    (dm, pre), pcmK = jax.lax.scan(body, (dm_all, pre_all), stgK)
-    return pcmK, dm, pre
-
-
 def _silk_step_body(st, jidx, exc, A, B, iv, bools, glue, *,
                     fs: int, nb: int, order: int, frame: int,
                     has_glue: bool, out_khz: int = 48):
@@ -1990,31 +1967,35 @@ class StreamPool:
         SILK LBRR instead (silk_Decode lostFlag=2) when it carries one —
         same state evolution as a scalar decode_fec + decode sequence."""
         if use_fec and kind in ("silk", "hybrid") \
-                and (self.path[i][2] == 20 if kind == "hybrid"
-                     else (self.path[i][2] == 1
-                           and self.path[i][4] == 20)) \
+                and (kind == "hybrid" or self.path[i][2] == 1) \
                 and self.positions[i] < len(self.streams[i].jobs):
+            # single-device-frame payloads only (10 or 20 ms — a 10 ms
+            # packet carries ONE LBRR flag + one nb_subfr=2 LBRR copy,
+            # silk.cpp:1565 with nFramesPerPacket=1); lost 40/60 ms
+            # packets would need per-internal-frame LBRR reassembly
             fs = self.path[i][1] if kind == "silk" else 16
+            frame_ms = self.path[i][4] if kind == "silk" \
+                else self.path[i][2]
             nxt = parse_packet(
                 self.streams[i].jobs[self.positions[i]].data).frames[0]
             if self.silk_hosts is not None:
-                params = self.silk_hosts[i].fec_frame(nxt, fs)
+                params = self.silk_hosts[i].fec_frame(nxt, fs, frame_ms)
                 if params is not None and self.rfc_plc:
                     from .batch_silk import apply_plc_transition
-                    trk = self._plc_tracker(i, fs)
+                    trk = self._plc_tracker(i, fs, frame_ms)
                     apply_plc_transition(params, trk)
                     trk.good_frame(params, self.silk_hosts[i].st)
             else:
                 from ..host.range_decoder import RangeDecoder
                 from .batch_silk import silk_host_frame_fec
                 silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(1, 1, 20, fs * 1000, 48000)
+                silk.set_raw_params(1, 1, frame_ms, fs * 1000, 48000)
                 params = silk_host_frame_fec(silk, RangeDecoder(nxt),
-                                             fs, 20)
+                                             fs, frame_ms)
             if params is not None:
                 # FEC output is SILK-only for hybrid too (the redundant
                 # frame carries no CELT layer) — not muted, not mixed
-                return ("silk_fec", i, (fs, 20, [params]), job)
+                return ("silk_fec", i, (fs, frame_ms, [params]), job)
             # no usable LBRR: fall through to the loss path
         if use_fec and kind in ("silk2", "hybrid2") and self.native \
                 and (kind == "hybrid2" or self.path[i][2] == 1) \

@@ -86,6 +86,24 @@ def test_rfc_plc_with_fec_fallback():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("name", ["silk_wb_fec_mono_10ms",
+                                  "hybrid_swb_fec_mono_10ms"])
+def test_rfc_fec_10ms_bitexact(name):
+    """10 ms in-band FEC: a 10 ms packet carries ONE LBRR flag and one
+    nb_subfr=2 LBRR copy (silk.cpp:1565 with nFramesPerPacket=1); the
+    pool recovers lost 10 ms SILK/hybrid frames from it on the batched
+    path, bit-exact vs the scalar decode_fec replay."""
+    lossfn = lambda k: k > 0 and k % 5 == 0
+    ref = _scalar_rfc_loss(name, lossfn, fec=True)
+    for native in (True, False):
+        pool = StreamPool([str(fixture_path(name))], channels=1,
+                          compat_ref=False, rfc_plc=True, native=native)
+        out = pool.run(loss=lambda i, k: lossfn(k), fec=True)[0]
+        assert np.array_equal(out, ref), f"native={native}"
+    assert pool.stats()["frames_fec"] > 0
+
+
+@pytest.mark.slow
 def test_rfc_plc_checkpoint_mid_conceal(tmp_path):
     name = "silk_wb_mono_20ms"
     lossfn = lambda i, k: k in (8, 9, 10)

@@ -28,6 +28,10 @@ RFC_FIXTURES = [
     ("hybrid_fb_mono_10ms", 1, 4),
     ("celt_nb_mono_20ms", 1, 16),
     ("hybrid_swb_mono_20ms", 1, 4),
+    ("hybrid_fb_stereo_10ms", 2, 4),
+    ("silk_wb_fec_mono_10ms", 1, 0),
+    ("silk_wb_fec_stereo_10ms", 2, 0),
+    ("hybrid_swb_fec_mono_10ms", 1, 4),
 ]
 
 

@@ -159,6 +159,19 @@ FIXTURES = [
           app=lo.OPUS_APPLICATION_VOIP)),
     ("hybrid_fb_mono_10ms", "music", 1, 1.5, 10,
      dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=36000)),
+    ("hybrid_fb_stereo_10ms", "music", 2, 1.5, 10,
+     dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_FULLBAND, br=56000)),
+    # 10 ms in-band FEC (RFC 6716: a 10 ms packet carries ONE LBRR flag
+    # and one nb_subfr=2 LBRR copy; silk.cpp:1565 with nFramesPerPacket=1)
+    ("silk_wb_fec_mono_10ms", "voice", 1, 1.5, 10,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=32000,
+          app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
+    ("silk_wb_fec_stereo_10ms", "voice", 2, 1.5, 10,
+     dict(mode=lo.MODE_SILK_ONLY, bw=lo.OPUS_BANDWIDTH_WIDEBAND, br=44000,
+          app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
+    ("hybrid_swb_fec_mono_10ms", "voice", 1, 1.5, 10,
+     dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_SUPERWIDEBAND, br=36000,
+          app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
     ("hybrid_swb_fec_mono_20ms", "voice", 1, 2.0, 20,
      dict(mode=lo.MODE_HYBRID, bw=lo.OPUS_BANDWIDTH_SUPERWIDEBAND, br=28000,
           app=lo.OPUS_APPLICATION_VOIP, fec=1, loss=20)),
@@ -234,12 +247,20 @@ def golden_ranges(packets, channels):
 
 
 def main():
+    # optional argv name filter: regenerate ONLY the named fixtures (new
+    # additions) without touching committed ones encoded by an earlier
+    # libopus build
+    only = set(sys.argv[1:])
     FIXDIR.mkdir(parents=True, exist_ok=True)
     GOLDDIR.mkdir(parents=True, exist_ok=True)
     if not ORACLE.exists():
         subprocess.run(["make", "-C", str(ORACLE.parent.parent)], check=True)
     manifest = {}
+    if (FIXDIR / "manifest.json").exists():
+        manifest = json.loads((FIXDIR / "manifest.json").read_text())
     for name, kind, ch, secs, fms, opts in FIXTURES:
+        if only and name not in only:
+            continue
         data, packets, meta = encode_fixture(name, kind, ch, secs, fms, opts)
         (FIXDIR / f"{name}.opus").write_bytes(data)
         recs = golden_ranges(packets, ch)

@@ -84,7 +84,8 @@ def _bind_batch(lib):
         i32p, ctypes.c_int]
     lib.silk_host_stereo_batch.restype = None
     lib.silk_host_stereo_batch.argtypes = [
-        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_int, u8p, i64p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int,
         u8p, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
@@ -251,7 +252,7 @@ def _bind_silk(lib):
     lib.silk_host_stereo_c.restype = ctypes.c_int
     lib.silk_host_stereo_c.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(SilkHostState),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(SilkHostState),
         ctypes.POINTER(SilkHostState),
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
@@ -274,6 +275,7 @@ def _bind_silk(lib):
     lib.silk_host_stereo_fec_c.restype = ctypes.c_int
     lib.silk_host_stereo_fec_c.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(SilkHostState), ctypes.POINTER(SilkHostState),
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P,
         I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P, I32P]
@@ -457,8 +459,9 @@ class NativeSilkStereoHost:
             self.lib.silk_host_reset(ctypes.byref(s))
         self.prev_dom = 0   # prev_decode_only_middle (silk_Decode :459)
 
-    def packet(self, data: bytes, fs_khz: int, hybrid: bool = False):
-        fl = 20 * fs_khz
+    def packet(self, data: bytes, fs_khz: int, hybrid: bool = False,
+               payload_ms: int = 20):
+        fl = payload_ms * fs_khz
 
         def alloc():
             return dict(exc=np.zeros(fl, dtype=np.int32),
@@ -479,7 +482,8 @@ class NativeSilkStereoHost:
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
         ret = self.lib.silk_host_stereo_c(
-            data, len(data), fs_khz, self.prev_dom, int(hybrid),
+            data, len(data), fs_khz, payload_ms, self.prev_dom,
+            int(hybrid),
             ctypes.byref(self.st[0]), ctypes.byref(self.st[1]),
             p(mb["exc"]), p(mb["A"]), p(mb["B"]), p(mb["gains"]),
             p(mb["inv"]), p(mb["lag"]), p(mb["flags"]), p(mb["adj"]),
@@ -571,14 +575,16 @@ class NativeSilkStereoHost:
                 rng=(int(ec[6]) & 0xFFFFFFFF) if f == nfr - 1 else None))
         return out
 
-    def fec_packet(self, data: bytes, fs_khz: int):
+    def fec_packet(self, data: bytes, fs_khz: int,
+                   payload_ms: int = 20):
         """Decode the LBRR copies of one lost stereo frame from the
         NEXT packet (silk_Decode lostFlag=FLAG_DECODE_LBRR,
-        src/silk.cpp:1565-1690). Returns the same dict shape as
+        src/silk.cpp:1565-1690; payload_ms 10 packets carry one
+        nb_subfr=2 LBRR copy). Returns the same dict shape as
         packet(), or None when the packet carries no usable stereo FEC
         (no mid LBRR, or a mixed LBRR+conceal frame) — the caller
         falls back to concealment."""
-        fl = 20 * fs_khz
+        fl = payload_ms * fs_khz
 
         def alloc():
             return dict(exc=np.zeros(fl, dtype=np.int32),
@@ -598,7 +604,7 @@ class NativeSilkStereoHost:
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
         ret = self.lib.silk_host_stereo_fec_c(
-            data, len(data), fs_khz, self.prev_dom,
+            data, len(data), fs_khz, payload_ms, self.prev_dom,
             ctypes.byref(self.st[0]), ctypes.byref(self.st[1]),
             p(mb["exc"]), p(mb["A"]), p(mb["B"]), p(mb["gains"]),
             p(mb["inv"]), p(mb["lag"]), p(mb["flags"]), p(mb["adj"]),

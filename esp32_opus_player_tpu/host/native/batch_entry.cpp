@@ -34,7 +34,8 @@ int silk_host_frame_c(const u8* data, int len, int fs_khz, int payload_ms,
 int silk_host_packet_c(const u8* data, int len, int fs_khz, int payload_ms,
                        void* st, i32* exc, i32* A, i32* B, i32* gains,
                        i32* inv, i32* lag, i32* flags, i32* adj, i32* misc);
-int silk_host_stereo_c(const u8* data, int len, int fs_khz, int prev_dom,
+int silk_host_stereo_c(const u8* data, int len, int fs_khz,
+                       int payload_ms, int prev_dom,
                        int hybrid, void* st0, void* st1,
                        i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
                        i32* m_inv, i32* m_lag, i32* m_flags, i32* m_adj,
@@ -132,12 +133,13 @@ void silk_host_packet_batch(int n, const u8* blob, const i64* offs,
     });
 }
 
-// Batched STEREO SILK symbol phase (20 ms). states holds n interleaved
+// Batched STEREO SILK symbol phase (single-frame packets: payload_ms
+// 10 -> nb_subfr 2, 20 -> nb_subfr 4). states holds n interleaved
 // (mid, side) state pairs: row i's channel c state lives at
 // states + (2*i + c) * state_stride. prev_dom is per-row in/out via
 // info[i*8+2] (prev_decode_only_middle, silk_Decode :459).
 void silk_host_stereo_batch(int n, const u8* blob, const i64* offs,
-                            const i32* lens, int fs_khz,
+                            const i32* lens, int fs_khz, int payload_ms,
                             const i32* prev_dom, int hybrid, u8* states,
                             i64 state_stride,
                             i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
@@ -148,11 +150,12 @@ void silk_host_stereo_batch(int n, const u8* blob, const i64* offs,
                             i32* s_adj, i32* s_misc,
                             i32* ec, i32* info, i32* ret_out,
                             int n_threads) {
-    const i64 fl = (i64)20 * fs_khz;
+    const i64 fl = (i64)payload_ms * fs_khz;
     strip_for(n, n_threads, [&](int i) {
         if (lens[i] < 0) { ret_out[i] = 1; return; }
         ret_out[i] = silk_host_stereo_c(
-            blob + offs[i], lens[i], fs_khz, prev_dom[i], hybrid,
+            blob + offs[i], lens[i], fs_khz, payload_ms, prev_dom[i],
+            hybrid,
             states + (i64)(2 * i) * state_stride,
             states + (i64)(2 * i + 1) * state_stride,
             m_exc + i * fl, m_A + (i64)i * 32, m_B + (i64)i * 20,

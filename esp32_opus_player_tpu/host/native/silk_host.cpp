@@ -735,8 +735,9 @@ static void stereo_decode_pred(EcDec& ec, i32* pred) {
 
 extern "C" {
 
-// One STEREO no-loss 20 ms SILK packet (silk_Decode :1481 with
-// nChannelsInternal=2): per-channel VAD/LBRR headers, LBRR payload skip
+// One STEREO no-loss single-frame SILK packet (silk_Decode :1481 with
+// nChannelsInternal=2; payload_ms 10 -> nb_subfr 2, else 20 ms ->
+// nb_subfr 4): per-channel VAD/LBRR headers, LBRR payload skip
 // (stereo symbols included), stereo predictor + mid-only flag, side
 // re-entry reset bookkeeping, then the mid frame and (when present) the
 // side frame. hybrid=1 also consumes the redundancy flag and exports the
@@ -745,7 +746,7 @@ extern "C" {
 // info[8] out = {has_side, side_reset, new_decode_only_middle,
 // pred0_Q13, pred1_Q13, 0, 0, 0}. Side outputs valid iff has_side.
 int silk_host_stereo_c(const unsigned char* data, int len, int fs_khz,
-                       int prev_dom, int hybrid,
+                       int payload_ms, int prev_dom, int hybrid,
                        SilkHostState* st0, SilkHostState* st1,
                        i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
                        i32* m_inv, i32* m_lag, i32* m_flags, i32* m_adj,
@@ -755,10 +756,11 @@ int silk_host_stereo_c(const unsigned char* data, int len, int fs_khz,
                        i32* s_misc, i32* ec_out, i32* info) {
     EcDec ec;
     ec.init(data, (u32)len);
+    int nb_subfr = payload_ms == 10 ? 2 : 4;
     SilkHostState* sts[2] = {st0, st1};
     for (int n = 0; n < 2; n++) {
         sts[n]->nFramesPerPacket = 1;
-        set_fs(sts[n], fs_khz, 4);
+        set_fs(sts[n], fs_khz, nb_subfr);
         sts[n]->VAD_flags[0] = ec.bit_logp(1);
         sts[n]->LBRR_flag = ec.bit_logp(1);
     }
@@ -914,15 +916,16 @@ int silk_host_frame_fec_c(const unsigned char* data, int len, int fs_khz,
                            misc_out);
 }
 
-// Stereo in-band FEC: decode the LBRR copies of one lost 20 ms stereo
-// frame (silk_Decode lostFlag=FLAG_DECODE_LBRR, nChannelsInternal=2,
+// Stereo in-band FEC: decode the LBRR copies of one lost stereo frame
+// (payload_ms 10 or 20; 10 ms packets carry one nb_subfr=2 LBRR copy)
+// (silk_Decode lostFlag=FLAG_DECODE_LBRR, nChannelsInternal=2,
 // src/silk.cpp:1565-1690). Returns 0 on success; -4 = no mid LBRR in
 // this packet (fall back to concealment); -5 = the side channel is
 // required (previous frame had side) but carries no LBRR — a mixed
 // LBRR+conceal frame, left to the concealment path. info out:
 // {has_side, side_reset, new_decode_only_middle, pred0, pred1}.
 int silk_host_stereo_fec_c(const unsigned char* data, int len,
-                           int fs_khz, int prev_dom,
+                           int fs_khz, int payload_ms, int prev_dom,
                            SilkHostState* st0, SilkHostState* st1,
                            i32* m_exc, i32* m_A, i32* m_B, i32* m_gains,
                            i32* m_inv, i32* m_lag, i32* m_flags,
@@ -932,10 +935,11 @@ int silk_host_stereo_fec_c(const unsigned char* data, int len,
                            i32* s_adj, i32* s_misc, i32* info) {
     EcDec ec;
     ec.init(data, (u32)len);
+    int nb_subfr = payload_ms == 10 ? 2 : 4;
     SilkHostState* sts[2] = {st0, st1};
     for (int n = 0; n < 2; n++) {
         sts[n]->nFramesPerPacket = 1;
-        set_fs(sts[n], fs_khz, 4);
+        set_fs(sts[n], fs_khz, nb_subfr);
         sts[n]->VAD_flags[0] = ec.bit_logp(1);
         sts[n]->LBRR_flag = ec.bit_logp(1);
     }

@@ -680,14 +680,15 @@ def silk_host_packet(h: SilkDecoder, dec: RangeDecoder, fs_khz: int,
 
 
 def silk_host_stereo_packet(h: SilkDecoder, dec: RangeDecoder,
-                            fs_khz: int):
-    """Symbol phase for one STEREO no-loss 20 ms SILK packet
-    (silk_Decode :1481 with nChannelsInternal=2): per-channel VAD/LBRR
-    headers, LBRR payload skip (with the stereo-pred symbols inside),
-    stereo predictor + mid-only flag, then the mid frame and (when
-    present) the side frame. Returns a dict with the device tensors —
-    the MS->LR unmix and resampling run on device
-    (ops/silk/jax_stereo.py). Caller owns set_raw_params(2,2,20,...)."""
+                            fs_khz: int, payload_ms: int = 20):
+    """Symbol phase for one STEREO no-loss single-frame SILK packet
+    (silk_Decode :1481 with nChannelsInternal=2; payload_ms 10 ->
+    nb_subfr 2, 20 -> 4): per-channel VAD/LBRR headers, LBRR payload
+    skip (with the stereo-pred symbols inside), stereo predictor +
+    mid-only flag, then the mid frame and (when present) the side
+    frame. Returns a dict with the device tensors — the MS->LR unmix
+    and resampling run on device (ops/silk/jax_stereo.py). Caller owns
+    set_raw_params(2,2,payload_ms,...)."""
     cs0, cs1 = h.channel_states[0], h.channel_states[1]
     cs0.nFramesDecoded = 0
     cs1.nFramesDecoded = 0
@@ -695,7 +696,7 @@ def silk_host_stereo_packet(h: SilkDecoder, dec: RangeDecoder,
         cs1.reset()
     for n, ch in enumerate((cs0, cs1)):
         ch.nFramesPerPacket = 1
-        ch.nb_subfr = 4
+        ch.nb_subfr = 2 if payload_ms == 10 else 4
         h._set_fs(n, fs_khz, 48000)
     h.nChannelsAPI = 2
     h.nChannelsInternal = 2

@@ -234,19 +234,21 @@ class SilkGroup:
 
 
 class SilkStereoGroup:
-    """Batched stereo SILK symbol phase (20 ms; also the SILK half of
+    """Batched stereo SILK symbol phase (single-frame packets: 20 ms,
+    or 10 ms with frame_ms=10 -> nb_subfr 2; also the SILK half of
     stereo hybrid rows). prev_decode_only_middle is carried per row and
     mirrored onto the per-stream host objects so fallback paths stay
     coherent."""
 
     def __init__(self, idxs, job_lists, fs: int, hybrid: bool = False,
-                 n_threads: int = 0):
+                 n_threads: int = 0, frame_ms: int = 20):
         self.idxs = list(idxs)
         m = len(self.idxs)
         self.table = FrameTable(job_lists)
         self.fs = fs
         self.hybrid = hybrid
-        self.frame_len = 20 * fs
+        self.frame_ms = frame_ms
+        self.frame_len = frame_ms * fs
         self.states = StateArray(2 * m, SilkHostState)
         self.hosts = [NativeSilkStereoHost(
             st=(self.states[2 * r], self.states[2 * r + 1]))
@@ -269,7 +271,8 @@ class SilkStereoGroup:
         self.lib.silk_host_stereo_batch(
             m, self.table.blob.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)),
-            _i64p(offs), ptr(lens), self.fs, ptr(self.prev_dom),
+            _i64p(offs), ptr(lens), self.fs, self.frame_ms,
+            ptr(self.prev_dom),
             int(self.hybrid), self.states.base_ptr(), self.states.stride,
             ptr(mb.exc), ptr(mb.A), ptr(mb.B), ptr(mb.gains), ptr(mb.inv),
             ptr(mb.lag), ptr(mb.flags), ptr(mb.adj), ptr(mb.misc),

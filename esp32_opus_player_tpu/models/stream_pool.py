@@ -466,12 +466,22 @@ def _dummy_conceal_cols(cap: int, frame: int, order: int):
 def _stack_conceal_cols(preps, order: int):
     """Host conceal preps (batch_silk.silk_plc_host_params dicts) ->
     the SMALL per-row conceal columns (rows in list order), matching
-    _dummy_conceal_cols."""
+    _dummy_conceal_cols. Per-subframe columns (B4, lag4) pad to 4 rows
+    so 10 ms preps (nb_subfr=2) share the window shapes — the conceal
+    kernels only read the first nb_subfr rows."""
+    def sub4(key):
+        a = np.stack([p[key] for p in preps]).astype(np.int32)
+        if a.shape[1] < 4:
+            pad = np.zeros((a.shape[0], 4 - a.shape[1]) + a.shape[2:],
+                           dtype=np.int32)
+            a = np.concatenate([a, pad], axis=1)
+        return a
+
     g3 = np.stack([[int(p["inv_gain"]), int(p["prev_gain"]),
                     int(p["cng_gain"])] for p in preps]).astype(np.int32)
     return (np.stack([p["A"][:order] for p in preps]).astype(np.int32),
-            np.stack([p["B4"] for p in preps]).astype(np.int32),
-            np.stack([p["lag4"] for p in preps]).astype(np.int32),
+            sub4("B4"),
+            sub4("lag4"),
             g3,
             np.stack([p["cng_a"][:order] for p in preps]
                      ).astype(np.int32),
@@ -520,10 +530,11 @@ def _expand_rows(rows, vals, *, cap: int):
 def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
                      glue, *, fs: int, order: int, has_glue: bool = False,
-                     out_khz: int = 48):
+                     out_khz: int = 48, nb: int = 4):
     """One fused stereo-SILK device frame over a bucket (traced by both
     the per-frame step and the K-frame superstep): mid core, masked
     side core, MS->LR unmix, both channels resampled.
+    nb: subframes per frame (2 = 10 ms payloads, 4 = 20 ms);
     side_flags: (2, cap) int32 = [has_side, side_reset];
     glue: (cap, 2) bool per-channel first-good-frame-after-loss flags —
     the concealed-frame reference energy lives in st["conc_e"/"conc_s"]
@@ -531,7 +542,7 @@ def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     the scalar per-channel _decode_frame)."""
     from ..ops.silk.jax_stereo import ms_to_lr_batch
     from ..ops.silk import jax_plc as jplc
-    frame = 20 * fs
+    frame = nb * 5 * fs
     ltp = 20 * fs
     cap = m_exc.shape[0]
     has_side = side_flags[0].astype(bool)
@@ -556,16 +567,16 @@ def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
         jnp.concatenate([m_bools[:, 1], s_bools[:, 1]]),
         jnp.concatenate([m_iv[:, 3], s_iv[:, 3]]),
         jnp.concatenate([m_bools[:, 2], s_bools[:, 2]]),
-        fs_khz=fs, nb_subfr=4, order=order)
+        fs_khz=fs, nb_subfr=nb, order=order)
     xq_mid, xq_side = xq_both[:cap], xq_both[cap:]
     sLPC0, sLPC1 = sLPC_both[:cap], sLPC_both[cap:]
     new_ob0 = jnp.concatenate(
-        [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, frame), dtype=I32)],
+        [ob0[:, frame:ltp], xq_mid, jnp.zeros((cap, ltp), dtype=I32)],
         axis=-1)
     new_ob1 = jnp.where(
         has_side[:, None],
         jnp.concatenate([ob1[:, frame:ltp], xq_side,
-                         jnp.zeros((cap, frame), dtype=I32)], axis=-1),
+                         jnp.zeros((cap, ltp), dtype=I32)], axis=-1),
         ob1_old)
     new_sl1 = jnp.where(has_side[:, None], sLPC1, sl1_old)
     xq_side = jnp.where(has_side[:, None], xq_side, 0)
@@ -606,27 +617,29 @@ def _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "order", "has_glue", "out_khz"),
+                   static_argnames=("fs", "order", "has_glue", "out_khz",
+                                    "nb"),
                    donate_argnums=(0,))
 def _silk2_pool_step(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                      s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
                      glue, *, fs: int, order: int, has_glue: bool = False,
-                     out_khz: int = 48):
+                     out_khz: int = 48, nb: int = 4):
     """Per-frame jit wrapper of _silk2_step_body (state donated)."""
     return _silk2_step_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                             s_exc, s_A, s_B, s_iv, s_bools, side_flags,
                             pred, glue, fs=fs, order=order,
-                            has_glue=has_glue, out_khz=out_khz)
+                            has_glue=has_glue, out_khz=out_khz, nb=nb)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "order", "has_glue", "out_khz"),
+                   static_argnames=("fs", "order", "has_glue", "out_khz",
+                                    "nb"),
                    donate_argnums=(0,))
 def _silk2_pool_superstep(st, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK,
                           s_excK, s_AK, s_BK, s_ivK, s_boolsK,
                           side_flagsK, predK, glueK, actK, *, fs: int,
                           order: int, has_glue: bool = False,
-                          out_khz: int = 48):
+                          out_khz: int = 48, nb: int = 4):
     """K-frame stereo-SILK superstep: K frames of staged mid/side symbol
     columns run as ONE device program (lax.scan over _silk2_step_body,
     bucket state carried in the loop — same launch-amortization move as
@@ -639,7 +652,7 @@ def _silk2_pool_superstep(st, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK,
         out, st2 = _silk2_step_body(
             carry, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A,
             s_B, s_iv, s_bools, side_flags, pred, glue, fs=fs,
-            order=order, has_glue=has_glue, out_khz=out_khz)
+            order=order, has_glue=has_glue, out_khz=out_khz, nb=nb)
         st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
         return st2, out
 
@@ -653,7 +666,7 @@ def _silk2_pool_superstep(st, jidxK, m_excK, m_AK, m_BK, m_ivK, m_boolsK,
 def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
                       s_exc, s_A, s_B, s_iv, s_bools, side_flags, pred,
                       glue, lost, conc, *, fs: int, order: int,
-                      out_khz: int = 48):
+                      out_khz: int = 48, nb: int = 4):
     """One fused stereo-SILK frame where each row is EITHER decoded
     from staged mid/side symbols OR concealed per channel under the
     per-row `lost` mask — the stereo counterpart of _silk_lossy_body,
@@ -668,7 +681,7 @@ def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     (cm_rand, cm_A, cm_B4, cm_lag4, cm_g3, cm_cnge, cm_cnga, cm_first,
      cs_rand, cs_A, cs_B4, cs_lag4, cs_g3, cs_cnge, cs_cnga, cs_first,
      c_has_side) = conc
-    frame = 20 * fs
+    frame = nb * 5 * fs
     ltp = 20 * fs
     cap = m_exc.shape[0]
     lostc = lost[:, None]
@@ -696,16 +709,16 @@ def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
         jnp.concatenate([m_bools[:, 1], s_bools[:, 1]]),
         jnp.concatenate([m_iv[:, 3], s_iv[:, 3]]),
         jnp.concatenate([m_bools[:, 2], s_bools[:, 2]]),
-        fs_khz=fs, nb_subfr=4, order=order)
+        fs_khz=fs, nb_subfr=nb, order=order)
     d_mid, d_side = xq_both[:cap], xq_both[cap:]
     d_sl0, d_sl1 = sLPC_both[:cap], sLPC_both[cap:]
     d_ob0 = jnp.concatenate(
-        [ob0[:, frame:ltp], d_mid, jnp.zeros((cap, frame), dtype=I32)],
+        [ob0[:, frame:ltp], d_mid, jnp.zeros((cap, ltp), dtype=I32)],
         axis=-1)
     d_ob1 = jnp.where(
         has_side[:, None],
         jnp.concatenate([ob1[:, frame:ltp], d_side,
-                         jnp.zeros((cap, frame), dtype=I32)], axis=-1),
+                         jnp.zeros((cap, ltp), dtype=I32)], axis=-1),
         ob1_old)
     d_sl1 = jnp.where(has_side[:, None], d_sl1, sl1_old)
     d_side = jnp.where(has_side[:, None], d_side, 0)
@@ -720,7 +733,7 @@ def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     def conceal(ch, rand, A, B4, lag4, g3, cexc, ca, first):
         xq, sl2 = jplc.silk_plc_conceal_frame(
             ob[:, ch, :ltp + frame], sl[:, ch], rand, A, B4,
-            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=4,
+            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=nb,
             order=order)
         hist = jnp.concatenate([ob[:, ch, frame:ltp], xq], axis=-1)
         new_ob = jnp.concatenate(
@@ -784,13 +797,15 @@ def _silk2_lossy_body(st, jidx, m_exc, m_A, m_B, m_iv, m_bools,
     return out48.astype(jnp.int16).reshape(cap, 2, -1), st2
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
+@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz",
+                                             "nb"),
                    donate_argnums=(0,))
 def _silk2_pool_superstep_lossy(st, jidxK, m_excK, m_AK, m_BK, m_ivK,
                                 m_boolsK, s_excK, s_AK, s_BK, s_ivK,
                                 s_boolsK, side_flagsK, predK, glueK,
                                 lostK, concK, actK, *, fs: int,
-                                order: int, out_khz: int = 48):
+                                order: int, out_khz: int = 48,
+                                nb: int = 4):
     """K-frame stereo-SILK superstep with per-row loss concealment
     (lax.scan over _silk2_lossy_body) — the stereo counterpart of
     _silk_pool_superstep_lossy."""
@@ -800,7 +815,7 @@ def _silk2_pool_superstep_lossy(st, jidxK, m_excK, m_AK, m_BK, m_ivK,
         out, st2 = _silk2_lossy_body(
             carry, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A,
             s_B, s_iv, s_bools, side_flags, pred, glue, lost, conc,
-            fs=fs, order=order, out_khz=out_khz)
+            fs=fs, order=order, out_khz=out_khz, nb=nb)
         st2 = {k: jnp.where(act, v, carry[k]) for k, v in st2.items()}
         return st2, out
 
@@ -811,14 +826,15 @@ def _silk2_pool_superstep_lossy(st, jidxK, m_excK, m_AK, m_BK, m_ivK,
     return outs, st
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz"),
+@functools.partial(jax.jit, static_argnames=("fs", "order", "out_khz",
+                                             "nb"),
                    donate_argnums=(0,))
 def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
                          m_cng_exc, m_cng_a, m_first,
                          s_rand, s_A, s_B4, s_lag4, s_g,
                          s_cng_exc, s_cng_a, s_first,
                          has_side, pred, *, fs: int, order: int,
-                         out_khz: int = 48):
+                         out_khz: int = 48, nb: int = 4):
     """Fused stereo concealment: silk_PLC conceal + CNG per channel
     (side masked like the scalar has_side policy), MS->LR with the
     PREVIOUS predictors, both channels resampled — the batched stereo
@@ -828,7 +844,7 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     m_g/s_g: (cap, 3) int32 = [inv_gain, prev_gain, cng_gain]."""
     from ..ops.silk import jax_plc as jplc
     from ..ops.silk.jax_stereo import ms_to_lr_batch
-    frame = 20 * fs
+    frame = nb * 5 * fs
     ltp = 20 * fs
     cap = m_rand.shape[0]
     ob = st["outBuf"][jidx]
@@ -838,7 +854,7 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
     def conceal(ch, rand, A, B4, lag4, g3, cexc, ca, first):
         xq, sl2 = jplc.silk_plc_conceal_frame(
             ob[:, ch, :ltp + frame], sl[:, ch], rand, A[:, :order], B4,
-            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=4, order=order)
+            lag4, g3[:, 0], g3[:, 1], fs_khz=fs, nb_subfr=nb, order=order)
         hist = jnp.concatenate([ob[:, ch, frame:ltp], xq], axis=-1)
         new_ob = jnp.concatenate(
             [hist, jnp.zeros((cap, 20 * fs), dtype=I32)], axis=-1)
@@ -894,7 +910,7 @@ def _silk2_plc_pool_step(st, jidx, m_rand, m_A, m_B4, m_lag4, m_g,
 @functools.partial(jax.jit,
                    static_argnames=("LM", "C", "CC", "chunk", "fs",
                                     "order", "has_glue", "out_khz",
-                                    "downsample"),
+                                    "downsample", "nb"),
                    donate_argnums=(0, 1, 2))
 def _hybrid2_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK,
                             m_excK, m_AK, m_BK, m_ivK, m_boolsK,
@@ -902,15 +918,16 @@ def _hybrid2_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK,
                             side_flagsK, predK, glueK, permK, actK, *,
                             LM: int, C: int, CC: int, chunk: int,
                             fs: int, order: int, has_glue: bool,
-                            out_khz: int, downsample: int):
+                            out_khz: int, downsample: int, nb: int = 4):
     """K-frame STEREO-HYBRID superstep: per frame the stereo-SILK core
     (mid+side+MS->LR+resample), the packed CELT synthesis, and the
     saturating SILK+CELT mix (src/opus_decoder.cpp:272) all run inside
     ONE lax.scan device program — one upload, one dispatch, one fetch
-    of HALF the unmixed bytes per K frames. permK maps each CELT
-    staging row to its SILK bucket row. actK masks padded flush frames
-    (state kept bit-for-bit). Returns (mixedK (K, cap, N, CC) int16,
-    dm', pre', silk_st')."""
+    of HALF the unmixed bytes per K frames. nb_subfr 4 = 20 ms frames
+    (LM 3), 2 = 10 ms (LM 2). permK maps each CELT staging row to its
+    SILK bucket row. actK masks padded flush frames (state kept
+    bit-for-bit). Returns (mixedK (K, cap, N, CC) int16, dm', pre',
+    silk_st')."""
     def body(carry, xs):
         dm, pre, st = carry
         (cstg, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B,
@@ -918,7 +935,7 @@ def _hybrid2_pool_superstep(dm_all, pre_all, sst, cstgK, jidxK,
         out48, st2 = _silk2_step_body(
             st, jidx, m_exc, m_A, m_B, m_iv, m_bools, s_exc, s_A, s_B,
             s_iv, s_bools, side_flags, pred, glue, fs=fs, order=order,
-            has_glue=has_glue, out_khz=out_khz)
+            has_glue=has_glue, out_khz=out_khz, nb=nb)
         pcm_c, dm2, pre2 = _celt_packed_frame(
             dm, pre, cstg, LM=LM, C=C, CC=CC, chunk=chunk,
             identity=False, downsample=downsample)
@@ -1279,17 +1296,22 @@ class StreamPool:
                                       spf // 48, frame_ms))
                     continue
                 # stereo SILK: compat mode stays 20 ms-only (audiosize
-                # 960 hard-coded); RFC mode batches 20/40/60 ms payloads
-                # and code-3 multi-frame packets via the native engine
-                # (silk_host_stereo_packet_c — python symbol fallback
-                # keeps multi-frame stereo scalar)
-                silk2_ok = (spf == 960 and nfr == 1) if (
-                    compat_ref or not self.native) else (
-                    spf in (960, 1920, 2880) and spf * nfr <= 5760)
+                # 960 hard-coded); RFC mode batches 10/20/40/60 ms
+                # payloads and code-3 multi-frame packets via the native
+                # engine (silk_host_stereo_packet_c — python symbol
+                # fallback keeps multi-frame stereo scalar). 10 ms
+                # payloads are single-frame (nb_subfr=2) only.
+                silk2_ok = (spf == 960 and nfr == 1) if compat_ref \
+                    else (spf in (480, 960) and nfr == 1) \
+                    if not self.native else (
+                    (spf in (960, 1920, 2880) and spf * nfr <= 5760)
+                    or (spf == 480 and nfr == 1))
                 if mode == Mode.SILK_ONLY and silk2_ok \
                         and sch == 2 and channels == 2 and len(fss) == 1:
                     self.path.append(("silk2", next(iter(fss)),
-                                      nfr * (spf // 960), spf // 48))
+                                      nfr * max(1, spf // 960),
+                                      spf // 48,
+                                      10 if spf == 480 else 20))
                     continue
                 # hybrid batches 20 ms (spf 960) and, in RFC mode, 10 ms
                 # (spf 480) packets — RFC 6716 hybrid's two legal frame
@@ -1305,9 +1327,10 @@ class StreamPool:
                     self.path.append(("hybrid", endband,
                                       10 if spf == 480 else 20))
                     continue
-                if mode == Mode.HYBRID and spf == 960 and nfr == 1 \
+                if mode == Mode.HYBRID and hyb_spf_ok and nfr == 1 \
                         and sch == 2 and channels == 2 and fb_only_ok:
-                    self.path.append(("hybrid2", endband))
+                    self.path.append(("hybrid2", endband,
+                                      10 if spf == 480 else 20))
                     continue
             self.path.append(("scalar",))
 
@@ -1487,10 +1510,10 @@ class StreamPool:
                                       []).append(i)
             elif k == "silk2" and not self.rfc_plc and p[2] == 1:
                 # multi-frame stereo packets stay on the generic path
-                # (the batched group decoder is 20 ms-only)
-                by_key.setdefault(("silk2", p[1]), []).append(i)
+                # (the batched group decoder is single-frame-only)
+                by_key.setdefault(("silk2", p[1], p[4]), []).append(i)
             elif k == "hybrid2" and not self.rfc_plc:
-                by_key.setdefault(("hybrid2",), []).append(i)
+                by_key.setdefault(("hybrid2", p[2]), []).append(i)
         for key, idxs in sorted(by_key.items()):
             jls = [self.streams[i].jobs for i in idxs]
             if key[0] == "celt":
@@ -1515,13 +1538,17 @@ class StreamPool:
                     self.celt_hosts[i] = cg.hosts[r]
                 self._groups.append(("hybrid", sg, cg))
             elif key[0] == "silk2":
-                g = hg.SilkStereoGroup(idxs, jls, key[1])
+                g = hg.SilkStereoGroup(idxs, jls, key[1],
+                                       frame_ms=key[2])
                 for r, i in enumerate(idxs):
                     self._silk2_hosts[i] = g.hosts[r]
                 self._groups.append(("silk2", g))
             elif key[0] == "hybrid2":
-                sg = hg.SilkStereoGroup(idxs, jls, 16, hybrid=True)
-                cg = hg.CeltGroup(idxs, jls, 960, self.channels, 17,
+                frame_ms = key[1]
+                sg = hg.SilkStereoGroup(idxs, jls, 16, hybrid=True,
+                                        frame_ms=frame_ms)
+                cg = hg.CeltGroup(idxs, jls, frame_ms * 48,
+                                  self.channels, 17,
                                   [self.path[i][1] for i in idxs])
                 for r, i in enumerate(idxs):
                     self._silk2_hosts[i] = sg.hosts[r]
@@ -1669,7 +1696,8 @@ class StreamPool:
         dev = self._silk2_launch(sidx, mid, side,
                                  info[:, 0].astype(bool),
                                  info[:, 1].astype(bool),
-                                 info[:, 3:5].astype(np.int32), g.fs)
+                                 info[:, 3:5].astype(np.int32), g.fs,
+                                 nb=g.frame_ms // 5)
         pend["silk2"].append((dev, sidx))
 
     # ------------------------------------------------------------------
@@ -1698,10 +1726,14 @@ class StreamPool:
         return self.silk2_buckets[fs]
 
     @staticmethod
-    def _dummy_silk_params(fs: int) -> dict:
+    def _dummy_silk_params(fs: int, frame_ms: int = 20,
+                           ncol: int = 4) -> dict:
         """Harmless core inputs for masked (no-side) rows — outputs and
-        state of these rows are discarded."""
-        nb = 4
+        state of these rows are discarded. ncol = per-subframe column
+        width of the group's real params (the native engine always
+        emits 4-wide buffers; the python symbol walk emits nb-wide),
+        so dummy rows stack against either; exc follows frame_ms."""
+        nb = ncol
         return dict(
             A=np.zeros((2, MAX_LPC_ORDER), dtype=np.int32),
             B=np.zeros((nb, 5), dtype=np.int32),
@@ -1712,7 +1744,7 @@ class StreamPool:
             rewhiten=np.zeros(nb, dtype=bool),
             match=np.ones(nb, dtype=bool),
             adj=np.full(nb, 1 << 16, dtype=np.int32),
-            exc=np.zeros(20 * fs, dtype=np.int32),
+            exc=np.zeros(frame_ms * fs, dtype=np.int32),
         )
 
     def _silk_bucket(self, fs: int) -> dict:
@@ -1746,14 +1778,16 @@ class StreamPool:
             self._plc_trk[i] = NativePlcTracker(fs, frame_ms)
         return self._plc_trk[i]
 
-    def _plc_tracker2(self, i: int, ch: int, fs: int):
+    def _plc_tracker2(self, i: int, ch: int, fs: int,
+                      frame_ms: int = 20):
         key = (i, ch)
         if key not in self._plc_trk2:
             from .batch_silk import NativePlcTracker
-            self._plc_trk2[key] = NativePlcTracker(fs, 20)
+            self._plc_trk2[key] = NativePlcTracker(fs, frame_ms)
         return self._plc_trk2[key]
 
-    def _track_stereo_good(self, i: int, sp, fs: int):
+    def _track_stereo_good(self, i: int, sp, fs: int,
+                           frame_ms: int = 20):
         """rfc_plc stereo bookkeeping on a good frame: remember the
         stereo predictors (a later loss reuses them, silk_Decode's
         lost branch keeps sStereo.pred), apply the post-loss transitions
@@ -1779,7 +1813,7 @@ class StreamPool:
             pch = sp[key]
             if pch is None:
                 continue
-            trk = self._plc_tracker2(i, ch, fs)
+            trk = self._plc_tracker2(i, ch, fs, frame_ms)
             apply_plc_transition(pch, trk)
             trk.good_frame(pch, host.st[ch])
 
@@ -1860,10 +1894,12 @@ class StreamPool:
             # compiled device core, silk_Decode :1481 frame loop)
             parsed = parse_packet(job.data)
             fs, pms = self.path[i][1], self.path[i][3]
+            frame_ms = self.path[i][4]
             if self.native:
                 host = self._silk2_host(i)
                 if self.path[i][2] == 1:
-                    sps = [host.packet(parsed.frames[0], fs)]
+                    sps = [host.packet(parsed.frames[0], fs,
+                                       payload_ms=frame_ms)]
                 else:
                     sps = []
                     for fr in parsed.frames:
@@ -1872,38 +1908,42 @@ class StreamPool:
                 from ..host.range_decoder import RangeDecoder
                 from .batch_silk import silk_host_stereo_packet
                 silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+                silk.set_raw_params(2, 2, frame_ms, fs * 1000, 48000)
                 sps = [silk_host_stereo_packet(
-                    silk, RangeDecoder(parsed.frames[0]), fs)]
+                    silk, RangeDecoder(parsed.frames[0]), fs, frame_ms)]
             if self.rfc_plc:
                 for sp in sps:
-                    self._track_stereo_good(i, sp, fs)
-            return ("silk2", i, (fs, sps), job)
+                    self._track_stereo_good(i, sp, fs,
+                                            frame_ms=frame_ms)
+            return ("silk2", i, (fs, frame_ms, sps), job)
         if kind == "hybrid2":
             # stereo hybrid (BASELINE config 3): stereo SILK symbol
             # phase, then the CELT engine resumes the same coder state
             parsed = parse_packet(job.data)
             frame = parsed.frames[0]
+            frame_ms = self.path[i][2]
+            N = frame_ms * 48
             host = self.celt_hosts[i]
             host.start = 17
             host.end = self.path[i][1]
             if self.native:
-                sp = self._silk2_host(i).packet(frame, 16, hybrid=True)
+                sp = self._silk2_host(i).packet(frame, 16, hybrid=True,
+                                                payload_ms=frame_ms)
                 csi = host.decode_symbol_phase(
-                    frame, 960, ec_state=sp["ec_state"])
+                    frame, N, ec_state=sp["ec_state"])
             else:
                 from ..host.range_decoder import RangeDecoder
                 from .batch_silk import silk_host_stereo_packet
                 silk = self.scalar[i]._get_silk()
-                silk.set_raw_params(2, 2, 20, 16000, 48000)
+                silk.set_raw_params(2, 2, frame_ms, 16000, 48000)
                 dec = RangeDecoder(frame)
-                sp = silk_host_stereo_packet(silk, dec, 16)
+                sp = silk_host_stereo_packet(silk, dec, 16, frame_ms)
                 if dec.tell() + 37 <= 8 * len(frame):
                     dec.dec_bit_logp(12)  # redundancy flag
-                csi = host.decode_with_ec(dec, None, 960,
+                csi = host.decode_with_ec(dec, None, N,
                                           defer_synthesis=True)
             if self.rfc_plc:
-                self._track_stereo_good(i, sp, 16)
+                self._track_stereo_good(i, sp, 16, frame_ms=frame_ms)
             return ("hybrid2", i, (sp, csi), job)
         if kind == "hybrid":
             # shared range coder: SILK symbols first, then the CELT engine
@@ -2006,13 +2046,17 @@ class StreamPool:
             # LBRR (or needing a mixed LBRR+conceal frame) fall through
             # to concealment
             fs = self.path[i][1] if kind == "silk2" else 16
+            frame_ms = self.path[i][4] if kind == "silk2" \
+                else self.path[i][2]
             nxt = parse_packet(
                 self.streams[i].jobs[self.positions[i]].data).frames[0]
-            sp = self._silk2_host(i).fec_packet(nxt, fs)
+            sp = self._silk2_host(i).fec_packet(nxt, fs,
+                                                payload_ms=frame_ms)
             if sp is not None:
                 if self.rfc_plc:
-                    self._track_stereo_good(i, sp, fs)
-                return ("silk2_fec", i, (fs, [sp]), job)
+                    self._track_stereo_good(i, sp, fs,
+                                            frame_ms=frame_ms)
+                return ("silk2_fec", i, (fs, frame_ms, [sp]), job)
         if not self.compat_ref and kind != "scalar":
             # RFC loss: CELT loss is silence with state untouched (the
             # reference deleted celt_decode_lost); SILK/hybrid get real
@@ -2051,22 +2095,26 @@ class StreamPool:
                 from .batch_silk import silk_plc_host_params
                 fs = self.path[i][1] if kind == "silk2" else 16
                 dfp = self.path[i][2] if kind == "silk2" else 1
+                frame_ms = self.path[i][4] if kind == "silk2" \
+                    else self.path[i][2]
                 preps = []
                 if self.native:
                     host = self._silk2_host(i)
                     prev_dom = host.prev_dom
                     for _ in range(dfp):
                         m_prep = silk_plc_host_params(
-                            self._plc_tracker2(i, 0, fs), fs)
+                            self._plc_tracker2(i, 0, fs, frame_ms), fs)
                         s_prep = None if prev_dom else \
                             silk_plc_host_params(
-                                self._plc_tracker2(i, 1, fs), fs)
+                                self._plc_tracker2(i, 1, fs, frame_ms),
+                                fs)
                         preps.append((m_prep, s_prep))
                     for st_ in host.st:
                         st_.LastGainIndex = 10
                 else:
                     silk = self.scalar[i]._get_silk()
-                    silk.set_raw_params(2, 2, 20, fs * 1000, 48000)
+                    silk.set_raw_params(2, 2, frame_ms, fs * 1000,
+                                        48000)
                     prev_dom = silk.prev_decode_only_middle
                     for _ in range(dfp):
                         m_prep = silk_plc_host_params(silk, fs, 0)
@@ -2077,7 +2125,8 @@ class StreamPool:
                         silk.channel_states[ch].LastGainIndex = 10
                 pred = self._last_pred.get(
                     i, np.zeros(2, dtype=np.int32))
-                return ("silk2_plc", i, (fs, preps, pred), job)
+                return ("silk2_plc", i, (fs, frame_ms, preps, pred),
+                        job)
             raise NotImplementedError(
                 "RFC-mode batched loss needs rfc_plc=True; with it every "
                 "batched kind (mono 10/20/40/60 ms SILK/hybrid, stereo "
@@ -2113,8 +2162,8 @@ class StreamPool:
             if kind == "silk2":
                 # compat mode keeps silk2 at 20 ms/packet, so loss is
                 # always a single empty-bitstream frame
-                return ("silk2", i, (fs, [sp]), job)
-            return ("silk2_mute", i, (16, sp), job)
+                return ("silk2", i, (fs, 20, [sp]), job)
+            return ("silk2_mute", i, (16, 20, sp), job)
         if kind == "hybrid":
             if self.silk_hosts is not None:
                 sp = self.silk_hosts[i].frame(b"", 16, hybrid=True)
@@ -2240,23 +2289,25 @@ class StreamPool:
                 plc_groups.setdefault((fs, frame_ms, len(preps)),
                                       []).append((i, preps))
             elif kind == "silk2_plc":
-                fs, preps, pred = payload
-                plc2_groups.setdefault((fs, len(preps)), []).append(
-                    (i, (preps, pred)))
+                fs, frame_ms, preps, pred = payload
+                plc2_groups.setdefault((fs, len(preps), frame_ms),
+                                       []).append((i, (preps, pred)))
             elif kind in ("silk2", "silk2_fec"):
-                fs, sps = payload
+                fs, frame_ms, sps = payload
                 if kind == "silk2" and sps[-1].get("rng") is not None:
                     self._last_rng[i] = sps[-1]["rng"]
-                silk2_groups.setdefault((fs, len(sps)), []).append(
-                    (i, sps))
+                silk2_groups.setdefault((fs, len(sps), frame_ms),
+                                        []).append((i, sps))
             elif kind == "silk2_mute":
                 pend["mute"].add(i)
-                fs, sp = payload
-                silk2_groups.setdefault((fs, 1), []).append((i, [sp]))
+                fs, frame_ms, sp = payload
+                silk2_groups.setdefault((fs, 1, frame_ms),
+                                        []).append((i, [sp]))
             elif kind == "hybrid2":
                 sp, csi = payload
                 pend["hybrid"].add(i)
-                silk2_groups.setdefault((16, 1), []).append((i, [sp]))
+                silk2_groups.setdefault((16, 1, self.path[i][2]),
+                                        []).append((i, [sp]))
                 key = (csi["LM"], csi["C"], self.channels)
                 celt_groups.setdefault(key, []).append((i, csi))
             elif kind == "hybrid":
@@ -2273,8 +2324,8 @@ class StreamPool:
             self._celt_group(items, LM, C, CC, pend)
         for (fs, frame_ms, nfr), items in silk_groups.items():
             self._silk_group(items, fs, nfr, frame_ms, pend)
-        for (fs, nfr), items in silk2_groups.items():
-            self._silk2_group(items, fs, nfr, pend)
+        for (fs, nfr, frame_ms), items in silk2_groups.items():
+            self._silk2_group(items, fs, nfr, pend, frame_ms)
         if self._ss_silk1 and self.rfc_plc and plc_groups:
             # mono-SILK superstep pools: single-frame conceals join the
             # window as masked rows (no flush); multi-frame conceals
@@ -2286,7 +2337,8 @@ class StreamPool:
         if self._ss_silk2 and self.rfc_plc and plc2_groups:
             # stereo pools likewise (single-frame stereo conceals)
             for k in [k for k in plc2_groups if k[1] == 1]:
-                self._silk2_plc_group_ss(plc2_groups.pop(k), k[0], pend)
+                self._silk2_plc_group_ss(plc2_groups.pop(k), k[0], pend,
+                                         frame_ms=k[2])
         if (self._ss_silk or self._ss_hyb or self._ss_hyb1) \
                 and (plc_groups or plc2_groups):
             # conceal steps read/write the bucket state directly, so any
@@ -2300,8 +2352,8 @@ class StreamPool:
                 self._dev_exec.submit(lambda: None).result()
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
-        for (fs, dfp), items in plc2_groups.items():
-            self._silk2_plc_group(items, fs, dfp, pend)
+        for (fs, dfp, frame_ms), items in plc2_groups.items():
+            self._silk2_plc_group(items, fs, dfp, pend, frame_ms)
         if self._ss_hyb or self._ss_hyb1:
             self._hyb_collect(pend)
         else:
@@ -2365,9 +2417,9 @@ class StreamPool:
             for r in sdef:
                 e0, sidx = pend[skey][r]
                 if stereo:
-                    (_m, cols, fs) = e0
+                    (_m, cols, fs, nb) = e0
                     dev = self._silk2_dispatch_frame(
-                        cols, fs, has_glue=self.rfc_plc)
+                        cols, fs, has_glue=self.rfc_plc, nb=nb)
                 else:
                     (_m, cols, fs, frame_ms) = e0
                     nb = 2 if frame_ms == 10 else 4
@@ -2379,8 +2431,8 @@ class StreamPool:
             return
         (_mc, cstg, ok62, _ident, LM_, _C), csidx = pend["celt"][0]
         if stereo:
-            (_ms, scols, _fs), ssidx = pend[skey][0]
-            wkey = ("hyb2",)
+            (_ms, scols, _fs, _nb), ssidx = pend[skey][0]
+            wkey = ("hyb2", LM_)   # 10 ms (LM 2) and 20 ms (LM 3)
         else:
             (_ms, scols, _fs, _fms), ssidx = pend[skey][0]
             wkey = ("hyb1", LM_)   # 10 ms (LM 2) and 20 ms (LM 3)
@@ -2401,9 +2453,10 @@ class StreamPool:
         if len(stgs) >= self._ss_k:
             self._ss_dispatch(wkey)
 
-    def _ss_dispatch_hyb2(self, batch, stgs):
+    def _ss_dispatch_hyb2(self, batch, stgs, LM: int = 3):
         """Run one buffered K-frame stereo-hybrid superstep as a single
-        device program (_hybrid2_pool_superstep). Partial windows pad
+        device program (_hybrid2_pool_superstep). LM 3 = 20 ms frames
+        (nb_subfr 4), LM 2 = 10 ms (nb_subfr 2). Partial windows pad
         with inactive frames; the comb chunk compiles to 62 only when
         every frame in the window allows it (13 is always safe)."""
         K = self._ss_k
@@ -2415,7 +2468,8 @@ class StreamPool:
             stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
         cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
         chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
-        bk = ("hyb2", self._ss_k, cols[0].shape[1])
+        nb = 4 if LM == 3 else 2
+        bk = ("hyb2", LM, self._ss_k, cols[0].shape[1])
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
 
         def run():
@@ -2423,9 +2477,10 @@ class StreamPool:
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk2_bucket(16),
                 *(jax.device_put(c) for c in cols),
-                jax.device_put(act), LM=3, C=2, CC=self.channels,
+                jax.device_put(act), LM=LM, C=2, CC=self.channels,
                 chunk=chunk, fs=16, order=16, has_glue=self.rfc_plc,
-                out_khz=self._out_khz, downsample=self.downsample)
+                out_khz=self._out_khz, downsample=self.downsample,
+                nb=nb)
             self.state["decode_mem"] = dm
             self.state["preemph"] = pre
             self.silk2_buckets[16] = st2
@@ -2767,12 +2822,12 @@ class StreamPool:
             chunk = 13
         identity = (pad == 0 and cap == self.state["decode_mem"].shape[0]
                     and np.array_equal(idxs, np.arange(cap)))
-        if (LM == 3 and self._ss_hyb and C == 2) \
-                or (LM in (2, 3) and self._ss_hyb1 and C == 1):
+        if LM in (2, 3) and ((self._ss_hyb and C == 2)
+                             or (self._ss_hyb1 and C == 1)):
             # hybrid superstep: defer — _hyb_collect pairs this staging
             # with the step's SILK staging into the K-frame window (or
             # dispatches it per-frame on impure loss/FEC steps); mono
-            # windows exist per LM (10 ms hybrid = LM 2)
+            # AND stereo windows exist per LM (10 ms hybrid = LM 2)
             return ("hdef_c", stg, chunk == 62, identity, LM, C)
         return self._celt_dispatch_packed(stg, LM, C, chunk, identity)
 
@@ -2870,7 +2925,8 @@ class StreamPool:
         if key[0] == "silk2":
             return self._ss_dispatch_silk2(key, batch, stgs)
         if key[0] == "hyb2":
-            return self._ss_dispatch_hyb2(batch, stgs)
+            return self._ss_dispatch_hyb2(batch, stgs,
+                                          key[1] if len(key) > 1 else 3)
         if key[0] == "hyb1":
             return self._ss_dispatch_hyb1(batch, stgs,
                                           key[1] if len(key) > 1 else 3)
@@ -2992,12 +3048,12 @@ class StreamPool:
         device program. Partial windows pad with inactive frames like
         the mono dispatch; windows holding conceal rows run the
         dual-path program (_silk2_pool_superstep_lossy)."""
-        _, fs = key
+        _, fs, nb = key
         K = self._ss_k
         act = np.zeros(K, dtype=bool)
         act[:len(stgs)] = True
         order = 16 if fs == 16 else 10
-        frame = 20 * fs
+        frame = nb * 5 * fs
         lossy = any(s[1] is not None for s in stgs)
         cap = stgs[0][0][0].shape[0]
         while len(stgs) < K:
@@ -3045,7 +3101,7 @@ class StreamPool:
                     *(jax.device_put(c) for c in cols),
                     jax.device_put(lostK), concK,
                     jax.device_put(act), fs=fs, order=order,
-                    out_khz=self._out_khz)
+                    out_khz=self._out_khz, nb=nb)
                 self.silk2_buckets[fs] = st2
                 if self.output == "host":
                     try:
@@ -3063,7 +3119,7 @@ class StreamPool:
                 self._silk2_bucket(fs),
                 *(jax.device_put(c) for c in cols),
                 jax.device_put(act), fs=fs, order=order,
-                has_glue=self.rfc_plc, out_khz=self._out_khz)
+                has_glue=self.rfc_plc, out_khz=self._out_khz, nb=nb)
             self.silk2_buckets[fs] = st2
             if self.output == "host":
                 try:
@@ -3328,15 +3384,16 @@ class StreamPool:
             self.silk_buckets[fs] = st2
             pend["silk"].append((out48, sidx))
 
-    def _silk2_plc_group_ss(self, items, fs: int, pend):
+    def _silk2_plc_group_ss(self, items, fs: int, pend,
+                            frame_ms: int = 20):
         """Superstep-resident stereo RFC concealment: lost rows join
         the silk2 K-frame window as masked rows (the stereo counterpart
         of _silk_plc_group_ss). items: (stream_idx, ([(m_prep,
         s_prep|None)], prev_pred)). Side conceals only when the
         previous frame had one (c_has_side); MS->LR keeps the previous
         predictors via the staged per-row pred."""
-        key = ("silk2", fs)
-        frame = 20 * fs
+        key = ("silk2", fs, frame_ms // 5)
+        frame = frame_ms * fs
         order = 16 if fs == 16 else 10
         cap = self._cap_silk2[fs]
         sidx = [it[0] for it in items]
@@ -3450,27 +3507,30 @@ class StreamPool:
         if len(stgs) >= self._ss_k:
             self._ss_dispatch(key)
 
-    def _silk2_plc_group(self, items, fs: int, dfp: int, pend):
+    def _silk2_plc_group(self, items, fs: int, dfp: int, pend,
+                         frame_ms: int = 20):
         """Batched stereo concealment: per-channel host preps -> the
-        fused conceal/CNG/MS->LR/resample step, one launch per 20 ms
+        fused conceal/CNG/MS->LR/resample step, one launch per
         concealed frame (dfp launches for 40/60 ms payloads, deepening
-        lossCnt carried by the host trackers). items: (stream_idx,
+        lossCnt carried by the host trackers; frame_ms=10 conceals one
+        nb_subfr=2 frame). items: (stream_idx,
         ([(mid_prep, side_prep_or_None)] * dfp, prev_pred))."""
         for f in range(dfp):
             self._silk2_plc_frame(
                 [(i, (preps[f][0], preps[f][1], pred))
-                 for i, (preps, pred) in items], fs, pend)
+                 for i, (preps, pred) in items], fs, pend, frame_ms)
 
-    def _silk2_plc_frame(self, items, fs: int, pend):
+    def _silk2_plc_frame(self, items, fs: int, pend,
+                         frame_ms: int = 20):
         n = len(items)
         sidx = [it[0] for it in items]
         cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk2_plc", fs, cap)
+        bk = ("silk2_plc", fs, frame_ms, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         pad = cap - n
         idxs = np.asarray(sidx + [sidx[0]] * pad, dtype=np.int32)
         order = 16 if fs == 16 else 10
-        frame = 20 * fs
+        frame = frame_ms * fs
         dummy = dict(rand=np.zeros(frame, dtype=np.int32),
                      A=np.zeros(MAX_LPC_ORDER, dtype=np.int32),
                      B4=np.zeros((4, 5), dtype=np.int32),
@@ -3509,19 +3569,22 @@ class StreamPool:
         out48, st2 = _silk2_plc_pool_step(
             st, jnp.asarray(idxs), *cols(0), *cols(1),
             jnp.asarray(has_side), jnp.asarray(pred), fs=fs, order=order,
-            out_khz=self._out_khz)
+            out_khz=self._out_khz, nb=frame_ms // 5)
         self.silk2_buckets[fs] = st2
         pend["silk2"].append((out48, sidx))
 
-    def _silk2_group(self, items, fs: int, nfr: int, pend):
+    def _silk2_group(self, items, fs: int, nfr: int, pend,
+                     frame_ms: int = 20):
         """Generic adapter: stereo per-stream param-dict lists (one dict
-        per 20 ms internal frame) -> columnar mid/side arrays ->
+        per internal frame) -> columnar mid/side arrays ->
         _silk2_launch, one launch per internal frame (nfr sequential
         launches of the SAME compiled core for 40/60 ms payloads,
-        silk_Decode :1481 frame loop). Glue crossfades apply only to
-        the first frame after a concealment run."""
+        silk_Decode :1481 frame loop; frame_ms=10 payloads are
+        single-frame nb_subfr=2). Glue crossfades apply only to the
+        first frame after a concealment run."""
         sidx = [it[0] for it in items]
-        dummy = self._dummy_silk_params(fs)
+        ncol = np.asarray(items[0][1][0]["mid"]["B"]).shape[0]
+        dummy = self._dummy_silk_params(fs, frame_ms, ncol)
         glue = self._glue_arrays2(sidx) if self.rfc_plc else None
         for f in range(nfr):
             frames = [(i, sps[f]) for i, sps in items]
@@ -3539,7 +3602,8 @@ class StreamPool:
                              for it in frames])
             dev = self._silk2_launch(sidx, mid, side, has_side, reset,
                                      pred, fs,
-                                     glue=glue if f == 0 else None)
+                                     glue=glue if f == 0 else None,
+                                     nb=frame_ms // 5)
             pend["silk2"].append((dev, sidx))
 
     def _glue_arrays2(self, sidx):
@@ -3566,16 +3630,17 @@ class StreamPool:
         return flags
 
     def _silk2_launch(self, sidx, mid, side, has_side, reset, pred,
-                      fs: int, glue=None):
+                      fs: int, glue=None, nb: int = 4):
         """Batched stereo SILK: mid core launch for all rows, side core
         launch masked per row (no-side rows keep state and contribute a
         zero side frame, mirroring silk_Decode :397-415), device MS->LR
-        unmix, then both channels through the batched resampler. Returns
-        the device pcm (cap, 2, L48)."""
+        unmix, then both channels through the batched resampler. nb:
+        subframes per frame (2 = 10 ms payloads). Returns the device
+        pcm (cap, 2, L_out)."""
         st = self._silk2_bucket(fs)
         n = len(sidx)
         cap = self._cap_silk2[fs] if self.fixed_buckets else _pow2_cap(n)
-        bk = ("silk2", fs, cap)
+        bk = ("silk2", fs, nb, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         pad = cap - n
         idxs = np.asarray(list(sidx) + [sidx[0]] * pad, dtype=np.int32)
@@ -3601,7 +3666,7 @@ class StreamPool:
             # _hyb_collect at the end of this step
             cols = (idxs,) + pack(mid) + pack(side) \
                 + (flags2, padded(pred.astype(np.int32)), garr)
-            return ("hdef_s", cols, fs)
+            return ("hdef_s", cols, fs, nb)
         if self._ss_silk:
             # superstep mode: buffer this frame's columns; ONE K-frame
             # device program per bucket when the window fills (or at
@@ -3609,7 +3674,7 @@ class StreamPool:
             # all-False glue row is an exact passthrough. Entries are
             # [cols14, conceal|None, lost|None] — _silk2_plc_group_ss
             # amends this step's entry with masked conceal rows.
-            key = ("silk2", fs)
+            key = ("silk2", fs, nb)
             if key not in self._ss_buf:
                 self._ss_buf[key] = (_SSBatch(self), [])
             batch, stgs = self._ss_buf[key]
@@ -3624,14 +3689,16 @@ class StreamPool:
         cols = (idxs,) + pack(mid) + pack(side) \
             + (flags2, padded(pred.astype(np.int32)), garr)
         return self._silk2_dispatch_frame(cols, fs,
-                                          has_glue=glue is not None)
+                                          has_glue=glue is not None,
+                                          nb=nb)
 
-    def _silk2_dispatch_frame(self, cols, fs: int, has_glue: bool):
+    def _silk2_dispatch_frame(self, cols, fs: int, has_glue: bool,
+                              nb: int = 4):
         order = 16 if fs == 16 else 10
         out48, st2 = _silk2_pool_step(
             self._silk2_bucket(fs), *(jnp.asarray(v) for v in cols),
             fs=fs, order=order, has_glue=has_glue,
-            out_khz=self._out_khz)
+            out_khz=self._out_khz, nb=nb)
         self.silk2_buckets[fs] = st2
         return out48
 
@@ -3764,52 +3831,57 @@ class StreamPool:
                                st["delay"][:cap], zl, fs_in_khz=fs,
                                fs_out_khz=self._out_khz, in_len=frame)
         if self._ss_silk:
+            s2_fms = sorted({p[4] for p in self.path
+                             if p[0] == "silk2"}) or [20]
             for fs, cap in self._cap_silk2.items():
                 # stereo superstep pools compile ONLY the K-frame program
                 st = self._silk2_bucket(fs)
-                frame = 20 * fs
                 order = 16 if fs == 16 else 10
                 K = self._ss_k
 
                 def z(*s, dt=I32):
                     return jnp.zeros(s, dtype=dt)
 
-                pcmK, st2 = _silk2_pool_superstep(
-                    st, z(K, cap),
-                    z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
-                    z(K, cap, 4, 5), z(K, cap, 4, 4),
-                    z(K, cap, 3, 4, dt=bool),
-                    z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
-                    z(K, cap, 4, 5), z(K, cap, 4, 4),
-                    z(K, cap, 3, 4, dt=bool),
-                    z(K, 2, cap), z(K, cap, 2), z(K, cap, 2, dt=bool),
-                    z(K, dt=bool), fs=fs, order=order,
-                    has_glue=self.rfc_plc, out_khz=self._out_khz)
-                self.silk2_buckets[fs] = st2
-                if self.output == "host":
-                    np.asarray(pcmK)
-                if self._ss_silk2 and self.rfc_plc:
-                    # pre-compile the stereo lossy window program too
-                    conc = (z(K, cap, frame), z(K, cap, order),
-                            z(K, cap, 4, 5), z(K, cap, 4),
-                            z(K, cap, 3), z(K, cap, frame),
-                            z(K, cap, order), z(K, cap, dt=bool)) * 2 \
-                        + (z(K, cap, dt=bool),)
-                    pcmK, st3 = _silk2_pool_superstep_lossy(
-                        self.silk2_buckets[fs], z(K, cap),
+                for fms in s2_fms:
+                    frame = fms * fs
+                    nb = fms // 5
+                    pcmK, st2 = _silk2_pool_superstep(
+                        self._silk2_bucket(fs), z(K, cap),
                         z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
                         z(K, cap, 4, 5), z(K, cap, 4, 4),
                         z(K, cap, 3, 4, dt=bool),
                         z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
                         z(K, cap, 4, 5), z(K, cap, 4, 4),
                         z(K, cap, 3, 4, dt=bool),
-                        z(K, 2, cap), z(K, cap, 2),
-                        z(K, cap, 2, dt=bool), z(K, cap, dt=bool),
-                        conc, z(K, dt=bool), fs=fs, order=order,
-                        out_khz=self._out_khz)
-                    self.silk2_buckets[fs] = st3
+                        z(K, 2, cap), z(K, cap, 2), z(K, cap, 2, dt=bool),
+                        z(K, dt=bool), fs=fs, order=order,
+                        has_glue=self.rfc_plc, out_khz=self._out_khz,
+                        nb=nb)
+                    self.silk2_buckets[fs] = st2
                     if self.output == "host":
                         np.asarray(pcmK)
+                    if self._ss_silk2 and self.rfc_plc:
+                        # pre-compile the stereo lossy window program too
+                        conc = (z(K, cap, frame), z(K, cap, order),
+                                z(K, cap, 4, 5), z(K, cap, 4),
+                                z(K, cap, 3), z(K, cap, frame),
+                                z(K, cap, order), z(K, cap, dt=bool)) * 2 \
+                            + (z(K, cap, dt=bool),)
+                        pcmK, st3 = _silk2_pool_superstep_lossy(
+                            self.silk2_buckets[fs], z(K, cap),
+                            z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                            z(K, cap, 4, 5), z(K, cap, 4, 4),
+                            z(K, cap, 3, 4, dt=bool),
+                            z(K, cap, frame), z(K, cap, 2, MAX_LPC_ORDER),
+                            z(K, cap, 4, 5), z(K, cap, 4, 4),
+                            z(K, cap, 3, 4, dt=bool),
+                            z(K, 2, cap), z(K, cap, 2),
+                            z(K, cap, 2, dt=bool), z(K, cap, dt=bool),
+                            conc, z(K, dt=bool), fs=fs, order=order,
+                            out_khz=self._out_khz, nb=nb)
+                        self.silk2_buckets[fs] = st3
+                        if self.output == "host":
+                            np.asarray(pcmK)
         if self._ss_hyb1:
             # mono-hybrid superstep: compile the K-frame fused program
             # for each frame duration the pool carries (20 ms -> LM 3 /
@@ -3846,36 +3918,44 @@ class StreamPool:
         if self._ss_hyb:
             # stereo-hybrid superstep pools compile ONLY the K-frame
             # fused SILK+CELT+mix program (chunk=13, the always-safe
-            # comb variant; the 62 variant compiles on first use)
+            # comb variant; the 62 variant compiles on first use), one
+            # per frame duration the pool carries (20 ms -> LM 3 / nb 4;
+            # 10 ms -> LM 2 / nb 2)
             K = self._ss_k
             cap_c = self._cap_celt
             cap_s = self._cap_silk2[16]
-            W = _CELT_HDR + 2 * NB_EBANDS + 2 * 960
-            frame = 320
 
             def z(*s, dt=I32):
                 return jnp.zeros(s, dtype=dt)
 
-            mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
-                self.state["decode_mem"], self.state["preemph"],
-                self._silk2_bucket(16),
-                jnp.zeros((K, cap_c, W), dtype=jnp.int16),
-                z(K, cap_s), z(K, cap_s, frame),
-                z(K, cap_s, 2, MAX_LPC_ORDER), z(K, cap_s, 4, 5),
-                z(K, cap_s, 4, 4), z(K, cap_s, 3, 4, dt=bool),
-                z(K, cap_s, frame), z(K, cap_s, 2, MAX_LPC_ORDER),
-                z(K, cap_s, 4, 5), z(K, cap_s, 4, 4),
-                z(K, cap_s, 3, 4, dt=bool),
-                z(K, 2, cap_s), z(K, cap_s, 2), z(K, cap_s, 2, dt=bool),
-                z(K, cap_c), z(K, dt=bool),
-                LM=3, C=2, CC=self.channels, chunk=13, fs=16, order=16,
-                has_glue=self.rfc_plc, out_khz=self._out_khz,
-                downsample=self.downsample)
-            self.state["decode_mem"] = dm
-            self.state["preemph"] = pre
-            self.silk2_buckets[16] = st2
-            if self.output == "host":
-                np.asarray(mixedK)
+            for frame_ms in sorted({p[2] for p in self.path
+                                    if p[0] == "hybrid2"}):
+                LM = 3 if frame_ms == 20 else 2
+                nb = frame_ms // 5
+                W = _CELT_HDR + 2 * NB_EBANDS + 2 * frame_ms * 48
+                frame = frame_ms * 16
+                mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
+                    self.state["decode_mem"], self.state["preemph"],
+                    self._silk2_bucket(16),
+                    jnp.zeros((K, cap_c, W), dtype=jnp.int16),
+                    z(K, cap_s), z(K, cap_s, frame),
+                    z(K, cap_s, 2, MAX_LPC_ORDER), z(K, cap_s, 4, 5),
+                    z(K, cap_s, 4, 4), z(K, cap_s, 3, 4, dt=bool),
+                    z(K, cap_s, frame), z(K, cap_s, 2, MAX_LPC_ORDER),
+                    z(K, cap_s, 4, 5), z(K, cap_s, 4, 4),
+                    z(K, cap_s, 3, 4, dt=bool),
+                    z(K, 2, cap_s), z(K, cap_s, 2),
+                    z(K, cap_s, 2, dt=bool),
+                    z(K, cap_c), z(K, dt=bool),
+                    LM=LM, C=2, CC=self.channels, chunk=13, fs=16,
+                    order=16, has_glue=self.rfc_plc,
+                    out_khz=self._out_khz, downsample=self.downsample,
+                    nb=nb)
+                self.state["decode_mem"] = dm
+                self.state["preemph"] = pre
+                self.silk2_buckets[16] = st2
+                if self.output == "host":
+                    np.asarray(mixedK)
 
     def final_ranges(self):
         """Per-stream range-coder state after the last decoded packet — the

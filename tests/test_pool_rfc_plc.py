@@ -164,6 +164,8 @@ def _scalar_stereo_replay(name, lossfn):
     ("hybrid_fb_stereo_20ms", 7),
     ("silk_nb_stereo_40ms", 6),
     ("silk_wb_stereo_60ms", 5),
+    ("hybrid_fb_stereo_10ms", 5),       # 10 ms: nb_subfr=2 conceal
+    ("silk_wb_fec_stereo_10ms", 6),
 ])
 def test_pool_rfc_plc_stereo(native, name, period):
     """Batched STEREO concealment (mid + masked side conceal/CNG,
@@ -201,14 +203,16 @@ def test_pool_rfc_plc_stereo_burst_and_checkpoint(tmp_path):
 
 
 @pytest.mark.slow
-def test_rfc_plc_stereo_fec_bitexact():
+@pytest.mark.parametrize("name", ["silk_wb_fec_stereo_20ms",
+                                  "silk_wb_fec_stereo_10ms"])
+def test_rfc_plc_stereo_fec_bitexact(name):
     """Stereo in-band FEC (per-channel LBRR, silk_Decode lostFlag=2
     with nChannelsInternal=2, src/silk.cpp:1565-1616): the pool's
     batched path recovers a lost stereo frame from the next packet's
     LBRR copies whenever mid has LBRR and the side is either present
     in LBRR or not needed; otherwise it conceals. The scalar reference
-    follows the identical policy, so outputs must be bit-exact."""
-    name = "silk_wb_fec_stereo_20ms"
+    follows the identical policy, so outputs must be bit-exact. 10 ms
+    packets carry one nb_subfr=2 LBRR copy per channel."""
     lossfn = lambda k: k > 0 and k % 5 == 0
     s = opusfile.open_file(fixture_path(name))
     jobs = s.jobs

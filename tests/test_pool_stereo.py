@@ -24,7 +24,7 @@ def test_pool_nb_stereo_oracle_bitexact():
     compiled reference oracle directly."""
     src = str(fixture_path("silk_nb_stereo_20ms"))
     pool = StreamPool([src], channels=2)
-    assert pool.path[0] == ("silk2", 8, 1, 20)
+    assert pool.path[0] == ("silk2", 8, 1, 20, 20)
     out = pool.run()[0]
     gold = np.fromfile(str(fixture_path("silk_nb_stereo_20ms")).replace(
         "fixtures", "golden").replace(".opus", ".pcm"),

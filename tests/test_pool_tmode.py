@@ -297,6 +297,53 @@ def test_hybrid2_superstep_bitexact():
 
 
 @pytest.mark.slow
+def test_silk2_superstep_10ms_loss_in_window():
+    """10 ms STEREO-SILK superstep (nb_subfr=2 frames in the K-frame
+    window) with mixed per-stream losses concealed IN-window — bit-
+    exact vs the per-frame stereo rfc_plc pool."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("silk_wb_fec_stereo_10ms"))
+    pat = {0: {4, 5, 11}, 1: set()}
+    loss = lambda i, k: k in pat[i]
+    pool = StreamPool([src] * 2, channels=2, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_silk and pool._ss_silk2
+    assert pool.path[0] == ("silk2", 16, 1, 10, 10)
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 2, channels=2, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
+def test_hybrid2_superstep_10ms_bitexact():
+    """10 ms K-frame STEREO-HYBRID superstep (LM 2 CELT + nb_subfr=2
+    SILK + mix in one program): bit-exact vs the per-frame pool,
+    including a lost packet mid-window."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("hybrid_fb_stereo_10ms"))
+    loss = lambda i, k: k == 5
+    pool = StreamPool([src] * 2, channels=2, native=True,
+                      compat_ref=False, rfc_plc=True,
+                      fixed_buckets=True, superstep_k=3)
+    assert pool._ss_hyb
+    assert pool.path[0] == ("hybrid2", 21, 10)
+    outs = pool.run(loss=loss)
+    ref_pool = StreamPool([src] * 2, channels=2, native=True,
+                          compat_ref=False, rfc_plc=True,
+                          fixed_buckets=True)
+    refs = ref_pool.run(loss=loss)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
+    assert any(k[0] == "hyb2" and k[1] == 2
+               for k in pool.stats()["buckets"])
+
+
+@pytest.mark.slow
 def test_hybrid1_superstep_bitexact():
     """K-frame MONO-HYBRID superstep (fused SILK core + CELT + mix):
     bit-exact vs the per-frame hybrid pool, including a lost packet

@@ -191,8 +191,8 @@ def bench_device(B=2048, iters=12, K=32):
     # tunneled link)
     best = 0.0
     per_B = {}
-    for Bs in (B, 2 * B):
-        stgB = stg if Bs == B else np.repeat(stg, 2, axis=0)
+    for Bs in (B, 2 * B, 4 * B):
+        stgB = stg if Bs == B else np.repeat(stg, Bs // B, axis=0)
         sK = jnp.asarray(np.broadcast_to(
             stgB, (K,) + stgB.shape).copy())
         dmS = jnp.zeros((1, 2168, Bs), jnp.int32)
@@ -272,8 +272,8 @@ def bench_device_silk(B=2048, iters=10, K=32):
     best = 0.0
     best_ms = 0.0
     per_B = {}
-    for Bs in (B, 2 * B):
-        r = 1 if Bs == B else 2
+    for Bs in (B, 2 * B, 4 * B):
+        r = Bs // B
         rep2 = lambda a: np.repeat(np.asarray(a), r, axis=0)
         stK = bucket(Bs)
         argsK = (bK(np.arange(Bs, dtype=np.int32)), bK(rep2(exc)),

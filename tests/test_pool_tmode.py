@@ -344,6 +344,25 @@ def test_hybrid2_superstep_10ms_bitexact():
 
 
 @pytest.mark.slow
+def test_hybrid2_mixed_duration_pool():
+    """A pool mixing 10 ms and 20 ms stereo-hybrid streams: two
+    per-duration groups (LM 2 + LM 3 CELT, nb 2 + nb 4 SILK) per step —
+    the hybrid superstep sees an impure step and falls back to
+    per-frame dispatch; output stays bit-exact per stream."""
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    srcs = [str(fixture_path("hybrid_fb_stereo_10ms")),
+            str(fixture_path("hybrid_fb_stereo_20ms"))]
+    pool = StreamPool(srcs, channels=2, native=True, compat_ref=False,
+                      fixed_buckets=True, superstep_k=3)
+    outs = pool.run()
+    for src, out in zip(srcs, outs):
+        ref = decode_file(src, DecoderConfig(channels=2,
+                                             compat_ref=False))
+        assert np.array_equal(out, ref), src
+
+
+@pytest.mark.slow
 def test_hybrid1_superstep_bitexact():
     """K-frame MONO-HYBRID superstep (fused SILK core + CELT + mix):
     bit-exact vs the per-frame hybrid pool, including a lost packet

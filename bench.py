@@ -143,7 +143,7 @@ def bench_host(B=256, reps=3):
                               for k, v in curve.items()}
 
 
-def bench_device(B=2048, iters=12, K=32):
+def bench_device(B=2048, iters=12, K=64):
     """Fused device synthesis capacity, transposed pipeline: the packed
     identity T-step chained on-device (synchronized execution, no
     per-step transfers), with VARIED per-stream pitch lags (uniform
@@ -212,7 +212,7 @@ def bench_device(B=2048, iters=12, K=32):
     return (B * 0.02 / step, step * 1000, compile_s, best, per_B)
 
 
-def bench_device_silk(B=2048, iters=10, K=32):
+def bench_device_silk(B=2048, iters=10, K=64):
     """Isolated SILK device step capacity: the fused Pallas core
     (rewhitening FIR + bit-shift LTP recurrence + LPC ring in one VMEM
     program) + 48 kHz resampler over a WB bucket, synchronized. Also
@@ -327,7 +327,7 @@ def main():
         bench_device()
     print(f"# device synthesis (transposed fused step, synchronized, "
           f"varied lags): {dev_ms:.1f} ms/frame at B=2048 -> "
-          f"{dev_streams:.0f} realtime streams/chip; K=32 superstep -> "
+          f"{dev_streams:.0f} realtime streams/chip; K=64 superstep -> "
           f"{sstep_streams:.0f} (by B: {sstep_by_B}; compile "
           f"{compile_s:.0f}s)", file=sys.stderr)
 
@@ -335,7 +335,7 @@ def main():
         bench_device_silk()
     print(f"# silk device step (fused Pallas core + resampler): "
           f"{silk_ms:.1f} ms at B=2048 -> {silk_streams:.0f} realtime "
-          f"streams/chip; K=32 superstep {silk_ss_ms:.2f} ms/frame -> "
+          f"streams/chip; K=64 superstep {silk_ss_ms:.2f} ms/frame -> "
           f"{silk_ss_streams:.0f} (by B: {silk_ss_by_B})",
           file=sys.stderr)
 

@@ -2476,7 +2476,7 @@ class StreamPool:
             mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk2_bucket(16),
-                *(jax.device_put(c) for c in cols),
+                *jax.device_put(list(cols)),
                 jax.device_put(act), LM=LM, C=2, CC=self.channels,
                 chunk=chunk, fs=16, order=16, has_glue=self.rfc_plc,
                 out_khz=self._out_khz, downsample=self.downsample,
@@ -2514,7 +2514,7 @@ class StreamPool:
             mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk_bucket(16),
-                *(jax.device_put(c) for c in cols),
+                *jax.device_put(list(cols)),
                 jax.device_put(act), LM=LM, C=1, CC=self.channels,
                 chunk=chunk, fs=16, nb=nb, order=16,
                 has_glue=self.rfc_plc, out_khz=self._out_khz,
@@ -3001,7 +3001,7 @@ class StreamPool:
                 cnge_d = _expand_rows(jax.device_put(rowsK),
                                       jax.device_put(cngeK), cap=cap)
                 cA, cB4, clag4, cg3, cnga, cfirst = (
-                    jax.device_put(c) for c in smallsK)
+                    jax.device_put(list(smallsK)))
                 pcmK, st2 = _silk_pool_superstep_lossy(
                     self._silk_bucket(fs), jax.device_put(idxK),
                     jax.device_put(excK), jax.device_put(AK),
@@ -3089,8 +3089,8 @@ class StreamPool:
                 dense = [_expand_rows(rows_d, jax.device_put(v),
                                       cap=cap)
                          for v in (m_randK, m_cngeK, s_randK, s_cngeK)]
-                m_sm = [jax.device_put(c) for c in sm_mK]
-                s_sm = [jax.device_put(c) for c in sm_sK]
+                m_sm = jax.device_put(list(sm_mK))
+                s_sm = jax.device_put(list(sm_sK))
                 concK = (dense[0], m_sm[0], m_sm[1], m_sm[2], m_sm[3],
                          dense[1], m_sm[4], m_sm[5],
                          dense[2], s_sm[0], s_sm[1], s_sm[2], s_sm[3],
@@ -3098,7 +3098,7 @@ class StreamPool:
                          jax.device_put(hsK))
                 pcmK, st2 = _silk2_pool_superstep_lossy(
                     self._silk2_bucket(fs),
-                    *(jax.device_put(c) for c in cols),
+                    *jax.device_put(list(cols)),
                     jax.device_put(lostK), concK,
                     jax.device_put(act), fs=fs, order=order,
                     out_khz=self._out_khz, nb=nb)
@@ -3117,7 +3117,7 @@ class StreamPool:
         def run():
             pcmK, st2 = _silk2_pool_superstep(
                 self._silk2_bucket(fs),
-                *(jax.device_put(c) for c in cols),
+                *jax.device_put(list(cols)),
                 jax.device_put(act), fs=fs, order=order,
                 has_glue=self.rfc_plc, out_khz=self._out_khz, nb=nb)
             self.silk2_buckets[fs] = st2
@@ -3218,7 +3218,7 @@ class StreamPool:
     def _silk_dispatch_frame(self, cols, fs, nb, frame, has_glue):
         order = 16 if fs == 16 else 10
         out48, st2 = _silk_pool_step(
-            self._silk_bucket(fs), *(jnp.asarray(v) for v in cols),
+            self._silk_bucket(fs), *jax.device_put(list(cols)),
             fs=fs, nb=nb, order=order, frame=frame,
             has_glue=has_glue, out_khz=self._out_khz)
         self.silk_buckets[fs] = st2
@@ -3696,7 +3696,7 @@ class StreamPool:
                               nb: int = 4):
         order = 16 if fs == 16 else 10
         out48, st2 = _silk2_pool_step(
-            self._silk2_bucket(fs), *(jnp.asarray(v) for v in cols),
+            self._silk2_bucket(fs), *jax.device_put(list(cols)),
             fs=fs, order=order, has_glue=has_glue,
             out_khz=self._out_khz, nb=nb)
         self.silk2_buckets[fs] = st2

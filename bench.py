@@ -50,8 +50,18 @@ def bench_pool(src, B, channels, iters, output, warm=4, consume=False,
     copy_to_host_async hide the D2H behind later host phases; compare
     against the raw PCM size over the measured link rate).
     consume=True attaches an on-chip log-mel consumer (the decoded PCM
-    feeds a downstream jitted stage in HBM, never crossing the link)."""
+    feeds a downstream jitted stage in HBM, never crossing the link).
+    superstep pools dispatch once per K staged frames, so warm/iters
+    are aligned to whole K-frame windows — otherwise the trailing
+    sync() flushes a PADDED partial window (full K-frame program for
+    <K real frames) inside the timed region and overstates the cost."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    K = int(pool_kw.get("superstep_k", 1) or 1)
+    if K > 1:
+        warm = max(warm, K)
+        warm -= warm % K
+        iters = max(iters, 2 * K)
+        iters -= iters % K
     kw = dict(device_keep=2) if output == "device" else {}
     pool = StreamPool([src] * B, channels=channels, native=True,
                       fixed_buckets=True, output=output, **kw, **pool_kw)
@@ -82,24 +92,36 @@ def bench_pool(src, B, channels, iters, output, warm=4, consume=False,
     return B * 0.02 / (dt / n), dt / n * 1000, phases
 
 
-def bench_pool_loss(src, B, channels, iters, **pool_kw):
+def bench_pool_loss(src, B, channels, iters, fec=False, **pool_kw):
     """Config 5: 10% periodic loss with real batched PLC (rfc mode).
     pool_kw superstep_k=K keeps lossy steps INSIDE the K-frame window
     (masked decode|conceal dual-path program, _silk_pool_superstep_lossy)
-    instead of flushing it per loss step."""
+    instead of flushing it per loss step. fec=True recovers each lost
+    frame from the next packet's in-band LBRR instead of concealing
+    (the FEC rows' device program is the normal decode program, so FEC
+    steps ride the superstep window too). Like bench_pool, warm/iters
+    align to whole K-frame windows."""
     from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    K = int(pool_kw.get("superstep_k", 1) or 1)
+    warm = 4
+    if K > 1:
+        warm = max(warm, K)
+        warm -= warm % K
+        iters = max(iters, 2 * K)
+        iters -= iters % K
     pool = StreamPool([src] * B, channels=channels, native=True,
                       fixed_buckets=True, compat_ref=False, rfc_plc=True,
                       output="device", device_keep=2, **pool_kw)
     pool.warmup()
-    for k in range(4):
-        pool.step({i for i in range(B) if i % 10 == k % 10})
+    for k in range(warm):
+        lost = {i for i in range(B) if i % 10 == k % 10}
+        pool.step(lost, fec=lost if fec else None)
     pool.sync()
     t0 = time.time()
     n = 0
     for k in range(iters):
         lost = {i for i in range(B) if i % 10 == k % 10}
-        if not pool.step(lost):
+        if not pool.step(lost, fec=lost if fec else None):
             break
         n += 1
     pool.sync()
@@ -356,8 +378,18 @@ def main():
     matrix = [
         ("celt_fb_mono", f"{FIX}/celt_fb_mono_20ms.opus", B, 1,
          "device", dict(compat_ref=True)),
+        # K-frame superstep e2e: one device dispatch per 16 frames per
+        # bucket (the per-dispatch RPC cost on this rig's tunneled link
+        # amortizes 16x; on PCIe it amortizes the launch overhead)
+        ("celt_fb_mono_ss16", f"{FIX}/celt_fb_mono_20ms.opus", B, 1,
+         "device", dict(compat_ref=True, superstep_k=16)),
         ("celt_fb_mono_pcm_to_host", f"{FIX}/celt_fb_mono_20ms.opus",
          B, 1, "host", dict(compat_ref=True)),
+        # pcm-to-host + superstep: the K-frame PCM block also comes
+        # back as ONE fetch, amortizing the per-call D2H overhead
+        ("celt_fb_mono_pcm_to_host_ss16",
+         f"{FIX}/celt_fb_mono_20ms.opus", B, 1, "host",
+         dict(compat_ref=True, superstep_k=16)),
         ("silk_wb_mono", f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1,
          "device", dict(compat_ref=True)),
         ("silk_wb_mono_ss8", f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1,
@@ -397,6 +429,18 @@ def main():
         superstep_k=8)
     configs["silk_wb_10pct_loss_plc_ss8"] = round(streams, 1)
     print(f"# e2e silk_wb + 10% loss (in-window PLC, K=8 superstep): "
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams",
+          file=sys.stderr)
+
+    # 10% loss recovered via in-band FEC (LBRR from the next packet,
+    # fixture encoded with FEC enabled): FEC rows run the normal decode
+    # program, so the whole lossy step stays inside the K-frame
+    # superstep window
+    streams, step_ms = bench_pool_loss(
+        f"{FIX}/silk_wb_fec_mono_20ms.opus", B // 2, 1, iters,
+        fec=True, superstep_k=8)
+    configs["silk_wb_10pct_fec_ss8"] = round(streams, 1)
+    print(f"# e2e silk_wb + 10% loss -> in-band FEC (K=8 superstep): "
           f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams",
           file=sys.stderr)
 

@@ -28,14 +28,21 @@ class PoolFarm:
     def __init__(self, sources, devices=None, channels: int = 1,
                  native: bool = True, compat_ref: bool = True,
                  host_threads: int = 0, fixed_buckets: bool = False,
-                 rfc_plc: bool = False):
+                 rfc_plc: bool = False, superstep_k: int = 1,
+                 out_fs: int = 48000, ms_batch: bool = True):
+        """superstep_k/out_fs/ms_batch pass straight through to each
+        shard's StreamPool — a farm with superstep_k=K runs ONE device
+        program per K frames per shard (the single-pool fast path at
+        pod scale) instead of one dispatch per frame."""
         self.devices = list(devices if devices is not None
                             else jax.devices())
         self.channels = channels
         self._pool_kw = dict(channels=channels, native=native,
                              compat_ref=compat_ref,
                              host_threads=host_threads,
-                             fixed_buckets=fixed_buckets, rfc_plc=rfc_plc)
+                             fixed_buckets=fixed_buckets, rfc_plc=rfc_plc,
+                             superstep_k=superstep_k, out_fs=out_fs,
+                             ms_batch=ms_batch)
         n_sh = len(self.devices)
         # round-robin partition; remember each stream's (shard, slot)
         self._shard_sources = [[] for _ in range(n_sh)]
@@ -120,6 +127,10 @@ class PoolFarm:
         s = int(np.argmin(actives))
         dev = self.devices[s]
         old = self.pools[s]
+        # drain the old shard's pipeline (incl. any buffered K-frame
+        # superstep window) before its state arrays are copied — a
+        # buffered window would otherwise be dropped with its frames
+        old.sync()
         with jax.default_device(dev):
             new = StreamPool(self._shard_sources[s] + [source],
                              **self._pool_kw)

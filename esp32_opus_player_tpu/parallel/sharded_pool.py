@@ -14,9 +14,18 @@ partitioning trivial (and TPU-idiomatic):
   * the host symbol phase stays the batched C++ engine (one call per
     step), producing contiguous per-row tensors that device_put shards.
 
+superstep_k=K runs K frames per device program (lax.scan over the same
+full-batch frame body, staging stacked on a leading K axis that stays
+REPLICATED while the streams axis shards) — the same launch-amortization
+move as StreamPool's single-chip superstep, so the SPMD path hits the
+same per-chip ceiling instead of paying one dispatch per frame. The
+per-frame active mask rides inside the window: a padded flush frame is
+all-inactive and keeps the state bit-for-bit.
+
 Covers the uniform high-volume farm shapes (CELT-only and mono-SILK
 pools, BASELINE configs 1/2/4 at pod scale); heterogeneous pools
-compose as one ShardedStreamPool per kind, or fall back to PoolFarm.
+compose as one ShardedStreamPool per kind, or fall back to PoolFarm
+(which carries superstep_k per shard-pool for every kind).
 """
 from __future__ import annotations
 
@@ -40,12 +49,11 @@ _ENDBAND_OF_BW = {1101: 13, 1102: 17, 1103: 17, 1104: 19, 1105: 21}
 _FS_OF_BW = {1101: 8, 1102: 12, 1103: 16, 1104: 16, 1105: 16}
 
 
-@functools.partial(jax.jit, static_argnames=("LM", "C", "CC"),
-                   donate_argnums=(0, 1))
-def _celt_sharded_step(dm, pre, X, bandE, secT, tr, active, *,
-                       LM: int, C: int, CC: int):
-    """Full-batch CELT step: no row indexing, so the streams axis
-    partitions with zero collectives. Inactive rows keep their state.
+def _celt_sharded_frame(dm, pre, X, bandE, secT, tr, active, *,
+                        LM: int, C: int, CC: int):
+    """Full-batch CELT frame body (traced by the per-frame step AND the
+    K-frame superstep): no row indexing, so the streams axis partitions
+    with zero collectives. Inactive rows keep their state.
     secT: (n, 14) int32 — stream axis leading so it shards like the
     rest; transposed on device."""
     sec = secT.T
@@ -65,11 +73,38 @@ def _celt_sharded_step(dm, pre, X, bandE, secT, tr, active, *,
     return pcm.astype(jnp.int16), dm2, pre2
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "nb", "order", "frame"),
-                   donate_argnums=(0,))
-def _silk_sharded_step(st, exc, A, B, iv, bools, active, *,
-                       fs: int, nb: int, order: int, frame: int):
-    """Full-batch mono-SILK step (core synthesis + resample to 48 k)."""
+@functools.partial(jax.jit, static_argnames=("LM", "C", "CC"),
+                   donate_argnums=(0, 1))
+def _celt_sharded_step(dm, pre, X, bandE, secT, tr, active, *,
+                       LM: int, C: int, CC: int):
+    return _celt_sharded_frame(dm, pre, X, bandE, secT, tr, active,
+                               LM=LM, C=C, CC=CC)
+
+
+@functools.partial(jax.jit, static_argnames=("LM", "C", "CC"),
+                   donate_argnums=(0, 1))
+def _celt_sharded_superstep(dm, pre, XK, bandEK, secTK, trK, activeK, *,
+                            LM: int, C: int, CC: int):
+    """K frames in ONE sharded device program: lax.scan over the
+    full-batch frame body. Window staging carries a leading K axis
+    (replicated); every other axis shards exactly like the per-frame
+    step, so GSPMD partitions the scan body with zero collectives.
+    Returns (pcmK (K, n, CC, N) int16, dm', pre')."""
+    def body(carry, xs):
+        dm, pre = carry
+        X, bandE, secT, tr, active = xs
+        pcm, dm2, pre2 = _celt_sharded_frame(
+            dm, pre, X, bandE, secT, tr, active, LM=LM, C=C, CC=CC)
+        return (dm2, pre2), pcm
+    (dm, pre), pcmK = jax.lax.scan(
+        body, (dm, pre), (XK, bandEK, secTK, trK, activeK))
+    return pcmK, dm, pre
+
+
+def _silk_sharded_frame(st, exc, A, B, iv, bools, active, *,
+                        fs: int, nb: int, order: int, frame: int):
+    """Full-batch mono-SILK frame body (core synthesis + resample to
+    48 k), traced by the per-frame step AND the K-frame superstep."""
     ltp = 20 * fs
     outBuf = st["outBuf"]
     xq, sLPC2 = sjc.silk_core_frame(
@@ -95,14 +130,45 @@ def _silk_sharded_step(st, exc, A, B, iv, bools, active, *,
     return out48.astype(jnp.int16), st2
 
 
+@functools.partial(jax.jit, static_argnames=("fs", "nb", "order", "frame"),
+                   donate_argnums=(0,))
+def _silk_sharded_step(st, exc, A, B, iv, bools, active, *,
+                       fs: int, nb: int, order: int, frame: int):
+    return _silk_sharded_frame(st, exc, A, B, iv, bools, active,
+                               fs=fs, nb=nb, order=order, frame=frame)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "nb", "order", "frame"),
+                   donate_argnums=(0,))
+def _silk_sharded_superstep(st, excK, AK, BK, ivK, boolsK, activeK, *,
+                            fs: int, nb: int, order: int, frame: int):
+    """K mono-SILK frames in ONE sharded device program (lax.scan over
+    the full-batch frame body). Returns (pcmK (K, n, 960) int16, st')."""
+    def body(carry, xs):
+        exc, A, B, iv, bools, active = xs
+        out, st2 = _silk_sharded_frame(
+            carry, exc, A, B, iv, bools, active,
+            fs=fs, nb=nb, order=order, frame=frame)
+        return st2, out
+    st, outs = jax.lax.scan(
+        body, st, (excK, AK, BK, ivK, boolsK, activeK))
+    return outs, st
+
+
 class ShardedStreamPool:
     """Decode N uniform streams with ONE jitted step over a mesh.
 
     sources must be a uniform pool (all CELT 20 ms, or all mono SILK of
-    one internal rate); n must divide evenly over the mesh devices."""
+    one internal rate); n must divide evenly over the mesh devices.
+
+    superstep_k=K buffers K frames of host staging and runs them as ONE
+    sharded device program (see _celt_sharded_superstep) — one dispatch
+    per K frames per chip-set instead of per frame. Partial trailing
+    windows pad with all-inactive frames (state preserved bit-for-bit),
+    so the compiled (K, ...) shape is reused."""
 
     def __init__(self, sources, mesh=None, channels: int = 1,
-                 compat_ref: bool = True):
+                 compat_ref: bool = True, superstep_k: int = 1):
         from ..host.packet import (Mode, get_samples_per_frame,
                                    get_bandwidth, get_nb_frames)
         self.mesh = mesh if mesh is not None else make_stream_mesh()
@@ -116,9 +182,13 @@ class ShardedStreamPool:
                              f"{ndev} devices")
         self.channels = channels
         self.compat_ref = compat_ref
+        self.superstep_k = max(1, int(superstep_k))
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self._sh = stream_sharding(self.mesh)
+        # window staging: leading K axis replicated, streams axis sharded
+        self._shK = NamedSharding(self.mesh, P(None, "streams"))
+        self._win: list = []      # buffered (staging tuple, pos, ok)
 
         # classify: the pool must be uniform
         kinds = set()
@@ -167,53 +237,131 @@ class ShardedStreamPool:
     def _put(self, a):
         return jax.device_put(a, self._sh)
 
-    def step(self) -> bool:
+    # ------------------------------------------------------------ frame
+    def _host_frame(self):
+        """One host symbol phase over the group; returns (staging
+        tuple of np arrays, pos snapshot, ok mask) or None when every
+        stream is exhausted. Cursors advance here so the NEXT frame's
+        host phase reads the right packets even while the device window
+        is still buffering."""
         g = self.group
         pos = np.asarray(self.positions, dtype=np.int64)
         active = pos < g.table.n_packets
         if not active.any():
-            return False
+            return None
         ok = g.decode(pos, active)
-        sel = np.nonzero(ok)[0]
+        for r in np.nonzero(ok)[0]:
+            self.positions[r] = int(pos[r]) + 1
         if self.kind == "celt":
             params = g.params
             sec = np.concatenate(
                 [g.start[None], params[:, 15][None].astype(np.int32),
                  params[:, 3:9].T, params[:, 9:15].T], 0).astype(np.int32)
-            pcm, dm, pre = _celt_sharded_step(
-                self.state["decode_mem"], self.state["preemph"],
-                self._put(g.X.reshape(self.n, g.C, 960)),
-                self._put(g.bandE.reshape(self.n, 2, 21)),
-                self._put(np.ascontiguousarray(sec.T)),
-                self._put(params[:, 1].astype(bool)), self._put(ok),
-                LM=3, C=g.C, CC=self.channels)
-            self.state["decode_mem"], self.state["preemph"] = dm, pre
-            out = np.asarray(pcm)
+            stg = (g.X.reshape(self.n, g.C, 960).copy(),
+                   g.bandE.reshape(self.n, 2, 21).copy(),
+                   np.ascontiguousarray(sec.T),
+                   params[:, 1].astype(bool).copy(),
+                   ok.copy())
         else:
             b = g.buf
             iv = np.stack([b.gains, b.inv, b.lag, b.adj],
                           axis=1).astype(np.int32)
             bools = np.stack([b.flags[:, 0:4], b.flags[:, 4:8],
                               b.flags[:, 8:12]], axis=1).astype(bool)
-            out48, st2 = _silk_sharded_step(
-                self.state, self._put(b.exc), self._put(b.A),
-                self._put(b.B), self._put(iv), self._put(bools),
-                self._put(ok), fs=self.fs, nb=4, order=16
-                if self.fs == 16 else 10, frame=20 * self.fs)
-            self.state = st2
-            out = np.asarray(out48)
-        for r in sel:
+            stg = (b.exc.copy(), b.A.copy(), b.B.copy(), iv, bools,
+                   ok.copy())
+        return stg, pos, ok
+
+    def _route(self, out, pos, ok):
+        """Distribute one frame's fetched PCM to the per-stream output
+        lists (pre-skip / end-trim per packet)."""
+        for r in np.nonzero(ok)[0]:
             k = int(pos[r])
             job = self.streams[r].jobs[k]
             pcm_r = out[r].T if self.kind == "celt" else out[r][:, None]
             lo, hi = job.discard_front, pcm_r.shape[0] - job.trim_end
             self.pcm_out[r].append(pcm_r[lo:max(hi, lo)].astype(np.int16))
-            self.positions[r] = k + 1
+
+    # ------------------------------------------------------- per-frame
+    def _dispatch_frame(self, stg, pos, ok):
+        if self.kind == "celt":
+            X, bandE, secT, tr, okk = stg
+            pcm, dm, pre = _celt_sharded_step(
+                self.state["decode_mem"], self.state["preemph"],
+                self._put(X), self._put(bandE), self._put(secT),
+                self._put(tr), self._put(okk),
+                LM=3, C=self.group.C, CC=self.channels)
+            self.state["decode_mem"], self.state["preemph"] = dm, pre
+            out = np.asarray(pcm)
+        else:
+            exc, A, B, iv, bools, okk = stg
+            out48, st2 = _silk_sharded_step(
+                self.state, self._put(exc), self._put(A), self._put(B),
+                self._put(iv), self._put(bools), self._put(okk),
+                fs=self.fs, nb=4, order=16 if self.fs == 16 else 10,
+                frame=20 * self.fs)
+            self.state = st2
+            out = np.asarray(out48)
+        self._route(out, pos, ok)
+
+    # ------------------------------------------------------- superstep
+    def _dispatch_window(self):
+        """Run the buffered frames as ONE K-frame sharded program.
+        A partial window pads with all-inactive zero frames so the
+        compiled (K, ...) shapes are stable across flushes."""
+        frames, self._win = self._win, []
+        if not frames:
+            return
+        K = self.superstep_k
+        stg0 = frames[0][0]
+        while len(frames) < K:
+            pad = tuple(np.zeros_like(a) for a in stg0)
+            frames.append((pad, None, None))
+        cols = [np.stack(parts)
+                for parts in zip(*(f[0] for f in frames))]
+        colsK = jax.device_put(tuple(cols), self._shK)
+        if self.kind == "celt":
+            pcmK, dm, pre = _celt_sharded_superstep(
+                self.state["decode_mem"], self.state["preemph"], *colsK,
+                LM=3, C=self.group.C, CC=self.channels)
+            self.state["decode_mem"], self.state["preemph"] = dm, pre
+        else:
+            pcmK, st2 = _silk_sharded_superstep(
+                self.state, *colsK,
+                fs=self.fs, nb=4, order=16 if self.fs == 16 else 10,
+                frame=20 * self.fs)
+            self.state = st2
+        outK = np.asarray(pcmK)
+        for k, (_stg, pos, ok) in enumerate(frames):
+            if pos is None:
+                break
+            self._route(outK[k], pos, ok)
+
+    # ----------------------------------------------------------- drive
+    def step(self) -> bool:
+        """One frame on every active stream. superstep_k>1 buffers the
+        frame's staging and dispatches once per K frames (flush() or
+        run() drain a trailing partial window)."""
+        fr = self._host_frame()
+        if fr is None:
+            return False
+        if self.superstep_k == 1:
+            self._dispatch_frame(*fr)
+            return True
+        self._win.append(fr)
+        if len(self._win) >= self.superstep_k:
+            self._dispatch_window()
         return True
+
+    def flush(self):
+        """Dispatch any buffered partial window (padded to K)."""
+        if self._win:
+            self._dispatch_window()
 
     def run(self):
         while self.step():
             pass
+        self.flush()
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

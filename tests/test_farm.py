@@ -47,6 +47,24 @@ def test_farm_loss_fec_global_indexing():
 
 
 @pytest.mark.slow
+def test_farm_superstep_matches_single_pool():
+    """superstep_k plumbs through to every shard pool: a uniform
+    mono-SILK farm at K=8 dispatches ONE device program per 8 frames
+    per shard and stays bit-exact vs the plain single pool (VERDICT r03
+    item 1b: farm.py used to hardcode its pool kwargs without
+    superstep_k, so the pod-scale vehicle could not run the fast
+    path)."""
+    srcs = [str(fixture_path("silk_wb_mono_20ms"))] * 8
+    farm = PoolFarm(srcs, channels=1, fixed_buckets=True, superstep_k=8)
+    for pool in farm.pools:
+        assert pool._ss_k == 8, "superstep_k did not reach the shard pool"
+    outs = farm.run()
+    ref = StreamPool(srcs, channels=1).run()
+    for i in range(len(srcs)):
+        assert np.array_equal(outs[i], ref[i])
+
+
+@pytest.mark.slow
 def test_farm_add_stream_midflight():
     farm = PoolFarm(SRCS[:4], channels=1)
     for _ in range(10):

@@ -1,7 +1,10 @@
 """Single-program multi-chip pool: ONE jitted step over an 8-device
 virtual mesh with the state pytree sharded on the streams axis —
 decoding real fixtures bit-exactly (SURVEY.md §2.7; the conftest forces
-an 8-device CPU platform)."""
+an 8-device CPU platform). superstep_k=8 runs the same decode as ONE
+K-frame sharded program per 8 frames (lax.scan over the full-batch
+frame body) and must stay bit-exact, including the padded partial
+trailing window."""
 import numpy as np
 import pytest
 
@@ -19,10 +22,12 @@ def mesh():
     return make_stream_mesh(jax.devices()[:8])
 
 
-def test_sharded_celt_pool_bitexact(mesh):
+@pytest.mark.parametrize("superstep_k", [1, 8])
+def test_sharded_celt_pool_bitexact(mesh, superstep_k):
     name = "celt_fb_mono_20ms"
     pool = ShardedStreamPool([str(fixture_path(name))] * 16, mesh=mesh,
-                             channels=1, compat_ref=True)
+                             channels=1, compat_ref=True,
+                             superstep_k=superstep_k)
     # the state really is sharded over the mesh
     sh = pool.state["decode_mem"].sharding
     assert sh.mesh.devices.size == 8
@@ -31,13 +36,31 @@ def test_sharded_celt_pool_bitexact(mesh):
     assert all(np.array_equal(o, gold) for o in outs)
 
 
-def test_sharded_silk_pool_bitexact(mesh):
+@pytest.mark.parametrize("superstep_k", [1, 8])
+def test_sharded_silk_pool_bitexact(mesh, superstep_k):
     name = "silk_wb_mono_20ms"
     pool = ShardedStreamPool([str(fixture_path(name))] * 8, mesh=mesh,
-                             channels=1, compat_ref=True)
+                             channels=1, compat_ref=True,
+                             superstep_k=superstep_k)
     outs = pool.run()
     gold = golden_pcm(name)[:, :1]
     assert all(np.array_equal(o, gold) for o in outs)
+
+
+def test_sharded_superstep_state_still_sharded(mesh):
+    """After K-frame windows the carried state must KEEP its mesh
+    sharding (a silent reshard to replicated would explode memory and
+    serialize the next window)."""
+    name = "celt_fb_mono_20ms"
+    pool = ShardedStreamPool([str(fixture_path(name))] * 16, mesh=mesh,
+                             channels=1, superstep_k=4)
+    for _ in range(4):
+        pool.step()
+    sh = pool.state["decode_mem"].sharding
+    assert getattr(sh, "mesh", None) is not None \
+        and sh.mesh.devices.size == 8
+    spec = sh.spec
+    assert tuple(spec)[:1] == ("streams",)
 
 
 def test_sharded_pool_rejects_uneven_split(mesh):

@@ -22,6 +22,22 @@ same per-chip ceiling instead of paying one dispatch per frame. The
 per-frame active mask rides inside the window: a padded flush frame is
 all-inactive and keeps the state bit-for-bit.
 
+Two program families:
+
+  * fused (shard_map, the TPU path): each shard runs StreamPool's OWN
+    fast-path frame bodies on its local block — the transposed CELT
+    pipeline (_celt_packed_frame_T: in-VMEM Pallas iMDCT, per-lane comb
+    delay kernel) and the fused SILK core (which picks its Pallas
+    kernel per shard). Pallas kernels cannot be auto-partitioned by
+    GSPMD, so shard_map is the ONLY legal multi-chip composition of
+    the fast path — and it makes the scale-out program literally the
+    single-chip program, so the per-chip ceiling matches the
+    single-pool headline by construction. Zero collectives: decode has
+    no cross-stream math (SURVEY.md §2.7).
+  * auto-partitioned (GSPMD, the portable fallback): the row-major
+    full-batch bodies below, pure XLA ops that GSPMD shards from the
+    NamedSharding annotations alone. Used off-TPU (CPU CI meshes).
+
 Covers the uniform high-volume farm shapes (CELT-only and mono-SILK
 pools, BASELINE configs 1/2/4 at pod scale); heterogeneous pools
 compose as one ShardedStreamPool per kind, or fall back to PoolFarm
@@ -30,6 +46,7 @@ compose as one ShardedStreamPool per kind, or fall back to PoolFarm
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -47,6 +64,62 @@ from .mesh import make_stream_mesh, stream_sharding
 
 _ENDBAND_OF_BW = {1101: 13, 1102: 17, 1103: 17, 1104: 19, 1105: 21}
 _FS_OF_BW = {1101: 8, 1102: 12, 1103: 16, 1104: 16, 1105: 16}
+
+
+# --------------------------------------------------------------- fused
+@functools.lru_cache(maxsize=None)
+def _fused_celt_superstep(mesh, LM: int, C: int, CC: int,
+                          interpret: bool):
+    """shard_map program: every shard runs StreamPool's transposed
+    K-frame CELT body (_celt_packed_frame_T — Pallas iMDCT + comb) on
+    its local lane block. State dmT (CC, L, n) shards on the LANES
+    axis; staging (K, n, W) on the rows axis; no collectives."""
+    from ..models.stream_pool import _celt_packed_frame_T
+
+    def body(dmT, pre, stgK):
+        def f(carry, stg):
+            d, p = carry
+            pcmT, d2, p2 = _celt_packed_frame_T(
+                d, p, stg, LM=LM, C=C, CC=CC, chunk=13, masked=True,
+                downsample=1, interpret=interpret)
+            return (d2, p2), pcmT
+        (dmT, pre), pcmK = jax.lax.scan(f, (dmT, pre), stgK)
+        return pcmK, dmT, pre
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, "streams"), P("streams"),
+                  P(None, "streams")),
+        out_specs=(P(None, None, None, "streams"),
+                   P(None, None, "streams"), P("streams")),
+        check_vma=False)   # pallas_call emits ShapeDtypeStructs sans vma
+    return jax.jit(sm, donate_argnums=(0, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_silk_superstep(mesh, fs: int, nb: int, order: int,
+                          frame: int):
+    """shard_map program: every shard runs the full-batch mono-SILK
+    K-frame scan on its local rows (the SILK core picks its fused
+    Pallas kernel per shard on TPU — legal under shard_map, not under
+    GSPMD auto-partitioning)."""
+    def body(st, excK, AK, BK, ivK, boolsK, activeK):
+        def f(carry, xs):
+            exc, A, B, iv, bools, active = xs
+            out, st2 = _silk_sharded_frame(
+                carry, exc, A, B, iv, bools, active,
+                fs=fs, nb=nb, order=order, frame=frame)
+            return st2, out
+        st, outs = jax.lax.scan(
+            f, st, (excK, AK, BK, ivK, boolsK, activeK))
+        return outs, st
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("streams"),) + (P(None, "streams"),) * 6,
+        out_specs=(P(None, "streams"), P("streams")),
+        check_vma=False)   # the SILK core may lower to pallas per shard
+    return jax.jit(sm, donate_argnums=(0,))
 
 
 def _celt_sharded_frame(dm, pre, X, bandE, secT, tr, active, *,
@@ -165,10 +238,16 @@ class ShardedStreamPool:
     sharded device program (see _celt_sharded_superstep) — one dispatch
     per K frames per chip-set instead of per frame. Partial trailing
     windows pad with all-inactive frames (state preserved bit-for-bit),
-    so the compiled (K, ...) shape is reused."""
+    so the compiled (K, ...) shape is reused.
+
+    fused=True (default on TPU; force with OTPU_SHARDMAP=1) runs the
+    shard_map programs — StreamPool's transposed/Pallas fast path per
+    shard (see module docstring). fused=False keeps the GSPMD
+    auto-partitioned row-major programs (the CPU-CI default)."""
 
     def __init__(self, sources, mesh=None, channels: int = 1,
-                 compat_ref: bool = True, superstep_k: int = 1):
+                 compat_ref: bool = True, superstep_k: int = 1,
+                 fused: bool | None = None):
         from ..host.packet import (Mode, get_samples_per_frame,
                                    get_bandwidth, get_nb_frames)
         self.mesh = mesh if mesh is not None else make_stream_mesh()
@@ -183,11 +262,19 @@ class ShardedStreamPool:
         self.channels = channels
         self.compat_ref = compat_ref
         self.superstep_k = max(1, int(superstep_k))
+        backend = jax.default_backend()
+        if fused is None:
+            fused = backend == "tpu" \
+                or os.environ.get("OTPU_SHARDMAP") == "1"
+        self.fused = bool(fused)
+        self._interp = backend != "tpu"
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
         self._sh = stream_sharding(self.mesh)
         # window staging: leading K axis replicated, streams axis sharded
         self._shK = NamedSharding(self.mesh, P(None, "streams"))
+        # fused CELT state: transposed (CC, L, lanes) — lanes shard
+        self._sh_lanes = NamedSharding(self.mesh, P(None, None, "streams"))
         self._win: list = []      # buffered (staging tuple, pos, ok)
 
         # classify: the pool must be uniform
@@ -213,9 +300,22 @@ class ShardedStreamPool:
                 int(get_bandwidth(self.streams[0].jobs[0].data[0])), 21)
             self.group = hg.CeltGroup(list(range(self.n)), jls, 960,
                                       channels, 0, [end] * self.n)
-            state = batch_celt.make_state(self.n, channels)
-            self.state = {k: jax.device_put(v, self._sh)
-                          for k, v in state.items()}
+            if self.fused:
+                from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
+                                                      OVERLAP)
+                L = DECODE_BUFFER_SIZE + OVERLAP
+                self.state = {
+                    "decode_mem": jax.device_put(
+                        jnp.zeros((channels, L, self.n), dtype=I32),
+                        self._sh_lanes),
+                    "preemph": jax.device_put(
+                        jnp.zeros((self.n, channels), dtype=I32),
+                        self._sh),
+                }
+            else:
+                state = batch_celt.make_state(self.n, channels)
+                self.state = {k: jax.device_put(v, self._sh)
+                              for k, v in state.items()}
         elif mode == Mode.SILK_ONLY and channels == 1:
             self.kind = "silk"
             self.fs = fs
@@ -257,11 +357,29 @@ class ShardedStreamPool:
             sec = np.concatenate(
                 [g.start[None], params[:, 15][None].astype(np.int32),
                  params[:, 3:9].T, params[:, 9:15].T], 0).astype(np.int32)
-            stg = (g.X.reshape(self.n, g.C, 960).copy(),
-                   g.bandE.reshape(self.n, 2, 21).copy(),
-                   np.ascontiguousarray(sec.T),
-                   params[:, 1].astype(bool).copy(),
-                   ok.copy())
+            if self.fused:
+                # packed transposed-path staging row (StreamPool's
+                # _stage_celt_T layout): [idx(2) tr sec(14) active
+                # bandE(42) X(C*960)] int16
+                from ..models.stream_pool import _CELT_HDR, NB_EBANDS
+                C = g.C
+                stgp = np.zeros(
+                    (self.n, _CELT_HDR + 2 * NB_EBANDS + C * 960),
+                    dtype=np.int16)
+                stgp[:, 2] = params[:, 1].astype(np.int16)
+                stgp[:, 3:17] = sec.T.astype(np.int16)
+                stgp[:, 17] = ok.astype(np.int16)
+                stgp[:, _CELT_HDR:_CELT_HDR + 2 * NB_EBANDS] = \
+                    g.bandE.reshape(self.n, 2 * NB_EBANDS)
+                stgp[:, _CELT_HDR + 2 * NB_EBANDS:] = \
+                    g.X.reshape(self.n, C * 960)
+                stg = (stgp,)
+            else:
+                stg = (g.X.reshape(self.n, g.C, 960).copy(),
+                       g.bandE.reshape(self.n, 2, 21).copy(),
+                       np.ascontiguousarray(sec.T),
+                       params[:, 1].astype(bool).copy(),
+                       ok.copy())
         else:
             b = g.buf
             iv = np.stack([b.gains, b.inv, b.lag, b.adj],
@@ -274,11 +392,16 @@ class ShardedStreamPool:
 
     def _route(self, out, pos, ok):
         """Distribute one frame's fetched PCM to the per-stream output
-        lists (pre-skip / end-trim per packet)."""
+        lists (pre-skip / end-trim per packet). Fused CELT frames are
+        transposed (CC, Nd, lanes): stream r is lane column r."""
+        celt = self.kind == "celt"
         for r in np.nonzero(ok)[0]:
             k = int(pos[r])
             job = self.streams[r].jobs[k]
-            pcm_r = out[r].T if self.kind == "celt" else out[r][:, None]
+            if celt:
+                pcm_r = out[:, :, r].T if self.fused else out[r].T
+            else:
+                pcm_r = out[r][:, None]
             lo, hi = job.discard_front, pcm_r.shape[0] - job.trim_end
             self.pcm_out[r].append(pcm_r[lo:max(hi, lo)].astype(np.int16))
 
@@ -321,15 +444,26 @@ class ShardedStreamPool:
                 for parts in zip(*(f[0] for f in frames))]
         colsK = jax.device_put(tuple(cols), self._shK)
         if self.kind == "celt":
-            pcmK, dm, pre = _celt_sharded_superstep(
-                self.state["decode_mem"], self.state["preemph"], *colsK,
-                LM=3, C=self.group.C, CC=self.channels)
+            if self.fused:
+                fn = _fused_celt_superstep(self.mesh, 3, self.group.C,
+                                           self.channels, self._interp)
+                pcmK, dm, pre = fn(self.state["decode_mem"],
+                                   self.state["preemph"], colsK[0])
+            else:
+                pcmK, dm, pre = _celt_sharded_superstep(
+                    self.state["decode_mem"], self.state["preemph"],
+                    *colsK, LM=3, C=self.group.C, CC=self.channels)
             self.state["decode_mem"], self.state["preemph"] = dm, pre
         else:
-            pcmK, st2 = _silk_sharded_superstep(
-                self.state, *colsK,
-                fs=self.fs, nb=4, order=16 if self.fs == 16 else 10,
-                frame=20 * self.fs)
+            kw = dict(fs=self.fs, nb=4,
+                      order=16 if self.fs == 16 else 10,
+                      frame=20 * self.fs)
+            if self.fused:
+                fn = _fused_silk_superstep(self.mesh, **kw)
+                pcmK, st2 = fn(self.state, *colsK)
+            else:
+                pcmK, st2 = _silk_sharded_superstep(
+                    self.state, *colsK, **kw)
             self.state = st2
         outK = np.asarray(pcmK)
         for k, (_stg, pos, ok) in enumerate(frames):
@@ -345,9 +479,11 @@ class ShardedStreamPool:
         fr = self._host_frame()
         if fr is None:
             return False
-        if self.superstep_k == 1:
+        if self.superstep_k == 1 and not self.fused:
             self._dispatch_frame(*fr)
             return True
+        # fused programs are window-shaped for every K (a K=1 window is
+        # a length-1 scan), so fused mode always buffers+dispatches here
         self._win.append(fr)
         if len(self._win) >= self.superstep_k:
             self._dispatch_window()

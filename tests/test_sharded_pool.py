@@ -63,6 +63,45 @@ def test_sharded_superstep_state_still_sharded(mesh):
     assert tuple(spec)[:1] == ("streams",)
 
 
+@pytest.mark.slow
+def test_sharded_fused_celt_prefix(mesh, monkeypatch):
+    """fused (shard_map) mode: every shard runs StreamPool's transposed
+    Pallas CELT body on its local lane block — the only composition
+    that is legal on real multi-chip TPU (GSPMD cannot partition a
+    pallas_call). Forced on the CPU mesh via OTPU_SHARDMAP=1 with
+    interpret-mode kernels (slow — a short prefix only), bit-exact vs
+    golden."""
+    monkeypatch.setenv("OTPU_SHARDMAP", "1")
+    name = "celt_fb_mono_20ms"
+    pool = ShardedStreamPool([str(fixture_path(name))] * 8, mesh=mesh,
+                             channels=1, compat_ref=True, superstep_k=3)
+    assert pool.fused
+    # transposed state: lanes axis sharded over the mesh
+    assert pool.state["decode_mem"].shape[2] == 8
+    for _ in range(7):          # 2 windows + 1-frame partial
+        pool.step()
+    pool.flush()
+    gold = golden_pcm(name)[:, :1]
+    for p in pool.pcm_out:
+        got = np.concatenate(p)
+        assert np.array_equal(got, gold[:got.shape[0]])
+        assert got.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_sharded_fused_silk_bitexact(mesh, monkeypatch):
+    """fused (shard_map) mono-SILK pool: full decode, bit-exact, K=4
+    windows with a padded trailing flush."""
+    monkeypatch.setenv("OTPU_SHARDMAP", "1")
+    name = "silk_wb_mono_20ms"
+    pool = ShardedStreamPool([str(fixture_path(name))] * 8, mesh=mesh,
+                             channels=1, compat_ref=True, superstep_k=4)
+    assert pool.fused
+    outs = pool.run()
+    gold = golden_pcm(name)[:, :1]
+    assert all(np.array_equal(o, gold) for o in outs)
+
+
 def test_sharded_pool_rejects_uneven_split(mesh):
     with pytest.raises(ValueError):
         ShardedStreamPool([str(fixture_path("celt_fb_mono_20ms"))] * 3,

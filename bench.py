@@ -117,6 +117,8 @@ def bench_pool_loss(src, B, channels, iters, fec=False, **pool_kw):
         lost = {i for i in range(B) if i % 10 == k % 10}
         pool.step(lost, fec=lost if fec else None)
     pool.sync()
+    for k in pool._phase_s:
+        pool._phase_s[k] = 0.0
     t0 = time.time()
     n = 0
     for k in range(iters):
@@ -126,7 +128,10 @@ def bench_pool_loss(src, B, channels, iters, fec=False, **pool_kw):
         n += 1
     pool.sync()
     dt = time.time() - t0
-    return (B * 0.02 / (dt / n), dt / n * 1000) if n else (0.0, 0.0)
+    if n == 0:
+        return 0.0, 0.0, {}
+    phases = {k: round(v / n * 1000, 1) for k, v in pool._phase_s.items()}
+    return B * 0.02 / (dt / n), dt / n * 1000, phases
 
 
 def bench_host(B=256, reps=5):
@@ -360,6 +365,53 @@ def bench_link():
     return h2d, d2h
 
 
+def bench_sharded_device(B=2048, iters=6, K=64):
+    """Device capacity of the SPMD scale-out path (VERDICT r03 #1):
+    the parallel.sharded_pool fused shard_map K-frame CELT superstep,
+    same synthetic workload as bench_device, over a mesh of the real
+    chips available here (1). The shard body IS StreamPool's
+    single-chip transposed K-frame body, so this should land within
+    noise of device_superstep_streams — recorded so the claim is
+    measured, not by-construction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from esp32_opus_player_tpu.models.stream_pool import (_CELT_HDR,
+                                                          NB_EBANDS)
+    from esp32_opus_player_tpu.parallel.mesh import make_stream_mesh
+    from esp32_opus_player_tpu.parallel.sharded_pool import (
+        _fused_celt_superstep)
+    W = _CELT_HDR + 2 * NB_EBANDS + 960
+    rng = np.random.default_rng(0)
+    stg = np.zeros((B, W), dtype=np.int16)
+    stg[:, 2] = rng.integers(0, 2, B)
+    stg[:, 4] = 21
+    stg[:, 5:7] = rng.integers(15, 1024, (B, 2))
+    stg[:, 11:13] = rng.integers(15, 1024, (B, 2))
+    stg[:, 7:9] = 12288
+    stg[:, 13:15] = 12288
+    stg[:, 17] = 1
+    stg[:, _CELT_HDR:] = rng.integers(-8192, 8192, (B, W - _CELT_HDR),
+                                      dtype=np.int16)
+    stgK = np.broadcast_to(stg, (K,) + stg.shape).copy()
+    mesh = make_stream_mesh()
+    sh = lambda spec: NamedSharding(mesh, spec)
+    dm = jax.device_put(np.zeros((1, 2168, B), np.int32),
+                        sh(P(None, None, "streams")))
+    pre = jax.device_put(np.zeros((B, 1), np.int32), sh(P("streams")))
+    sK = jax.device_put(stgK, sh(P(None, "streams")))
+    interp = jax.default_backend() != "tpu"
+    fn = _fused_celt_superstep(mesh, 3, 1, 1, interp)
+    pcmK, dm, pre = fn(dm, pre, sK)
+    jax.block_until_ready(dm)
+    t0 = time.time()
+    for _ in range(iters):
+        pcmK, dm, pre = fn(dm, pre, sK)
+    jax.block_until_ready(dm)
+    sstep = (time.time() - t0) / iters / K
+    return B * 0.02 / sstep, len(mesh.devices.flat)
+
+
 def main():
     import jax
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -370,6 +422,11 @@ def main():
 
     (dev_streams, dev_ms, compile_s, sstep_streams, sstep_by_B,
      sstep_upload_by_B) = bench_device()
+    sharded_streams, n_mesh_dev = bench_sharded_device()
+    print(f"# sharded (shard_map SPMD) K=64 superstep over "
+          f"{n_mesh_dev}-device mesh: {sharded_streams:.0f} realtime "
+          f"streams ({sharded_streams / n_mesh_dev:.0f}/chip)",
+          file=sys.stderr)
     print(f"# device synthesis (transposed fused step, synchronized, "
           f"varied lags): {dev_ms:.1f} ms/frame at B=2048 -> "
           f"{dev_streams:.0f} realtime streams/chip; K=64 superstep -> "
@@ -440,33 +497,37 @@ def main():
     # vs the materialize phase actually paid in the pcm-to-host config
     pcm_mb = B * 960 * 2 / 1e6
 
-    streams, step_ms = bench_pool_loss(
+    streams, step_ms, phases = bench_pool_loss(
         f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters)
     configs["silk_wb_10pct_loss_plc"] = round(streams, 1)
+    phase_split["silk_wb_10pct_loss_plc"] = phases
     print(f"# e2e silk_wb + 10% loss (batched PLC): {step_ms:.0f} ms/step"
-          f" -> {streams:.0f} realtime streams", file=sys.stderr)
+          f" -> {streams:.0f} realtime streams (phases {phases})",
+          file=sys.stderr)
 
     # lossy superstep: conceal rows ride the K-frame window as masked
     # rows (no flush, no per-frame conceal launches)
-    streams, step_ms = bench_pool_loss(
+    streams, step_ms, phases = bench_pool_loss(
         f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters,
         superstep_k=8)
     configs["silk_wb_10pct_loss_plc_ss8"] = round(streams, 1)
+    phase_split["silk_wb_10pct_loss_plc_ss8"] = phases
     print(f"# e2e silk_wb + 10% loss (in-window PLC, K=8 superstep): "
-          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams",
-          file=sys.stderr)
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
+          f"(phases {phases})", file=sys.stderr)
 
     # 10% loss recovered via in-band FEC (LBRR from the next packet,
     # fixture encoded with FEC enabled): FEC rows run the normal decode
     # program, so the whole lossy step stays inside the K-frame
     # superstep window
-    streams, step_ms = bench_pool_loss(
+    streams, step_ms, phases = bench_pool_loss(
         f"{FIX}/silk_wb_fec_mono_20ms.opus", B // 2, 1, iters,
         fec=True, superstep_k=8)
     configs["silk_wb_10pct_fec_ss8"] = round(streams, 1)
+    phase_split["silk_wb_10pct_fec_ss8"] = phases
     print(f"# e2e silk_wb + 10% loss -> in-band FEC (K=8 superstep): "
-          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams",
-          file=sys.stderr)
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
+          f"(phases {phases})", file=sys.stderr)
 
     # headline = the CHIP's full decode capacity (PCM to HBM, K-frame
     # superstep, varied lags, synchronized execution): the north-star
@@ -485,6 +546,8 @@ def main():
             "device_superstep_streams_by_B": sstep_by_B,
             "device_superstep_streams_with_upload_by_B":
                 sstep_upload_by_B,
+            "device_sharded_superstep_streams": round(sharded_streams),
+            "sharded_mesh_devices": n_mesh_dev,
             "device_silk_streams": round(silk_streams),
             "device_silk_superstep_streams": round(silk_ss_streams),
             "device_silk_superstep_streams_by_B": silk_ss_by_B,

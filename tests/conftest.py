@@ -15,6 +15,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 ROOT = pathlib.Path(__file__).resolve().parent
+
+# The suite compiles hundreds of distinct XLA programs; in one long
+# process the CPU compiler has been observed to segfault (flaky, inside
+# backend_compile_and_load, not a decoder defect). Dropping compiled
+# programs between modules keeps the process-wide compiler state small
+# so one flaky crash can't eat the tail of a full run. Recompiles cost
+# a few seconds per module; correctness is unaffected.
+_seen_modules: set = set()
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_module(request):
+    mod = request.module.__name__
+    if mod not in _seen_modules:
+        _seen_modules.add(mod)
+        if len(_seen_modules) > 1:
+            jax.clear_caches()
+    yield
 FIXTURES = ROOT / "fixtures"
 GOLDEN = ROOT / "golden"
 

@@ -1334,6 +1334,45 @@ class StreamPool:
                     continue
             self.path.append(("scalar",))
 
+        # heterogeneous superstep: a MIXED-kind pool would forfeit the
+        # K-frame superstep entirely (every gate below requires one
+        # uniform kind). Instead, lift each batchable kind's streams
+        # into an internal uniform sub-pool — the _ms_subs move applied
+        # to kinds — so every kind runs its own K-frame superstep;
+        # only genuinely scalar rows (chained links, true multistream
+        # composites) stay in the parent. The realistic farm shape
+        # (CELT music + SILK voice + hybrid in one population) then
+        # pays zero scalar-path frames. Applies when superstep_k > 1
+        # and fixed_buckets (the serving configuration); uniform pools
+        # keep the direct in-pool fast path.
+        self._kind_subs: dict[str, "StreamPool"] = {}
+        self._kind_ref: dict[int, tuple] = {}
+        self._kind_idx: dict[str, np.ndarray] = {}
+        batchable = ("celt", "silk", "silk2", "hybrid", "hybrid2")
+        kinds_here = {p[0] for p in self.path if p[0] in batchable}
+        uniform = len(kinds_here) == 1 and all(
+            p[0] in batchable for p in self.path)
+        if superstep_k > 1 and fixed_buckets and kinds_here \
+                and not uniform:
+            kgroups: dict[str, list] = {}
+            for i, p in enumerate(self.path):
+                if p[0] in batchable:
+                    kgroups.setdefault(p[0], []).append(i)
+            for key in sorted(kgroups):
+                idxs = kgroups[key]
+                self._kind_subs[key] = StreamPool(
+                    [self.streams[i] for i in idxs],
+                    channels=channels, native=native,
+                    compat_ref=compat_ref, host_threads=host_threads,
+                    fixed_buckets=fixed_buckets, rfc_plc=rfc_plc,
+                    output=output, device_keep=device_keep,
+                    out_fs=out_fs, superstep_k=superstep_k,
+                    ms_batch=ms_batch)
+                self._kind_idx[key] = np.asarray(idxs, dtype=np.int64)
+                for slot, i in enumerate(idxs):
+                    self._kind_ref[i] = (key, slot)
+                    self.path[i] = ("sub", key, slot)
+
         # out_fs < 48000 is supported on every batched path: CELT pools
         # decimate on device (resampling_factor semantics, celt.cpp:817
         # with the anti-alias spectral bound), SILK pools resample the
@@ -1435,7 +1474,9 @@ class StreamPool:
         # on a not-yet-dispatched window
         self.pipeline_depth = max(2, self._ss_k)
         self._groups: list = []
-        is_ms = [p[0] in ("ms", "msb") for p in self.path]
+        # ms/msb/sub rows decode elsewhere (OpusMSDecoder / sub-pools):
+        # no per-row host engines or scalar decoders in the parent
+        is_ms = [p[0] in ("ms", "msb", "sub") for p in self.path]
         if native:
             from ..host.native import NativeCELTHost, NativeSilkHost
             self.celt_hosts: list = [None] * self.n
@@ -1833,9 +1874,9 @@ class StreamPool:
 
     def _host_one(self, i: int, lost: bool = False, use_fec: bool = False):
         s = self.streams[i]
-        if self.path[i][0] == "msb":
-            # batched-multistream parent: its packets were consumed by
-            # the sub-pool fan-out in step(); nothing to do per row
+        if self.path[i][0] in ("msb", "sub"):
+            # batched-multistream parent / kind-lifted row: its packets
+            # were consumed by the sub-pool fan-out in step()
             return None
         if self.positions[i] >= len(s.jobs):
             return None
@@ -2213,6 +2254,24 @@ class StreamPool:
             for key, sp in self._ms_subs.items():
                 sub_work = sp.step(sub_lost[key], sub_fec[key]) \
                     or sub_work
+        if self._kind_subs:
+            # heterogeneous pool: each kind's streams decode in their
+            # uniform sub-pool (each with its own K-frame superstep);
+            # the parent mirrors their packet cursors so run()/farm
+            # loss schedules keep reading parent.positions
+            klost = {k: set() for k in self._kind_subs}
+            kfec = {k: set() for k in self._kind_subs}
+            for g in lost:
+                ref = self._kind_ref.get(g)
+                if ref is not None:
+                    klost[ref[0]].add(ref[1])
+            for g in fec:
+                ref = self._kind_ref.get(g)
+                if ref is not None:
+                    kfec[ref[0]].add(ref[1])
+            for key, sp in self._kind_subs.items():
+                sub_work = sp.step(klost[key], kfec[key]) or sub_work
+                self.positions[self._kind_idx[key]] = sp.positions
         pend = dict(celt=[], silk=[], silk2=[], mute=set(), hybrid=set(),
                     meta={}, direct=[], mix=[])
         handled: set = set()
@@ -2224,6 +2283,8 @@ class StreamPool:
             rmask = np.ones(self.n, dtype=bool)
             if handled:
                 rmask[list(handled)] = False
+            for idxs in self._kind_idx.values():
+                rmask[idxs] = False      # lifted rows: sub-pools decode
             rest = np.nonzero(rmask)[0].tolist()
         if self._pool is not None:
             results = list(self._pool.map(
@@ -2594,6 +2655,11 @@ class StreamPool:
         that shape is needed)."""
         if self.output != "device":
             raise ValueError("attach_consumer requires output='device'")
+        if self._kind_subs:
+            raise ValueError(
+                "attach_consumer is per-kind on heterogeneous pools: "
+                "attach to pool._kind_subs[kind] (each sub-pool is a "
+                "uniform StreamPool)")
         self._consumer = consumer
 
     def _feed_consumer(self, pend):
@@ -3708,6 +3774,8 @@ class StreamPool:
         first real frames run at steady-state speed."""
         for sp in self._ms_subs.values():
             sp.warmup()
+        for sp in self._kind_subs.values():
+            sp.warmup()
         if self._t_mode:
             from ..ops.celt.jax_synthesis import (DECODE_BUFFER_SIZE,
                                                   OVERLAP)
@@ -3962,9 +4030,13 @@ class StreamPool:
         OPUS_GET_FINAL_RANGE conformance probe (reference
         src/opus_decoder.cpp:375), exported for stream-health monitoring."""
         out = []
+        krng = {key: sp.final_ranges()
+                for key, sp in self._kind_subs.items()}
         for i in range(self.n):
             kind = self.path[i][0]
-            if kind == "scalar":
+            if kind == "sub":
+                out.append(krng[self.path[i][1]][self.path[i][2]])
+            elif kind == "scalar":
                 out.append(self.scalar[i].final_range)
             elif kind == "ms":
                 d = self._ms_decs.get(i)
@@ -4002,6 +4074,25 @@ class StreamPool:
         out = dict(self._stats, buckets=dict(self._stats["buckets"]),
                    phase_s=dict(self._phase_s),
                    streams=self.n, active_streams=active)
+        if self._kind_subs:
+            # heterogeneous pool: the lifted rows' work happened in the
+            # kind sub-pools — merge their counters so the parent's
+            # stats describe the whole population
+            out["kind_subs"] = {}
+            for key, sp in self._kind_subs.items():
+                sub = sp.stats()
+                for k in ("frames", "bytes_in", "samples_out",
+                          "frames_celt", "frames_silk", "frames_hybrid",
+                          "frames_scalar", "frames_lost", "frames_fec"):
+                    out[k] += sub[k]
+                for bk, v in sub["buckets"].items():
+                    out["buckets"][bk] = out["buckets"].get(bk, 0) + v
+                for ph, v in sub["phase_s"].items():
+                    out["phase_s"][ph] += v
+                out["kind_subs"][key] = dict(
+                    streams=sp.n, superstep_k=sp._ss_k,
+                    frames=sub["frames"],
+                    frames_scalar=sub["frames_scalar"])
         return out
 
     def sync(self):
@@ -4023,6 +4114,20 @@ class StreamPool:
             jax.block_until_ready(st["outBuf"])
         for sp in self._ms_subs.values():
             sp.sync()
+        for sp in self._kind_subs.values():
+            sp.sync()
+
+    def _assemble_subs(self):
+        """Pull each kind-lifted row's PCM from its sub-pool into the
+        parent row (heterogeneous superstep pools; see __init__)."""
+        if not self._kind_subs:
+            return
+        sub_pcm = {key: sp.drain() for key, sp in self._kind_subs.items()}
+        for i, (key, slot) in self._kind_ref.items():
+            a = sub_pcm[key][slot]
+            if a.shape[0]:
+                self.pcm_out[i].append(a)
+                self._stats["samples_out"] += a.shape[0]
 
     def _assemble_ms(self):
         """Interleave the elementary-stream sub-pools' PCM into each
@@ -4064,6 +4169,7 @@ class StreamPool:
             for pend in held:
                 self._route(pend)
         self._assemble_ms()
+        self._assemble_subs()
         out = [np.concatenate(p) if p else
                np.zeros((0, self.channels), dtype=np.int16)
                for p in self.pcm_out]
@@ -4103,12 +4209,19 @@ class StreamPool:
                         fec_set.add(i)
             if not self.step(lost, fec_set):
                 break
+        return self.collected()
+
+    def collected(self):
+        """PCM accumulated so far per stream (without clearing): flush
+        the pipeline, fetch device-held output, and assemble
+        multistream/kind-lifted sub-pool rows into their parents."""
         self._flush()
         if self._dev_out:   # device-output mode: fetch everything held
             held, self._dev_out = self._dev_out, []
             for pend in held:
                 self._route(pend)
         self._assemble_ms()
+        self._assemble_subs()
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]

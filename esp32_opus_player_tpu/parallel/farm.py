@@ -24,6 +24,43 @@ import jax
 from ..models.stream_pool import StreamPool
 
 
+def _carry_state(old: StreamPool, new: StreamPool) -> None:
+    """Copy a pool's complete decode state into a freshly constructed
+    pool whose first old.n sources are identical (add_stream grows a
+    shard by one). Recurses into multistream and kind-lifted sub-pools
+    (their old slots are a prefix of the new pool's: the admitted
+    stream's rows always append at the end of each sub-group)."""
+    if any(new.path[i][0] == "sub" and old.path[i][0] != "sub"
+           for i in range(old.n)):
+        # admission changed the pool's partitioning (a uniform pool
+        # became heterogeneous, so existing rows moved from the direct
+        # fast path into kind sub-pools): their state cannot be copied
+        # across that layout change
+        raise NotImplementedError(
+            "add_stream would re-partition a uniform superstep pool "
+            "into kind sub-pools; admit same-kind streams to this "
+            "shard, or build the farm heterogeneous from the start")
+    new.positions[:old.n] = old.positions
+    new.pcm_out[:old.n] = old.pcm_out
+    new.path[:old.n] = old.path
+    for k in new.state:
+        new.state[k] = new.state[k].at[:old.n].set(old.state[k])
+    for fs, st in old.silk_buckets.items():
+        dst = new._silk_bucket(fs)
+        for k in dst:
+            dst[k] = dst[k].at[:old.n].set(st[k])
+    new.celt_hosts[:old.n] = old.celt_hosts
+    if new.silk_hosts is not None:
+        new.silk_hosts[:old.n] = old.silk_hosts
+    new.scalar[:old.n] = old.scalar
+    new._stats = old._stats
+    for key, osub in old._ms_subs.items():
+        _carry_state(osub, new._ms_subs[key])
+    for key, osub in old._kind_subs.items():
+        osub.sync()
+        _carry_state(osub, new._kind_subs[key])
+
+
 class PoolFarm:
     def __init__(self, sources, devices=None, channels: int = 1,
                  native: bool = True, compat_ref: bool = True,
@@ -102,10 +139,10 @@ class PoolFarm:
         return self.collect()
 
     def collect(self):
-        """PCM accumulated so far, indexed by global stream index."""
-        per_shard = [[np.concatenate(p) if p else
-                      np.zeros((0, self.channels), dtype=np.int16)
-                      for p in pool.pcm_out] for pool in self.pools]
+        """PCM accumulated so far, indexed by global stream index.
+        collected() (vs raw pcm_out) flushes each shard's pipeline and
+        assembles multistream/kind-lifted sub-pool rows."""
+        per_shard = [pool.collected() for pool in self.pools]
         return [per_shard[s][slot] for s, slot in self.placement]
 
     def drain(self):
@@ -134,21 +171,9 @@ class PoolFarm:
         with jax.default_device(dev):
             new = StreamPool(self._shard_sources[s] + [source],
                              **self._pool_kw)
-            # carry over the old shard's state verbatim
-            new.positions[:old.n] = old.positions
-            new.pcm_out[:old.n] = old.pcm_out
-            new.path[:old.n] = old.path
-            for k in new.state:
-                new.state[k] = new.state[k].at[:old.n].set(old.state[k])
-            for fs, st in old.silk_buckets.items():
-                dst = new._silk_bucket(fs)
-                for k in dst:
-                    dst[k] = dst[k].at[:old.n].set(st[k])
-            new.celt_hosts[:old.n] = old.celt_hosts
-            if new.silk_hosts is not None:
-                new.silk_hosts[:old.n] = old.silk_hosts
-            new.scalar[:old.n] = old.scalar
-            new._stats = old._stats
+            # carry over the old shard's state verbatim (recursing
+            # into multistream / kind-lifted sub-pools)
+            _carry_state(old, new)
         self._shard_sources[s].append(source)
         self.pools[s] = new
         g = len(self.placement)

@@ -81,6 +81,10 @@ def snapshot(pool) -> dict:
     # batched-multistream sub-pools checkpoint recursively
     ck["ms_subs"] = {key: snapshot(sp)
                      for key, sp in getattr(pool, "_ms_subs", {}).items()}
+    # heterogeneous pools: kind-lifted sub-pools likewise
+    ck["kind_subs"] = {key: snapshot(sp)
+                       for key, sp in getattr(pool, "_kind_subs",
+                                              {}).items()}
     return ck
 
 
@@ -152,6 +156,8 @@ def restore(pool, ck: dict) -> None:
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]
     for key, sub_ck in ck.get("ms_subs", {}).items():
         restore(pool._ms_subs[key], sub_ck)
+    for key, sub_ck in ck.get("kind_subs", {}).items():
+        restore(pool._kind_subs[key], sub_ck)
 
 
 def save(pool, path: str) -> None:

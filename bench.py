@@ -497,6 +497,16 @@ def main():
     # vs the materialize phase actually paid in the pcm-to-host config
     pcm_mb = B * 960 * 2 / 1e6
 
+    # CELT 10% loss with REAL pitch-repeat concealment (the libopus
+    # celt_decode_lost the reference deleted, as a device bucket)
+    streams, step_ms, phases = bench_pool_loss(
+        f"{FIX}/celt_fb_mono_20ms.opus", B, 1, iters)
+    configs["celt_fb_10pct_loss_plc"] = round(streams, 1)
+    phase_split["celt_fb_10pct_loss_plc"] = phases
+    print(f"# e2e celt_fb + 10% loss (batched pitch-repeat PLC): "
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
+          f"(phases {phases})", file=sys.stderr)
+
     streams, step_ms, phases = bench_pool_loss(
         f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters)
     configs["silk_wb_10pct_loss_plc"] = round(streams, 1)

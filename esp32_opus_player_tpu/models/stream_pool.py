@@ -1451,6 +1451,16 @@ class StreamPool:
             from concurrent.futures import ThreadPoolExecutor
             self._dev_exec = ThreadPoolExecutor(1)
 
+        # batched CELT PLC (rfc_plc pools): pitch + LPC fit carried on
+        # device across consecutive losses (libopus celt_decode_lost
+        # state, restored — the reference deleted it); loss runs are
+        # tracked host-side as "was this row concealed last step"
+        self._plc_prev_lost: set = set()
+        if self.rfc_plc and any(p[0] == "celt" for p in self.path):
+            self.state["plc_pitch"] = jnp.zeros((self.n,), I32)
+            self.state["plc_lpc"] = jnp.zeros(
+                (self.n, channels, 24), jnp.float32)
+
         # rfc_plc + native: PLC/CNG parameter state mirrors fed from the
         # native outputs (batch_silk.NativePlcTracker)
         self._plc_trk: dict[int, object] = {}
@@ -2099,10 +2109,14 @@ class StreamPool:
                                             frame_ms=frame_ms)
                 return ("silk2_fec", i, (fs, frame_ms, [sp]), job)
         if not self.compat_ref and kind != "scalar":
-            # RFC loss: CELT loss is silence with state untouched (the
-            # reference deleted celt_decode_lost); SILK/hybrid get real
-            # concealment when rfc_plc is on
+            # RFC loss: with rfc_plc, EVERY batched kind conceals —
+            # including CELT, whose pitch-repeat PLC the reference
+            # deleted (libopus celt_decode_lost semantics restored on
+            # the batched path, ops/celt/jax_plc.py); without rfc_plc
+            # CELT loss stays silence with state untouched
             if kind == "celt":
+                if self.rfc_plc:
+                    return ("celt_plc", i, None, job)
                 return ("celt_lost", i, None, job)
             if self.rfc_plc and kind in ("hybrid", "silk"):
                 # one conceal per internal frame; a lost 40/60 ms packet
@@ -2300,7 +2314,8 @@ class StreamPool:
             return sub_work
         self._stats["steps"] += 1
         self._stats["frames"] += len(results) + n_fast
-        _kind_of = {"celt_lost": "celt", "silk_mute": "hybrid",
+        _kind_of = {"celt_lost": "celt", "celt_plc": "celt",
+                    "silk_mute": "hybrid",
                     "silk2": "silk", "silk2_mute": "hybrid",
                     "hybrid2": "hybrid", "silk_plc": "silk",
                     "silk2_plc": "silk"}
@@ -2322,6 +2337,7 @@ class StreamPool:
         silk2_groups: dict[int, list] = {}
         plc_groups: dict[int, list] = {}
         plc2_groups: dict[int, list] = {}
+        plcc_rows: list = []            # lost CELT rows to conceal
         for kind, i, payload, job in results:
             pend["meta"][i] = (job.discard_front, job.trim_end)
             if kind == "scalar":
@@ -2332,6 +2348,9 @@ class StreamPool:
                 z = np.zeros((960 // self.downsample, self.channels),
                              dtype=np.int16)
                 pend["direct"].append((i, z))
+            elif kind == "celt_plc":
+                # rfc_plc: real pitch-repeat concealment on device
+                plcc_rows.append(i)
             elif kind == "silk_mute":
                 # hybrid loss: SILK state advances over the empty
                 # bitstream, output is silence (CELT stage errors)
@@ -2411,6 +2430,17 @@ class StreamPool:
             self._ss_flush()
             if self._dev_exec is not None:
                 self._dev_exec.submit(lambda: None).result()
+        if plcc_rows:
+            # CELT conceal reads/writes decode_mem directly: flush any
+            # buffered T-mode superstep window first (partial windows
+            # pad as no-ops) and join the dispatch thread whose
+            # closures reassign self.state
+            if self._t_mode and self._ss_k > 1:
+                self._ss_flush()
+            if self._dev_exec is not None:
+                self._dev_exec.submit(lambda: None).result()
+            self._celt_plc_group(plcc_rows, pend)
+        self._plc_prev_lost = set(plcc_rows)
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
         for (fs, dfp, frame_ms), items in plc2_groups.items():
@@ -2838,6 +2868,56 @@ class StreamPool:
         dev = self._celt_launch(sidx, X, bandE, start, end, comb1, comb2,
                                 LM, C, transient)
         pend["celt"].append((dev, sidx))
+
+    def _celt_plc_group(self, rows, pend):
+        """Batched CELT pitch-repeat concealment (rfc_plc pools): one
+        device bucket over the lost rows (ops/celt/jax_plc.py — the
+        libopus celt_decode_lost semantics the reference deleted).
+        Gathers the rows' decode_mem/preemph (either layout), conceals,
+        scatters state back, and routes the concealed PCM via
+        pend['mix'] (row-major (cap, Nd, CC), layout-independent)."""
+        from ..ops.celt.jax_plc import celt_plc_bucket
+        n = len(rows)
+        CC = self.channels
+        cap = _pow2_cap(max(sum(1 for p in self.path
+                                if p[0] == "celt"), 1)) \
+            if self.fixed_buckets else _pow2_cap(n)
+        bk = ("celt_plc", CC, cap)
+        self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
+        pad = cap - n
+        idxs = np.asarray(list(rows) + [rows[0]] * pad, dtype=np.int32)
+        first0 = [i not in self._plc_prev_lost for i in rows]
+        # pad rows duplicate row 0 ENTIRELY (index, first flag, active)
+        # so their computed update is identical to row 0's and the
+        # duplicate-index scatter stays deterministic — an inactive pad
+        # row would scatter the PRE-conceal state back over row 0
+        first = np.array(first0 + [first0[0]] * pad)
+        active = np.ones(cap, dtype=bool)
+        jidx = jnp.asarray(idxs)
+        if self._t_mode:
+            dm = self.state["decode_mem"][:, :, jidx].transpose(2, 0, 1)
+        else:
+            dm = self.state["decode_mem"][jidx]
+        pre = self.state["preemph"][jidx]
+        pitch = self.state["plc_pitch"][jidx]
+        lpc = self.state["plc_lpc"][jidx]
+        pcm, dm2, pre2, pitch2, lpc2 = celt_plc_bucket(
+            dm, pre, pitch, jnp.asarray(lpc),
+            jnp.asarray(first), jnp.asarray(active),
+            CC=CC, downsample=self.downsample)
+        # pad rows duplicate row 0 with active=False, so the duplicate-
+        # index scatter writes the unchanged original values
+        if self._t_mode:
+            self.state["decode_mem"] = self.state["decode_mem"] \
+                .at[:, :, jidx].set(dm2.transpose(1, 2, 0))
+        else:
+            self.state["decode_mem"] = self.state["decode_mem"] \
+                .at[jidx].set(dm2)
+        self.state["preemph"] = self.state["preemph"].at[jidx].set(pre2)
+        self.state["plc_pitch"] = self.state["plc_pitch"] \
+            .at[jidx].set(pitch2)
+        self.state["plc_lpc"] = self.state["plc_lpc"].at[jidx].set(lpc2)
+        pend["mix"].append((pcm, list(rows)))
 
     def _celt_launch(self, sidx, X, bandE, start, end, comb1, comb2,
                      LM, C, transient):

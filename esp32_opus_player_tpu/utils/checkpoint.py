@@ -78,6 +78,9 @@ def snapshot(pool) -> dict:
         ck["celt_hosts"] = [pickle.dumps(h) for h in pool.celt_hosts]
     # scalar decoders are pure-Python state (numpy + ints) — picklable
     ck["scalar"] = [pickle.dumps(d) for d in pool.scalar]
+    # CELT-PLC loss-run tracker (rows concealed on the latest step)
+    ck["celt_plc_prev_lost"] = sorted(getattr(pool, "_plc_prev_lost",
+                                              set()))
     # batched-multistream sub-pools checkpoint recursively
     ck["ms_subs"] = {key: snapshot(sp)
                      for key, sp in getattr(pool, "_ms_subs", {}).items()}
@@ -154,6 +157,7 @@ def restore(pool, ck: dict) -> None:
     else:
         pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]
+    pool._plc_prev_lost = set(ck.get("celt_plc_prev_lost", ()))
     for key, sub_ck in ck.get("ms_subs", {}).items():
         restore(pool._ms_subs[key], sub_ck)
     for key, sub_ck in ck.get("kind_subs", {}).items():

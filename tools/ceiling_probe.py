@@ -166,7 +166,9 @@ def probe(B, iters):
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     out = {}
-    for B in (2048, 4096, 8192):
+    Bs = [int(b) for b in sys.argv[2].split(",")] \
+        if len(sys.argv) > 2 else (2048, 4096, 8192)
+    for B in Bs:
         out[str(B)] = {k: round(v, 3) for k, v in probe(B, iters).items()}
         print(f"# B={B}: {out[str(B)]}", file=sys.stderr)
     print(json.dumps(out))

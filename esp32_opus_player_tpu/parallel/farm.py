@@ -44,7 +44,14 @@ def _carry_state(old: StreamPool, new: StreamPool) -> None:
     new.pcm_out[:old.n] = old.pcm_out
     new.path[:old.n] = old.path
     for k in new.state:
-        new.state[k] = new.state[k].at[:old.n].set(old.state[k])
+        if k == "decode_mem" and new._t_mode:
+            # transposed pools carry decode_mem as (CC, L, streams) —
+            # the streams axis is LAST there (preemph and the PLC keys
+            # stay streams-leading)
+            new.state[k] = new.state[k].at[:, :, :old.n] \
+                .set(old.state[k])
+        else:
+            new.state[k] = new.state[k].at[:old.n].set(old.state[k])
     for fs, st in old.silk_buckets.items():
         dst = new._silk_bucket(fs)
         for k in dst:

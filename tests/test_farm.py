@@ -79,3 +79,28 @@ def test_farm_add_stream_midflight():
     # the admitted stream decodes from scratch, completely
     ref4 = StreamPool([SRCS[4]], channels=1).run()[0]
     assert np.array_equal(outs[4], ref4)
+
+
+@pytest.mark.slow
+def test_farm_add_stream_tmode(monkeypatch):
+    """add_stream on a TRANSPOSED-mode shard: decode_mem carries its
+    streams axis LAST (CC, L, n), so the state carry must slice that
+    axis — a streams-leading copy would graft channel rows instead."""
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    import jax
+    from esp32_opus_player_tpu import DecoderConfig, decode_file
+    src = SRCS[0]                       # celt fixture
+    farm = PoolFarm([src], devices=jax.devices()[:1], channels=1)
+    assert farm.pools[0]._t_mode
+    for _ in range(5):
+        farm.step()
+    g = farm.add_stream(src)
+    assert farm.pools[0]._t_mode
+    for _ in range(6):
+        farm.step()
+    outs = farm.collect()
+    ref = decode_file(src, DecoderConfig(channels=1, compat_ref=True))
+    n0, ng = outs[0].shape[0], outs[g].shape[0]
+    assert n0 >= 9 * 960 and ng >= 4 * 960
+    assert np.array_equal(outs[0], ref[:n0])
+    assert np.array_equal(outs[g], ref[:ng])

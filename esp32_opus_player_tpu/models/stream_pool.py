@@ -2649,7 +2649,11 @@ class StreamPool:
         pend["silk"] = []
         pend["silk2"] = []
         pend["hybrid"] = set()
-        pend["mix"] = [(mixed, csidx)]
+        # APPEND: pend['mix'] may already hold concealed-CELT PCM from
+        # _celt_plc_group this step (mixed celt+hybrid pool where every
+        # CELT row was lost and every hybrid row decoded) — overwriting
+        # would silently drop those concealed frames
+        pend["mix"].append((mixed, csidx))
 
     def _flush(self):
         """Materialize all pending device launches (pipeline drain)."""
@@ -2905,8 +2909,6 @@ class StreamPool:
             dm, pre, pitch, jnp.asarray(lpc),
             jnp.asarray(first), jnp.asarray(active),
             CC=CC, downsample=self.downsample)
-        # pad rows duplicate row 0 with active=False, so the duplicate-
-        # index scatter writes the unchanged original values
         if self._t_mode:
             self.state["decode_mem"] = self.state["decode_mem"] \
                 .at[:, :, jidx].set(dm2.transpose(1, 2, 0))
@@ -4161,7 +4163,10 @@ class StreamPool:
             out["kind_subs"] = {}
             for key, sp in self._kind_subs.items():
                 sub = sp.stats()
-                for k in ("frames", "bytes_in", "samples_out",
+                # NOT samples_out: _assemble_subs already adds drained
+                # sub-pool samples to the parent counter, so merging the
+                # sub-pools' own count would double it (r04 advice)
+                for k in ("frames", "bytes_in",
                           "frames_celt", "frames_silk", "frames_hybrid",
                           "frames_scalar", "frames_lost", "frames_fec"):
                     out[k] += sub[k]

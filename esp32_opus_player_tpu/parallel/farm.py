@@ -17,11 +17,43 @@ The reference plays exactly one stream on one core pair
 """
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 import jax
 
 from ..models.stream_pool import StreamPool
+
+
+def _copy_host(dst, src):
+    """Carry one per-stream host engine's state from the old pool into
+    the new pool's engine. Native hosts get a BYTE COPY into the new
+    object's state struct — crucial because grouped pools (host_groups)
+    decode through the NEW pool's StateArray rows, which the new host
+    objects alias; swapping the list entry for the old object would
+    leave the batched symbol phase reading freshly-reset state (the
+    r04 red-test bug: the first post-admission frame decoded with
+    zeroed oldLogE/postfilter host state). Pure-Python hosts
+    (native=False CELTDecoder / OpusDecoder rows) have no aliasing, so
+    the old object itself carries over. Returns the host to install."""
+    if dst is None or src is None or dst is src:
+        return src if src is not None else dst
+    dst_st = getattr(dst, "st", None)
+    src_st = getattr(src, "st", None)
+    if dst_st is None or src_st is None:
+        return src                       # python host: by reference
+    if isinstance(dst_st, tuple):        # stereo host: (mid, side)
+        for d, s in zip(dst_st, src_st):
+            ctypes.memmove(ctypes.byref(d), ctypes.byref(s),
+                           ctypes.sizeof(d))
+    else:
+        ctypes.memmove(ctypes.byref(dst_st), ctypes.byref(src_st),
+                       ctypes.sizeof(dst_st))
+    for attr in ("start", "end", "prev_dom"):
+        if hasattr(src, attr):
+            setattr(dst, attr, getattr(src, attr))
+    return dst
 
 
 def _carry_state(old: StreamPool, new: StreamPool) -> None:
@@ -56,11 +88,24 @@ def _carry_state(old: StreamPool, new: StreamPool) -> None:
         dst = new._silk_bucket(fs)
         for k in dst:
             dst[k] = dst[k].at[:old.n].set(st[k])
-    new.celt_hosts[:old.n] = old.celt_hosts
-    if new.silk_hosts is not None:
-        new.silk_hosts[:old.n] = old.silk_hosts
+    for i in range(old.n):
+        new.celt_hosts[i] = _copy_host(new.celt_hosts[i],
+                                       old.celt_hosts[i])
+    if new.silk_hosts is not None and old.silk_hosts is not None:
+        for i in range(old.n):
+            new.silk_hosts[i] = _copy_host(new.silk_hosts[i],
+                                           old.silk_hosts[i])
+    for i, h in old._silk2_hosts.items():
+        new._silk2_hosts[i] = _copy_host(new._silk2_hosts.get(i), h)
     new.scalar[:old.n] = old.scalar
     new._stats = old._stats
+    # lazily-built per-stream side state: standalone objects/values,
+    # carried by reference (nothing in the new pool aliases them)
+    new._plc_trk.update(old._plc_trk)
+    new._plc_trk2.update(old._plc_trk2)
+    new._last_pred.update(old._last_pred)
+    new._last_rng.update(old._last_rng)
+    new._plc_prev_lost |= old._plc_prev_lost
     for key, osub in old._ms_subs.items():
         _carry_state(osub, new._ms_subs[key])
     for key, osub in old._kind_subs.items():
@@ -159,33 +204,50 @@ class PoolFarm:
 
     # ------------------------------------------------------------------
     def add_stream(self, source) -> int:
-        """Admit a new stream mid-flight to the least-loaded shard
-        (fewest active streams). Returns its global index. The shard's
-        pool is rebuilt with the grown state arrays; existing streams'
-        decode state carries over exactly."""
+        """Admit a new stream mid-flight. Shards are tried in ascending
+        load (fewest active streams first); if admitting to a shard
+        would re-partition its uniform superstep pool into kind
+        sub-pools (existing rows' state cannot be carried across that
+        layout change), the next shard is tried instead — a
+        different-kind stream lands on a matching-kind or empty shard
+        rather than hard-failing the farm. Only if EVERY shard would
+        re-partition does the NotImplementedError propagate. Returns
+        the stream's global index. The chosen shard's pool is rebuilt
+        with grown state arrays; existing streams' decode state carries
+        over exactly (native host state is byte-copied into the new
+        pool's group StateArrays, _copy_host)."""
         actives = []
         for pool in self.pools:
             actives.append(sum(1 for i in range(pool.n)
                                if pool.positions[i]
                                < len(pool.streams[i].jobs)))
-        s = int(np.argmin(actives))
-        dev = self.devices[s]
-        old = self.pools[s]
-        # drain the old shard's pipeline (incl. any buffered K-frame
-        # superstep window) before its state arrays are copied — a
-        # buffered window would otherwise be dropped with its frames
-        old.sync()
-        with jax.default_device(dev):
-            new = StreamPool(self._shard_sources[s] + [source],
-                             **self._pool_kw)
-            # carry over the old shard's state verbatim (recursing
-            # into multistream / kind-lifted sub-pools)
-            _carry_state(old, new)
-        self._shard_sources[s].append(source)
-        self.pools[s] = new
-        g = len(self.placement)
-        self.placement.append((s, new.n - 1))
-        return g
+        last_err = None
+        for s in np.argsort(np.asarray(actives), kind="stable"):
+            s = int(s)
+            dev = self.devices[s]
+            old = self.pools[s]
+            # drain the old shard's pipeline (incl. any buffered
+            # K-frame superstep window) before its state arrays are
+            # copied — a buffered window would otherwise be dropped
+            # with its frames
+            old.sync()
+            with jax.default_device(dev):
+                new = StreamPool(self._shard_sources[s] + [source],
+                                 **self._pool_kw)
+                try:
+                    # carry over the old shard's state verbatim
+                    # (recursing into multistream / kind-lifted
+                    # sub-pools)
+                    _carry_state(old, new)
+                except NotImplementedError as e:
+                    last_err = e
+                    continue
+            self._shard_sources[s].append(source)
+            self.pools[s] = new
+            g = len(self.placement)
+            self.placement.append((s, new.n - 1))
+            return g
+        raise last_err
 
     # ------------------------------------------------------------------
     def stats(self) -> dict:

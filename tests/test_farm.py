@@ -104,3 +104,30 @@ def test_farm_add_stream_tmode(monkeypatch):
     assert n0 >= 9 * 960 and ng >= 4 * 960
     assert np.array_equal(outs[0], ref[:n0])
     assert np.array_equal(outs[g], ref[:ng])
+
+
+@pytest.mark.slow
+def test_farm_add_stream_cross_kind_reroutes():
+    """Admitting a different-kind stream must not hard-fail the farm
+    when a matching-kind shard exists: a shard whose uniform superstep
+    pool would re-partition into kind sub-pools is skipped and the next
+    shard (by load) is tried (r04 advisor / VERDICT weak #5)."""
+    silk = str(fixture_path("silk_wb_mono_20ms"))
+    celt = str(fixture_path("celt_fb_mono_20ms"))
+    devs = jax.devices()[:2]
+    farm = PoolFarm([silk, celt], devices=devs, channels=1,
+                    fixed_buckets=True, superstep_k=4)
+    for _ in range(3):
+        farm.step()
+    # shard 0 is uniform-SILK: celt admission there would re-partition;
+    # it must land on shard 1 (uniform-CELT) instead of raising
+    g = farm.add_stream(celt)
+    assert farm.placement[g][0] == 1
+    outs = farm.run()
+    ref_s = StreamPool([silk], channels=1, fixed_buckets=True,
+                       superstep_k=4).run()[0]
+    ref_c = StreamPool([celt], channels=1, fixed_buckets=True,
+                       superstep_k=4).run()[0]
+    assert np.array_equal(outs[0], ref_s)
+    assert np.array_equal(outs[1], ref_c)
+    assert np.array_equal(outs[g], ref_c)

@@ -258,3 +258,26 @@ def test_rfc_plc_stereo_fec_bitexact(name):
     st = pool.stats()
     assert st["frames_fec"] == n_fec
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_rfc_plc_mixed_celt_hybrid_loss():
+    """Fuse-vs-conceal interaction (r04 advisor, high): on a step where
+    every CELT row is lost (its concealed PCM is already queued in
+    pend['mix'] by _celt_plc_group) and every hybrid row decodes, the
+    hybrid device-mix fuse fires — it must APPEND its mixed entry, not
+    overwrite the queue, or the concealed frames silently vanish and
+    the CELT stream's timeline shifts."""
+    celt = str(fixture_path("celt_fb_mono_20ms"))
+    hyb = str(fixture_path("hybrid_swb_mono_20ms"))
+    LOST = {5, 11, 12}
+    pool = StreamPool([celt, hyb], channels=1, compat_ref=False,
+                      rfc_plc=True)
+    out = pool.run(loss=lambda i, k: i == 0 and k in LOST)
+    ref0 = StreamPool([celt], channels=1, compat_ref=False,
+                      rfc_plc=True).run(loss=lambda i, k: k in LOST)[0]
+    ref1 = StreamPool([hyb], channels=1, compat_ref=False,
+                      rfc_plc=True).run()[0]
+    assert out[0].shape == ref0.shape, "concealed frames were dropped"
+    assert np.array_equal(out[0], ref0)
+    assert np.array_equal(out[1], ref1)

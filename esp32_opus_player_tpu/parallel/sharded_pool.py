@@ -30,9 +30,13 @@ Two program families:
     delay kernel) and the fused SILK core (which picks its Pallas
     kernel per shard). Pallas kernels cannot be auto-partitioned by
     GSPMD, so shard_map is the ONLY legal multi-chip composition of
-    the fast path — and it makes the scale-out program literally the
-    single-chip program, so the per-chip ceiling matches the
-    single-pool headline by construction. Zero collectives: decode has
+    the fast path — the scale-out program traces the same single-chip
+    frame body per shard, and the per-chip ceiling MEASURES within
+    noise of the single-pool headline at steady state (r05 A/B
+    decomposition, docs/CEILING.md addendum: compiled cost analysis is
+    byte-identical; the 18% gap BENCH_r04 recorded was a first-window
+    warmup artifact of the tunneled dev rig, fixed in
+    bench_sharded_device by warm+reps). Zero collectives: decode has
     no cross-stream math (SURVEY.md §2.7).
   * auto-partitioned (GSPMD, the portable fallback): the row-major
     full-batch bodies below, pure XLA ops that GSPMD shards from the

@@ -134,6 +134,48 @@ def bench_pool_loss(src, B, channels, iters, fec=False, **pool_kw):
     return B * 0.02 / (dt / n), dt / n * 1000, phases
 
 
+def bench_farm_loss(src, B, channels, iters, **pool_kw):
+    """PoolFarm capacity row: the lossy superstep workload of
+    bench_pool_loss driven through the pod-scale vehicle (one shard
+    per available chip; on this rig that is one shard, so the row
+    measures the farm layer's routing/aggregation overhead over the
+    raw pool)."""
+    from esp32_opus_player_tpu.parallel.farm import PoolFarm
+    K = int(pool_kw.get("superstep_k", 1) or 1)
+    warm = max(4, K)
+    warm -= warm % K
+    iters = max(iters, 2 * K)
+    iters -= iters % K
+    farm = PoolFarm([src] * B, channels=channels, native=True,
+                    fixed_buckets=True, compat_ref=False, rfc_plc=True,
+                    output="device", device_keep=2, **pool_kw)
+    for pool in farm.pools:
+        pool.warmup()
+    for k in range(warm):
+        lost = {i for i in range(B) if i % 10 == k % 10}
+        farm.step(lost)
+    for pool in farm.pools:
+        pool.sync()
+        for ph in pool._phase_s:
+            pool._phase_s[ph] = 0.0
+    t0 = time.time()
+    n = 0
+    for k in range(iters):
+        lost = {i for i in range(B) if i % 10 == k % 10}
+        if not farm.step(lost):
+            break
+        n += 1
+    for pool in farm.pools:
+        pool.sync()
+    dt = time.time() - t0
+    if n == 0:
+        return 0.0, 0.0, {}
+    phases = {ph: round(sum(p._phase_s[ph] for p in farm.pools)
+                        / n * 1000, 1)
+              for ph in farm.pools[0]._phase_s}
+    return B * 0.02 / (dt / n), dt / n * 1000, phases
+
+
 def bench_host(B=256, reps=5):
     """Batched C++ symbol phase cost per frame, measured at every
     thread count up to the core count (the VERDICT r02 ask: a measured
@@ -521,6 +563,17 @@ def main():
           f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
           f"(phases {phases})", file=sys.stderr)
 
+    # lossy CELT superstep (r05): conceal lanes ride the K-frame
+    # window as compact rows (_celt_pool_superstep_T_lossy) — no
+    # per-loss window flush, dispatch phase stays ~0
+    streams, step_ms, phases = bench_pool_loss(
+        f"{FIX}/celt_fb_mono_20ms.opus", B, 1, iters, superstep_k=16)
+    configs["celt_fb_10pct_loss_plc_ss16"] = round(streams, 1)
+    phase_split["celt_fb_10pct_loss_plc_ss16"] = phases
+    print(f"# e2e celt_fb + 10% loss (in-window PLC, K=16 superstep): "
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
+          f"(phases {phases})", file=sys.stderr)
+
     streams, step_ms, phases = bench_pool_loss(
         f"{FIX}/silk_wb_mono_20ms.opus", B // 2, 1, iters)
     configs["silk_wb_10pct_loss_plc"] = round(streams, 1)
@@ -537,6 +590,19 @@ def main():
     configs["silk_wb_10pct_loss_plc_ss8"] = round(streams, 1)
     phase_split["silk_wb_10pct_loss_plc_ss8"] = phases
     print(f"# e2e silk_wb + 10% loss (in-window PLC, K=8 superstep): "
+          f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
+          f"(phases {phases})", file=sys.stderr)
+
+    # pod-vehicle capacity row (VERDICT r04 #6): the SAME lossy
+    # superstep workload driven through PoolFarm — the full-featured
+    # deployment vehicle (loss/FEC routing by global index, stats,
+    # checkpoint, elastic admission) — so the deployable number is
+    # measured, not inferred from the raw pool
+    streams, step_ms, phases = bench_farm_loss(
+        f"{FIX}/celt_fb_mono_20ms.opus", B, 1, iters, superstep_k=16)
+    configs["farm_celt_10pct_loss_ss16"] = round(streams, 1)
+    phase_split["farm_celt_10pct_loss_ss16"] = phases
+    print(f"# e2e PoolFarm celt + 10% loss (in-window PLC, K=16): "
           f"{step_ms:.0f} ms/step -> {streams:.0f} realtime streams "
           f"(phases {phases})", file=sys.stderr)
 

@@ -60,6 +60,10 @@ class CELTDecoder:
         self.postfilter_tapset_old = 0
         self.loss_count = 0
         self.skip_plc = 1
+        # pitch-branch PLC carry (libopus keeps the fit in decoder
+        # state across consecutive losses; decode_lost below)
+        self.plc_pitch = 0
+        self.plc_lpc = np.zeros((channels, 24), dtype=np.float32)
         self.reset_state()
 
     def reset_state(self) -> None:
@@ -337,3 +341,101 @@ class CELTDecoder:
         if defer_synthesis:
             return synth_inputs
         return frame_size // self.downsample
+
+    # ------------------------------------------------------------------
+    def decode_lost(self, pcm, frame_size: int) -> int:
+        """celt_decode_lost — libopus 1.3.1 celt_decoder.c semantics
+        (the reference DELETED this function: its celt_decode_with_ec
+        requires a live bitstream, src/celt.cpp:2216, and loss plays
+        silence). Restored here for RFC mode so the scalar decoder's
+        loss behavior matches the batched pools (VERDICT r04 #4b).
+
+        Two branches, like libopus:
+          * noise-based (loss_count >= 5, hybrid/high-band start != 0,
+            or skip_plc): decay oldBandE toward backgroundLogE, fill
+            bands start..effEnd with renormalised LCG noise, run the
+            NORMAL synthesis (no comb filter) — exact fixed-point via
+            the scalar helpers, so the batched noise conceal (host-
+            fabricated staging through the decode bucket) must match
+            it bit-for-bit;
+          * pitch-based (CELT-only, loss_count < 5): the batched
+            float32 conceal kernel (ops/celt/jax_plc.py) at R=1 —
+            identical math to a single-row pool bucket.
+        pcm: int16-range numpy buffer, frame_size*CC interleaved.
+        Returns frame_size."""
+        CC = self.channels
+        N = frame_size * self.downsample
+        LM = 0
+        while LM <= MAX_LM:
+            if SHORT_MDCT_SIZE << LM == N:
+                break
+            LM += 1
+        if LM > MAX_LM:
+            raise ValueError("bad frame size")
+        start = self.start
+        loss_count = self.loss_count
+        noise_based = loss_count >= 5 or start != 0 or self.skip_plc \
+            or N != 960
+        if noise_based:
+            # (N != 960 is a deviation: libopus runs the pitch branch
+            # for any N; the batched kernel is built for the 20 ms
+            # frame, so shorter frames noise-fill instead)
+            from ..ops.celt.math import celt_lcg_rand
+            from ..ops.celt.pvq import renormalise_vector
+            from ..ops.tables.celt_tables import eband5ms
+            end = NB_EBANDS if self.compat_ref else self.end
+            effEnd = max(start, min(end, NB_EBANDS))
+            decay = 1536 if loss_count == 0 else 512   # 1.5 / 0.5 dB
+            for c in range(CC):
+                base = c * NB_EBANDS
+                for i in range(start, end):
+                    self.oldBandE[base + i] = max(
+                        int(self.backgroundLogE[base + i]),
+                        int(self.oldBandE[base + i]) - decay)
+            seed = self.rng
+            C = CC
+            X = np.zeros(C * N, dtype=np.int64)
+            for c in range(C):
+                for i in range(start, effEnd):
+                    boffs = N * c + (int(eband5ms[i]) << LM)
+                    blen = (int(eband5ms[i + 1])
+                            - int(eband5ms[i])) << LM
+                    for j in range(blen):
+                        seed = celt_lcg_rand(seed)
+                        v = seed if seed < (1 << 31) else seed - (1 << 32)
+                        X[boffs + j] = v >> 20
+                    renormalise_vector(X[boffs:boffs + blen], blen,
+                                       32767)
+            self.rng = seed
+            for c in range(CC):
+                dm = self.decode_mem[c]
+                dm[:DECODE_BUFFER_SIZE - N + OVERLAP // 2] = \
+                    dm[N:DECODE_BUFFER_SIZE + OVERLAP // 2].copy()
+            out_syn = [(self.decode_mem[c], DECODE_BUFFER_SIZE - N)
+                       for c in range(CC)]
+            synthesis.celt_synthesis(X, out_syn, self.oldBandE, start,
+                                     effEnd, C, CC, 0, LM,
+                                     self.downsample, 0)
+            synthesis.deemphasis(out_syn, pcm, N, CC, self.downsample,
+                                 self.preemph_memD, 0)
+        else:
+            from ..ops.celt.jax_plc import celt_plc_bucket
+            dm = np.stack(self.decode_mem)[None].astype(np.int32)
+            pre = np.asarray([[int(m) for m in
+                               self.preemph_memD[:CC]]], np.int32)
+            out, dm2, pre2, pitch2, lpc2 = celt_plc_bucket(
+                dm, pre, np.asarray([self.plc_pitch], np.int32),
+                self.plc_lpc[None],
+                np.asarray([loss_count == 0]),
+                np.ones(1, dtype=bool), CC=CC,
+                downsample=self.downsample)
+            out = np.asarray(out)
+            for c in range(CC):
+                self.decode_mem[c][:] = np.asarray(dm2)[0, c]
+                self.preemph_memD[c] = int(np.asarray(pre2)[0, c])
+            self.plc_pitch = int(np.asarray(pitch2)[0])
+            self.plc_lpc = np.asarray(lpc2)[0]
+            for c in range(CC):
+                pcm[c:frame_size * CC:CC] = out[0, :, c]
+        self.loss_count = loss_count + 1
+        return frame_size

@@ -222,9 +222,15 @@ class OpusDecoder:
         CELT/hybrid error out in the reference (storage<=1 check,
         src/celt.cpp:2226) — we produce silence instead of failing.
 
-        RFC mode: proper SILK PLC (silk_Decode lostFlag=1: conceal via
-        attenuated LTP/LPC extrapolation, src/silk.cpp:2973); CELT loss
-        yields silence (the reference deleted celt_decode_lost).
+        RFC mode (libopus semantics): SILK PLC (silk_Decode lostFlag=1:
+        conceal via attenuated LTP/LPC extrapolation, src/silk.cpp:2973)
+        for SILK/hybrid; celt_decode_lost (CELTDecoder.decode_lost —
+        pitch-repeat for CELT-only short losses, noise-fill for long
+        bursts and the hybrid high band) for CELT/hybrid; a lost hybrid
+        frame SAT16-sums both conceals exactly like a decoded hybrid
+        frame mixes its layers (src/opus_decoder.cpp:272 anchor for the
+        mix; the reference's NULL path itself has no CELT branch — its
+        celt_decode_lost was deleted).
         """
         if frame_size is None:
             frame_size = (960 // self._d48 if self.compat_ref
@@ -237,12 +243,33 @@ class OpusDecoder:
                     ret = self.decode_frame(b"", out[nb * self.channels:],
                                             frame_size - nb)
                     nb += ret
-        elif self.prev_mode in (Mode.SILK_ONLY, Mode.HYBRID) and self.silk:
+            self.last_packet_duration = frame_size
+            return np.array(out[:frame_size * self.channels],
+                            dtype=np.int16).reshape(frame_size,
+                                                    self.channels)
+        if self.prev_mode in (Mode.SILK_ONLY, Mode.HYBRID) and self.silk:
             decoded = 0
             while decoded < frame_size:
                 n = self.silk.decode(None, lost=1, first_frame=decoded == 0,
                                      pcm=out[decoded * self.channels:])
                 decoded += n
+        if self.prev_mode in (Mode.CELT_ONLY, Mode.HYBRID):
+            celt_pcm = np.zeros(frame_size * self.channels,
+                                dtype=np.int64)
+            nb = 0
+            while nb < frame_size:
+                # conceal in 20 ms chunks like opus_decode_native's
+                # data==NULL frame loop (src/opus_decoder.cpp:294)
+                n = min(frame_size - nb, 960 // self._d48)
+                self.celt.decode_lost(
+                    celt_pcm[nb * self.channels:], n)
+                nb += n
+            if self.prev_mode == Mode.HYBRID:
+                for i in range(frame_size * self.channels):
+                    out[i] = s16(max(-32768, min(
+                        32767, int(out[i]) + int(celt_pcm[i]))))
+            else:
+                out = celt_pcm
         self.last_packet_duration = frame_size
         return np.array(out[:frame_size * self.channels],
                         dtype=np.int16).reshape(frame_size, self.channels)

@@ -216,6 +216,66 @@ def _celt_pool_superstep_T(dmT, pre, stgK, *, LM: int, C: int, CC: int,
     return pcmK, dmT, pre
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("LM", "C", "CC", "chunk",
+                                    "downsample", "interpret"),
+                   donate_argnums=(0, 1, 2, 3))
+def _celt_pool_superstep_T_lossy(dmT, pre, pitch, lpc, stgK, rowsK,
+                                 firstK, *, LM: int, C: int, CC: int,
+                                 chunk: int = 13, downsample: int = 1,
+                                 interpret: bool = False):
+    """K-frame transposed CELT superstep WITH in-window packet-loss
+    concealment (VERDICT r04 #3): each scan frame first runs the
+    masked decode body (lost rows carry active=0 in stg col 17, state
+    kept), then runs the pitch-repeat conceal (ops/celt/jax_plc.py,
+    the libopus celt_decode_lost the reference deleted —
+    src/celt.cpp pruned dispatch, src/opus_decoder.cpp:154 NULL path)
+    COMPACTLY on that frame's lost rows and drop-scatters the results
+    into the frame's lanes. A lossy CELT workload therefore keeps the
+    superstep's launch amortization instead of flushing the window
+    around every conceal (the r04 celt_fb_10pct_loss_plc dispatch
+    regression), and the conceal compute scales with the LOST slot
+    count S, not the pool cap.
+
+    pitch (cap,) int32 / lpc (cap, CC, 24) float32: the carried PLC
+    fit state (libopus keeps them in decoder state across consecutive
+    losses). rowsK (K, S) int32 — lost lane indices per frame, slot
+    value == cap is a pad (gathers clamp, scatters DROP). firstK
+    (K, S) bool — host-tracked loss_count==0 flags (the host stages
+    windows in step order, so it knows each frame's conceal runs
+    without device readback). Returns (pcmK, dmT', pre', pitch',
+    lpc')."""
+    # imported lazily but the module must already be loaded OUTSIDE any
+    # trace (jax_plc builds jnp constants at import time; a first import
+    # under tracing leaks them as tracers) — _celt_plc_group_ss
+    # pre-imports it on the host path before this program is traced
+    from ..ops.celt.jax_plc import celt_plc_core
+    cap = dmT.shape[2]
+
+    def body(carry, xs):
+        dmT, pre, pitch, lpc = carry
+        stg, rows, first = xs
+        pcmT, dmT2, pre2 = _celt_packed_frame_T(
+            dmT, pre, stg, LM=LM, C=C, CC=CC, chunk=chunk,
+            masked=True, downsample=downsample, interpret=interpret)
+        rg = jnp.minimum(rows, cap - 1)
+        dmc = dmT2[:, :, rg].transpose(2, 0, 1)
+        pcm_c, dm_c, pre_c, pitch_c, lpc_c = celt_plc_core(
+            dmc, pre2[rg], pitch[rg], lpc[rg], first,
+            CC=CC, downsample=downsample)
+        dmT3 = dmT2.at[:, :, rows].set(dm_c.transpose(1, 2, 0))
+        pre3 = pre2.at[rows].set(pre_c)
+        pitch2 = pitch.at[rows].set(pitch_c)
+        lpc2 = lpc.at[rows].set(lpc_c)
+        pcmT2 = pcmT.at[:, :, rows].set(
+            pcm_c.transpose(2, 1, 0).astype(pcmT.dtype))
+        return (dmT3, pre3, pitch2, lpc2), pcmT2
+
+    (dmT, pre, pitch, lpc), pcmK = jax.lax.scan(
+        body, (dmT, pre, pitch, lpc), (stgK, rowsK, firstK))
+    return pcmK, dmT, pre, pitch, lpc
+
+
 def _silk_step_body(st, jidx, exc, A, B, iv, bools, glue, *,
                     fs: int, nb: int, order: int, frame: int,
                     has_glue: bool, out_khz: int = 48):
@@ -1456,6 +1516,13 @@ class StreamPool:
         # state, restored — the reference deleted it); loss runs are
         # tracked host-side as "was this row concealed last step"
         self._plc_prev_lost: set = set()
+        # celt_decode_lost bookkeeping mirrors (libopus keeps these in
+        # decoder state): conceals since the last good frame per row,
+        # and the skip_plc flag (set at the first good decode after a
+        # loss run, cleared at the second — celt_decode_with_ec's
+        # `st->skip_plc = st->loss_count != 0` entry semantics)
+        self._plc_loss_cnt: dict[int, int] = {}
+        self._plc_skip: set = set()
         if self.rfc_plc and any(p[0] == "celt" for p in self.path):
             self.state["plc_pitch"] = jnp.zeros((self.n,), I32)
             self.state["plc_lpc"] = jnp.zeros(
@@ -2110,12 +2177,24 @@ class StreamPool:
                 return ("silk2_fec", i, (fs, frame_ms, [sp]), job)
         if not self.compat_ref and kind != "scalar":
             # RFC loss: with rfc_plc, EVERY batched kind conceals —
-            # including CELT, whose pitch-repeat PLC the reference
-            # deleted (libopus celt_decode_lost semantics restored on
-            # the batched path, ops/celt/jax_plc.py); without rfc_plc
-            # CELT loss stays silence with state untouched
+            # including CELT, whose PLC the reference deleted (libopus
+            # celt_decode_lost semantics restored: the pitch-repeat
+            # branch as a device kernel, ops/celt/jax_plc.py; the
+            # noise branch — long bursts, post-recovery skip_plc, and
+            # the hybrid high band — as host-fabricated staging through
+            # the NORMAL decode bucket, _celt_noise_si); without
+            # rfc_plc CELT loss stays silence with state untouched
             if kind == "celt":
                 if self.rfc_plc:
+                    cnt = self._plc_loss_cnt.get(i, 0)
+                    spf = self.path[i][1]
+                    if cnt >= 5 or i in self._plc_skip or spf != 960:
+                        si = self._celt_noise_si(
+                            i, 0, self.path[i][2], spf,
+                            self._LM_OF_SPF[spf])
+                        self._plc_loss_cnt[i] = cnt + 1
+                        return ("celt_noise", i, si, job)
+                    self._plc_loss_cnt[i] = cnt + 1
                     return ("celt_plc", i, None, job)
                 return ("celt_lost", i, None, job)
             if self.rfc_plc and kind in ("hybrid", "silk"):
@@ -2141,6 +2220,19 @@ class StreamPool:
                 if self.silk_hosts is not None:
                     # silk_Decode on loss (:455) in the native struct too
                     self.silk_hosts[i].st.LastGainIndex = 10
+                if kind == "hybrid":
+                    # hybrid loss also conceals the CELT high band:
+                    # libopus celt_decode_lost with start=17 takes the
+                    # NOISE branch (start != 0), summed SAT16 with the
+                    # SILK conceal like a decoded hybrid frame
+                    # (src/opus_decoder.cpp:272 mix anchor)
+                    cnt = self._plc_loss_cnt.get(i, 0)
+                    N = frame_ms * 48
+                    csi = self._celt_noise_si(i, 17, self.path[i][1], N,
+                                              self._LM_OF_SPF[N])
+                    self._plc_loss_cnt[i] = cnt + 1
+                    return ("hyb_plc", i,
+                            ((fs, frame_ms, preps), csi), job)
                 return ("silk_plc", i, (fs, frame_ms, preps), job)
             if self.rfc_plc and kind in ("silk2", "hybrid2"):
                 # stereo loss: conceal mid always, side only when the
@@ -2180,6 +2272,16 @@ class StreamPool:
                         silk.channel_states[ch].LastGainIndex = 10
                 pred = self._last_pred.get(
                     i, np.zeros(2, dtype=np.int32))
+                if kind == "hybrid2":
+                    # stereo hybrid loss: CELT high-band noise conceal
+                    # (start=17) summed with the stereo SILK conceal
+                    cnt = self._plc_loss_cnt.get(i, 0)
+                    N = frame_ms * 48
+                    csi = self._celt_noise_si(i, 17, self.path[i][1], N,
+                                              self._LM_OF_SPF[N])
+                    self._plc_loss_cnt[i] = cnt + 1
+                    return ("hyb2_plc", i,
+                            ((fs, frame_ms, preps, pred), csi), job)
                 return ("silk2_plc", i, (fs, frame_ms, preps, pred),
                         job)
             raise NotImplementedError(
@@ -2315,10 +2417,11 @@ class StreamPool:
         self._stats["steps"] += 1
         self._stats["frames"] += len(results) + n_fast
         _kind_of = {"celt_lost": "celt", "celt_plc": "celt",
-                    "silk_mute": "hybrid",
+                    "celt_noise": "celt", "silk_mute": "hybrid",
                     "silk2": "silk", "silk2_mute": "hybrid",
                     "hybrid2": "hybrid", "silk_plc": "silk",
-                    "silk2_plc": "silk"}
+                    "silk2_plc": "silk", "hyb_plc": "hybrid",
+                    "hyb2_plc": "hybrid"}
         for kind, i, _p, job in results:
             if i in lost:
                 self._stats["frames_lost"] += 1
@@ -2331,6 +2434,25 @@ class StreamPool:
                 self._stats[f"frames_{base}"] += 1
             else:
                 self._stats[f"frames_{_kind_of.get(kind, kind)}"] += 1
+
+        if self.rfc_plc and self._plc_loss_cnt:
+            # celt_decode_with_ec entry semantics per good decode:
+            # skip_plc = (loss_count != 0), then loss_count = 0; skip
+            # clears at the SECOND consecutive good frame. Only rows
+            # that have concealed since their last good decode (dict
+            # members) need the update.
+            good = handled.union(
+                i for kind, i, _p, _job in results
+                if kind in ("celt", "hybrid", "hybrid2"))
+            for i in list(self._plc_loss_cnt):
+                if i in lost or i not in good:
+                    continue
+                if self._plc_loss_cnt[i]:
+                    self._plc_skip.add(i)
+                    self._plc_loss_cnt[i] = 0
+                else:
+                    self._plc_skip.discard(i)
+                    del self._plc_loss_cnt[i]
 
         celt_groups: dict[tuple, list] = {}
         silk_groups: dict[tuple, list] = {}
@@ -2351,6 +2473,27 @@ class StreamPool:
             elif kind == "celt_plc":
                 # rfc_plc: real pitch-repeat concealment on device
                 plcc_rows.append(i)
+            elif kind == "celt_noise":
+                # noise-branch conceal: host-fabricated staging through
+                # the normal decode bucket (rides superstep windows too)
+                key = (payload["LM"], payload["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, payload))
+            elif kind == "hyb_plc":
+                # hybrid loss: SILK conceal + CELT high-band noise
+                # conceal, SAT16-mixed at routing like a decoded frame
+                (fs, frame_ms, preps), csi = payload
+                pend["hybrid"].add(i)
+                plc_groups.setdefault((fs, frame_ms, len(preps)),
+                                      []).append((i, preps))
+                key = (csi["LM"], csi["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, csi))
+            elif kind == "hyb2_plc":
+                (fs, frame_ms, preps, pred), csi = payload
+                pend["hybrid"].add(i)
+                plc2_groups.setdefault((fs, len(preps), frame_ms),
+                                       []).append((i, (preps, pred)))
+                key = (csi["LM"], csi["C"], self.channels)
+                celt_groups.setdefault(key, []).append((i, csi))
             elif kind == "silk_mute":
                 # hybrid loss: SILK state advances over the empty
                 # bitstream, output is silence (CELT stage errors)
@@ -2431,15 +2574,25 @@ class StreamPool:
             if self._dev_exec is not None:
                 self._dev_exec.submit(lambda: None).result()
         if plcc_rows:
-            # CELT conceal reads/writes decode_mem directly: flush any
-            # buffered T-mode superstep window first (partial windows
-            # pad as no-ops) and join the dispatch thread whose
-            # closures reassign self.state
-            if self._t_mode and self._ss_k > 1:
-                self._ss_flush()
-            if self._dev_exec is not None:
-                self._dev_exec.submit(lambda: None).result()
-            self._celt_plc_group(plcc_rows, pend)
+            if self._t_mode and self._ss_k > 1 \
+                    and all(p[1] == 960 for p in self.path):
+                # (uniform 20 ms pools only: a mixed-LM pool would put
+                # the conceal frame in a different window than the
+                # step's decode staging, breaking state order)
+                # 20 ms transposed superstep pools: the conceal rides
+                # the K-frame window as compact in-window rows
+                # (_celt_pool_superstep_T_lossy) — no flush
+                self._celt_plc_group_ss(plcc_rows, pend)
+            else:
+                # CELT conceal reads/writes decode_mem directly: flush
+                # any buffered T-mode superstep window first (partial
+                # windows pad as no-ops) and join the dispatch thread
+                # whose closures reassign self.state
+                if self._t_mode and self._ss_k > 1:
+                    self._ss_flush()
+                if self._dev_exec is not None:
+                    self._dev_exec.submit(lambda: None).result()
+                self._celt_plc_group(plcc_rows, pend)
         self._plc_prev_lost = set(plcc_rows)
         for (fs, frame_ms, nfr), items in plc_groups.items():
             self._silk_plc_group(items, fs, nfr, frame_ms, pend)
@@ -2883,9 +3036,19 @@ class StreamPool:
         from ..ops.celt.jax_plc import celt_plc_bucket
         n = len(rows)
         CC = self.channels
-        cap = _pow2_cap(max(sum(1 for p in self.path
-                                if p[0] == "celt"), 1)) \
-            if self.fixed_buckets else _pow2_cap(n)
+        # COMPACT bucket (pow2 of the lost count, not the pool cap):
+        # the conceal kernel is the heaviest per-row program in the
+        # pool (pitch xcorr + Levinson-24 + order-24 IIR scan), so
+        # padding it to the full fixed_buckets capacity wasted ~cap/n x
+        # compute on every lossy step; pow2 occupancy keeps the compile
+        # count logarithmic. The in-window superstep conceal
+        # (_celt_pool_superstep_T_lossy) sizes its slot count the same
+        # way, so the two paths run the SAME batch shape (and thus
+        # bit-identical float reductions) whenever a frame's lost set
+        # matches — the conceal is float32, spec'd by SNR vs libopus
+        # (test_celt_plc.py), and its low bits legitimately vary with
+        # batch shape.
+        cap = _pow2_cap(n)
         bk = ("celt_plc", CC, cap)
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
         pad = cap - n
@@ -2920,6 +3083,103 @@ class StreamPool:
             .at[jidx].set(pitch2)
         self.state["plc_lpc"] = self.state["plc_lpc"].at[jidx].set(lpc2)
         pend["mix"].append((pcm, list(rows)))
+
+    def _celt_plc_group_ss(self, rows, pend):
+        """Superstep-resident CELT concealment (transposed 20 ms CELT
+        pools, VERDICT r04 #3): lost rows JOIN the K-frame window as
+        compact conceal entries instead of flushing it — the window
+        keeps filling and ONE lossy device program
+        (_celt_pool_superstep_T_lossy) serves K frames, concealing each
+        frame's lost lanes in place. The T-mode staging is full-pool
+        identity (every row owns its lane), so unlike the SILK variant
+        there are no pad-row gymnastics: the step's staged frame
+        already carries the lost rows as inactive lanes; this method
+        just records which lanes to conceal (and their host-tracked
+        loss_count==0 flags) on that frame's window entry. An all-lost
+        step staged nothing yet — it becomes its own all-inactive
+        window frame."""
+        from ..ops.celt import jax_plc as _jplc  # noqa: F401 (see
+        # _celt_pool_superstep_T_lossy: module-level jnp constants must
+        # materialize outside the trace)
+        key = (3, 2 if self.channels == 2 else 1)
+        ent = self._ss_buf.get(key)
+        mark = self._ss_mark.get(key)
+        rows_np = np.asarray(sorted(rows), dtype=np.int32)
+        first = np.array([i not in self._plc_prev_lost
+                          for i in rows_np])
+        if ent is not None and ent[1] and mark is not None \
+                and mark == (len(ent[1]) - 1, self._step_seq):
+            # this step staged a good-row frame: conceal rides it
+            batch, stgs = ent
+            j = len(stgs) - 1
+            stgs[j][1] = rows_np
+            stgs[j][2] = first
+        else:
+            # all rows lost this step (or the window just dispatched):
+            # the conceal becomes its own all-inactive window frame
+            C = key[1]
+            W = _CELT_HDR + 2 * NB_EBANDS + C * 960
+            if ent is None:
+                self._ss_buf[key] = ent = (_SSBatch(self), [])
+            batch, stgs = ent
+            j = len(stgs)
+            stgs.append([np.zeros((self.n, W), dtype=np.int16),
+                         rows_np, first])
+        h = batch.frame(j)
+        # concealed lanes route exactly like decoded lanes: the window
+        # program wrote their PCM into the same frame block
+        pend["celt"].append((h, rows_np.tolist()))
+        if len(stgs) >= self._ss_k:
+            self._ss_dispatch(key)
+
+    def _celt_noise_si(self, i, start, end, N, LM):
+        """libopus celt_decode_lost NOISE branch (loss_count >= 5,
+        post-recovery skip_plc, or the hybrid high band start != 0):
+        decay the host's oldBandE toward backgroundLogE, fill bands
+        start..effEnd with renormalised LCG noise, and return a
+        synth-inputs dict that flows through the NORMAL decode bucket
+        (zero-gain comb = the branch's missing postfilter) — so the
+        device conceal IS the ordinary integer synthesis path, bit-
+        exact vs the scalar CELTDecoder.decode_lost noise branch. The
+        reference deleted celt_decode_lost entirely; the anchor for
+        this state layout is its decoder struct src/celt.h:150-171.
+        Mutates the host engine state (oldBandE, rng) exactly like
+        libopus does; works on both engines (native CeltHostState and
+        the python CELTDecoder share field names)."""
+        from ..ops.celt.math import celt_lcg_rand
+        from ..ops.celt.pvq import renormalise_vector
+        from ..ops.tables.celt_tables import eband5ms
+        host = self.celt_hosts[i]
+        st = host.st if self.native else host
+        CC = self.channels
+        C = CC          # the noise branch synthesizes C=CC channels
+        cnt = self._plc_loss_cnt.get(i, 0)
+        decay = 1536 if cnt == 0 else 512     # 1.5 / 0.5 dB, Q10
+        for c in range(CC):
+            base = c * NB_EBANDS
+            for b in range(start, end):
+                st.oldBandE[base + b] = max(
+                    int(st.backgroundLogE[base + b]),
+                    int(st.oldBandE[base + b]) - decay)
+        effEnd = max(start, min(end, NB_EBANDS))
+        seed = int(st.rng) & 0xFFFFFFFF
+        X = np.zeros(C * N, dtype=np.int64)
+        for c in range(C):
+            for b in range(start, effEnd):
+                boffs = N * c + (int(eband5ms[b]) << LM)
+                blen = (int(eband5ms[b + 1]) - int(eband5ms[b])) << LM
+                for j in range(blen):
+                    seed = celt_lcg_rand(seed)
+                    v = seed - (1 << 32) if seed >= (1 << 31) else seed
+                    X[boffs + j] = v >> 20
+                renormalise_vector(X[boffs:boffs + blen], blen, 32767)
+        st.rng = seed
+        bandE = np.array([int(st.oldBandE[j])
+                          for j in range(2 * NB_EBANDS)], dtype=np.int64)
+        return dict(X=X, bandE=bandE, start=start, end=effEnd, C=C,
+                    CC=CC, LM=LM, transient=False, silence=0,
+                    comb1=(15, 15, 0, 0, 0, 0),
+                    comb2=(15, 15, 0, 0, 0, 0))
 
     def _celt_launch(self, sidx, X, bandE, start, end, comb1, comb2,
                      LM, C, transient):
@@ -3021,13 +3281,17 @@ class StreamPool:
                                          comb1, comb2, C, N, transient)
         if self._ss_k > 1:
             # superstep mode: buffer this frame's staging; dispatch ONE
-            # K-frame program when the buffer fills (or at flush)
+            # K-frame program when the buffer fills (or at flush).
+            # Entries are [stg, conc_rows|None, first|None] —
+            # _celt_plc_group_ss amends this step's entry with compact
+            # in-window conceal rows on a lossy step.
             key = (LM, C)
             if key not in self._ss_buf:
                 self._ss_buf[key] = (_SSBatch(self), [])
             batch, stgs = self._ss_buf[key]
             h = batch.frame(len(stgs))
-            stgs.append(stg)
+            stgs.append([stg, None, None])
+            self._ss_mark[key] = (len(stgs) - 1, self._step_seq)
             if len(stgs) >= self._ss_k:
                 self._ss_dispatch(key)
             return h
@@ -3079,17 +3343,46 @@ class StreamPool:
             return self._ss_dispatch_hyb1(batch, stgs,
                                           key[1] if len(key) > 1 else 3)
         if len(stgs) < self._ss_k:
-            pad = np.zeros_like(stgs[0])
+            pad = [np.zeros_like(stgs[0][0]), None, None]
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
-        stgK = np.stack(stgs)
+        stgK = np.stack([s[0] for s in stgs])
         LM, C = key
+        lossy = any(s[1] is not None for s in stgs)
+        if lossy:
+            # in-window conceal: compact lost-lane indices per frame,
+            # padded to one pow2 slot count S for the whole window
+            # (sentinel self.n: gathers clamp, scatters drop)
+            K = self._ss_k
+            S = _pow2_cap(max(len(s[1]) for s in stgs
+                              if s[1] is not None))
+            rowsK = np.full((K, S), self.n, dtype=np.int32)
+            firstK = np.zeros((K, S), dtype=bool)
+            for k, s in enumerate(stgs):
+                if s[1] is not None:
+                    m = len(s[1])
+                    rowsK[k, :m] = s[1]
+                    firstK[k, :m] = s[2]
+            bk = ("celtT_plc_ss", LM, C, self.n, S)
+            self._stats["buckets"][bk] = \
+                self._stats["buckets"].get(bk, 0) + 1
 
         def run():
-            pcmK, dm, pre = _celt_pool_superstep_T(
-                self.state["decode_mem"], self.state["preemph"],
-                jax.device_put(stgK), LM=LM, C=C, CC=self.channels,
-                chunk=13, masked=True, downsample=self.downsample,
-                interpret=self._t_interp)
+            if lossy:
+                pcmK, dm, pre, pit, lpc = _celt_pool_superstep_T_lossy(
+                    self.state["decode_mem"], self.state["preemph"],
+                    self.state["plc_pitch"], self.state["plc_lpc"],
+                    jax.device_put(stgK), jnp.asarray(rowsK),
+                    jnp.asarray(firstK), LM=LM, C=C, CC=self.channels,
+                    chunk=13, downsample=self.downsample,
+                    interpret=self._t_interp)
+                self.state["plc_pitch"] = pit
+                self.state["plc_lpc"] = lpc
+            else:
+                pcmK, dm, pre = _celt_pool_superstep_T(
+                    self.state["decode_mem"], self.state["preemph"],
+                    jax.device_put(stgK), LM=LM, C=C, CC=self.channels,
+                    chunk=13, masked=True, downsample=self.downsample,
+                    interpret=self._t_interp)
             self.state["decode_mem"] = dm
             self.state["preemph"] = pre
             if self.output == "host":

@@ -218,17 +218,18 @@ def _iir24(x, den, mem):
 
 
 # ------------------------------------------------------------ conceal
-@functools.partial(jax.jit, static_argnames=("CC", "downsample"))
-def celt_plc_bucket(dm, pre, pitch, lpc, first, active, *,
-                    CC: int, downsample: int = 1):
-    """One concealed 20 ms frame for a bucket of lost CELT rows.
+def celt_plc_core(dm, pre, pitch, lpc, first, *,
+                  CC: int, downsample: int = 1):
+    """UNMASKED conceal core: one concealed 20 ms frame per row.
 
     dm (R, CC, DBS+OVERLAP) int32 Q12 decode_mem rows; pre (R, CC)
     int32 deemphasis memory; pitch (R,) int32 last pitch (used when
     first=False); lpc (R, CC, 24) float32 last LPC fit; first (R,) bool
-    loss_count==0; active (R,) bool — padded rows keep state untouched.
-    Returns (pcm (R, N//downsample, CC) int16-range int32, dm', pre',
-    pitch', lpc')."""
+    loss_count==0. Returns raw (pcm (R, Nd, CC) int16, dm', pre', T,
+    lpc') with no row masking — celt_plc_bucket (per-frame buckets)
+    masks inactive rows, the in-window superstep path
+    (_celt_pool_superstep_T_lossy) instead gathers compact lost rows
+    and drop-scatters, so pads never write back at all."""
     R = dm.shape[0]
     f = dm.astype(jnp.float32) / 4096.0
     new_pitch = _plc_pitch_search(f[:, :, :DBS])
@@ -314,6 +315,18 @@ def celt_plc_bucket(dm, pre, pitch, lpc, first, active, *,
     dm2 = jnp.stack(dms, axis=1)                       # (R, CC, L)
     pre2 = jnp.stack(pres, axis=1)                     # (R, CC)
     lpc2 = jnp.stack(lpcs, axis=1)                     # (R, CC, 24)
+    return pcm.astype(jnp.int16), dm2, pre2, T, lpc2
+
+
+@functools.partial(jax.jit, static_argnames=("CC", "downsample"))
+def celt_plc_bucket(dm, pre, pitch, lpc, first, active, *,
+                    CC: int, downsample: int = 1):
+    """One concealed 20 ms frame for a bucket of lost CELT rows
+    (celt_plc_core + inactive-row masking: padded rows keep state
+    untouched). Returns (pcm (R, N//downsample, CC) int16, dm', pre',
+    pitch', lpc')."""
+    pcm, dm2, pre2, T, lpc2 = celt_plc_core(
+        dm, pre, pitch, lpc, first, CC=CC, downsample=downsample)
     am = active[:, None]
     dm2 = jnp.where(am[:, :, None], dm2, dm)
     pre2 = jnp.where(am, pre2, pre)

@@ -106,6 +106,8 @@ def _carry_state(old: StreamPool, new: StreamPool) -> None:
     new._last_pred.update(old._last_pred)
     new._last_rng.update(old._last_rng)
     new._plc_prev_lost |= old._plc_prev_lost
+    new._plc_loss_cnt.update(old._plc_loss_cnt)
+    new._plc_skip |= old._plc_skip
     for key, osub in old._ms_subs.items():
         _carry_state(osub, new._ms_subs[key])
     for key, osub in old._kind_subs.items():
@@ -118,11 +120,14 @@ class PoolFarm:
                  native: bool = True, compat_ref: bool = True,
                  host_threads: int = 0, fixed_buckets: bool = False,
                  rfc_plc: bool = False, superstep_k: int = 1,
-                 out_fs: int = 48000, ms_batch: bool = True):
-        """superstep_k/out_fs/ms_batch pass straight through to each
-        shard's StreamPool — a farm with superstep_k=K runs ONE device
-        program per K frames per shard (the single-pool fast path at
-        pod scale) instead of one dispatch per frame."""
+                 out_fs: int = 48000, ms_batch: bool = True,
+                 output: str = "host", device_keep: int | None = None):
+        """superstep_k/out_fs/ms_batch/output/device_keep pass straight
+        through to each shard's StreamPool — a farm with superstep_k=K
+        runs ONE device program per K frames per shard (the single-pool
+        fast path at pod scale) instead of one dispatch per frame;
+        output='device' keeps each shard's PCM in its chip's HBM for
+        on-chip consumers."""
         self.devices = list(devices if devices is not None
                             else jax.devices())
         self.channels = channels
@@ -131,7 +136,8 @@ class PoolFarm:
                              host_threads=host_threads,
                              fixed_buckets=fixed_buckets, rfc_plc=rfc_plc,
                              superstep_k=superstep_k, out_fs=out_fs,
-                             ms_batch=ms_batch)
+                             ms_batch=ms_batch, output=output,
+                             device_keep=device_keep)
         n_sh = len(self.devices)
         # round-robin partition; remember each stream's (shard, slot)
         self._shard_sources = [[] for _ in range(n_sh)]

@@ -43,9 +43,15 @@ Two program families:
     NamedSharding annotations alone. Used off-TPU (CPU CI meshes).
 
 Covers the uniform high-volume farm shapes (CELT-only and mono-SILK
-pools, BASELINE configs 1/2/4 at pod scale); heterogeneous pools
-compose as one ShardedStreamPool per kind, or fall back to PoolFarm
-(which carries superstep_k per shard-pool for every kind).
+pools, BASELINE configs 1/2/4 at pod scale) WITH the serving surface:
+loss/FEC masks ride the masked step (reference loss semantics — CELT
+state-keep + silence, SILK empty-bitstream decode, LBRR recovery; see
+_host_frame), stats() reports the farm-grade counters, and
+save/load_checkpoint give preemptible-safe resume. RFC-mode
+CONCEALMENT (rfc_plc pitch/noise PLC, CNG, glue) and heterogeneous
+pools stay PoolFarm's job — one full-featured StreamPool per chip —
+either as one ShardedStreamPool per kind or a farm of shard pools
+(which carry superstep_k per kind).
 """
 from __future__ import annotations
 
@@ -274,6 +280,8 @@ class ShardedStreamPool:
         self._interp = backend != "tpu"
         self.positions = [0] * self.n
         self.pcm_out = [[] for _ in range(self.n)]
+        self._stats = dict(steps=0, frames=0, frames_lost=0,
+                           frames_fec=0, samples_out=0)
         self._sh = stream_sharding(self.mesh)
         # window staging: leading K axis replicated, streams axis sharded
         self._shK = NamedSharding(self.mesh, P(None, "streams"))
@@ -342,20 +350,67 @@ class ShardedStreamPool:
         return jax.device_put(a, self._sh)
 
     # ------------------------------------------------------------ frame
-    def _host_frame(self):
+    def _host_frame(self, lost=None, fec=None):
         """One host symbol phase over the group; returns (staging
-        tuple of np arrays, pos snapshot, ok mask) or None when every
-        stream is exhausted. Cursors advance here so the NEXT frame's
-        host phase reads the right packets even while the device window
-        is still buffering."""
+        tuple of np arrays, pos snapshot, ok mask, lost mask) or None
+        when every stream is exhausted. Cursors advance here so the
+        NEXT frame's host phase reads the right packets even while the
+        device window is still buffering.
+
+        Loss semantics match the non-rfc StreamPool (the reference's:
+        its celt_decode_lost is deleted): a lost CELT packet is
+        consumed, the row's state is KEPT (inactive lane in the masked
+        step) and silence is emitted; a lost SILK packet decodes the
+        normal frame path over an EMPTY bitstream (per-row host
+        fallback into the group's StateArray row — batch calls and
+        fallbacks share that memory). fec recovers a lost SILK frame
+        from the next packet's in-band LBRR instead when present.
+        RFC-mode concealment at pod scale is PoolFarm's job (each
+        shard pool has the full rfc_plc machinery)."""
         g = self.group
         pos = np.asarray(self.positions, dtype=np.int64)
         active = pos < g.table.n_packets
         if not active.any():
             return None
-        ok = g.decode(pos, active)
-        for r in np.nonzero(ok)[0]:
+        lmask = np.zeros(self.n, dtype=bool)
+        for i in lost or ():
+            if 0 <= i < self.n:
+                lmask[i] = True
+        lmask &= active
+        if self.kind == "celt":
+            ok = g.decode(pos, active & ~lmask)
+        else:
+            ok = g.decode(pos, active & ~lmask)
+            b = g.buf
+            for r in np.nonzero(lmask)[0]:
+                d = None
+                if fec and r in fec \
+                        and int(pos[r]) + 1 < len(self.streams[r].jobs):
+                    from ..host.packet import parse_packet
+                    nxt = parse_packet(
+                        self.streams[r].jobs[int(pos[r]) + 1].data
+                    ).frames[0]
+                    d = g.hosts[r].fec_frame(nxt, self.fs, 20)
+                    if d is not None:
+                        self._stats["frames_fec"] += 1
+                if d is None:
+                    d = g.hosts[r].frame(b"", self.fs)
+                b.exc[r] = d["exc"]
+                b.A[r] = d["A"]
+                b.B[r] = d["B"]
+                b.gains[r] = d["gains"]
+                b.inv[r] = d["inv"]
+                b.lag[r] = d["lag"]
+                b.adj[r] = d["adj"]
+                b.flags[r, 0:4] = d["voiced"]
+                b.flags[r, 4:8] = d["rewhiten"]
+                b.flags[r, 8:12] = d["match"]
+                ok[r] = True
+        for r in np.nonzero(ok | lmask)[0]:
             self.positions[r] = int(pos[r]) + 1
+        self._stats["steps"] += 1
+        self._stats["frames"] += int((ok | lmask).sum())
+        self._stats["frames_lost"] += int(lmask.sum())
         if self.kind == "celt":
             params = g.params
             sec = np.concatenate(
@@ -392,25 +447,31 @@ class ShardedStreamPool:
                               b.flags[:, 8:12]], axis=1).astype(bool)
             stg = (b.exc.copy(), b.A.copy(), b.B.copy(), iv, bools,
                    ok.copy())
-        return stg, pos, ok
+        return stg, pos, ok, lmask
 
-    def _route(self, out, pos, ok):
+    def _route(self, out, pos, ok, lmask=None):
         """Distribute one frame's fetched PCM to the per-stream output
         lists (pre-skip / end-trim per packet). Fused CELT frames are
-        transposed (CC, Nd, lanes): stream r is lane column r."""
+        transposed (CC, Nd, lanes): stream r is lane column r. Lost
+        CELT rows (state kept, inactive lane) emit silence."""
         celt = self.kind == "celt"
-        for r in np.nonzero(ok)[0]:
+        take = ok if lmask is None else (ok | lmask)
+        for r in np.nonzero(take)[0]:
             k = int(pos[r])
             job = self.streams[r].jobs[k]
             if celt:
                 pcm_r = out[:, :, r].T if self.fused else out[r].T
+                if lmask is not None and lmask[r]:
+                    pcm_r = np.zeros_like(pcm_r)
             else:
                 pcm_r = out[r][:, None]
             lo, hi = job.discard_front, pcm_r.shape[0] - job.trim_end
-            self.pcm_out[r].append(pcm_r[lo:max(hi, lo)].astype(np.int16))
+            piece = pcm_r[lo:max(hi, lo)].astype(np.int16)
+            self._stats["samples_out"] += piece.shape[0]
+            self.pcm_out[r].append(piece)
 
     # ------------------------------------------------------- per-frame
-    def _dispatch_frame(self, stg, pos, ok):
+    def _dispatch_frame(self, stg, pos, ok, lmask=None):
         if self.kind == "celt":
             X, bandE, secT, tr, okk = stg
             pcm, dm, pre = _celt_sharded_step(
@@ -429,7 +490,7 @@ class ShardedStreamPool:
                 frame=20 * self.fs)
             self.state = st2
             out = np.asarray(out48)
-        self._route(out, pos, ok)
+        self._route(out, pos, ok, lmask)
 
     # ------------------------------------------------------- superstep
     def _dispatch_window(self):
@@ -443,7 +504,7 @@ class ShardedStreamPool:
         stg0 = frames[0][0]
         while len(frames) < K:
             pad = tuple(np.zeros_like(a) for a in stg0)
-            frames.append((pad, None, None))
+            frames.append((pad, None, None, None))
         cols = [np.stack(parts)
                 for parts in zip(*(f[0] for f in frames))]
         colsK = jax.device_put(tuple(cols), self._shK)
@@ -470,17 +531,19 @@ class ShardedStreamPool:
                     self.state, *colsK, **kw)
             self.state = st2
         outK = np.asarray(pcmK)
-        for k, (_stg, pos, ok) in enumerate(frames):
+        for k, (_stg, pos, ok, lmask) in enumerate(frames):
             if pos is None:
                 break
-            self._route(outK[k], pos, ok)
+            self._route(outK[k], pos, ok, lmask)
 
     # ----------------------------------------------------------- drive
-    def step(self) -> bool:
+    def step(self, lost=None, fec=None) -> bool:
         """One frame on every active stream. superstep_k>1 buffers the
         frame's staging and dispatches once per K frames (flush() or
-        run() drain a trailing partial window)."""
-        fr = self._host_frame()
+        run() drain a trailing partial window). lost/fec: sets of
+        stream indices (see _host_frame for the pod-scale loss
+        semantics)."""
+        fr = self._host_frame(lost, fec)
         if fr is None:
             return False
         if self.superstep_k == 1 and not self.fused:
@@ -498,10 +561,82 @@ class ShardedStreamPool:
         if self._win:
             self._dispatch_window()
 
-    def run(self):
-        while self.step():
-            pass
+    def run(self, loss=None, fec=False):
+        """Decode everything; loss: callable (stream_idx, packet_idx)
+        -> bool (pod-scale loss semantics, see _host_frame)."""
+        while True:
+            lost, fec_set = set(), set()
+            if loss is not None:
+                for i in range(self.n):
+                    k = self.positions[i]
+                    if k >= len(self.streams[i].jobs) or not loss(i, k):
+                        continue
+                    lost.add(i)
+                    if fec and k + 1 < len(self.streams[i].jobs) \
+                            and not loss(i, k + 1):
+                        fec_set.add(i)
+            if not self.step(lost, fec_set):
+                break
         self.flush()
         return [np.concatenate(p) if p else
                 np.zeros((0, self.channels), dtype=np.int16)
                 for p in self.pcm_out]
+
+    # ------------------------------------------------------ aux surface
+    def stats(self) -> dict:
+        """Decode statistics (the farm-grade observability surface,
+        scoped to what the SPMD vehicle executes)."""
+        active = sum(1 for i in range(self.n)
+                     if self.positions[i] < len(self.streams[i].jobs))
+        return dict(self._stats, streams=self.n, kind=self.kind,
+                    mesh_devices=int(self.mesh.devices.size),
+                    superstep_k=self.superstep_k, fused=self.fused,
+                    active_streams=active)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the complete decode state: device pytrees (fetched
+        to host), the group's native StateArray, cursors, buffered
+        window staging, and undelivered PCM — preemptible-safe resume
+        for the SPMD vehicle."""
+        import pickle
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.state)[0])
+        ck = dict(
+            n=self.n, kind=self.kind, channels=self.channels,
+            superstep_k=self.superstep_k,
+            positions=list(self.positions),
+            state={k: np.asarray(v) for k, v in self.state.items()},
+            group_states=bytes(self.group.states.buf),
+            win=[(tuple(np.asarray(a) for a in stg), pos, ok, lm)
+                 for stg, pos, ok, lm in self._win],
+            pcm_out=[[np.asarray(a) for a in per]
+                     for per in self.pcm_out],
+            stats=dict(self._stats),
+        )
+        with open(path, "wb") as f:
+            pickle.dump(ck, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a save_checkpoint snapshot onto this pool (must be
+        constructed over the same sources/mesh shape)."""
+        import pickle
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+        if ck["n"] != self.n or ck["kind"] != self.kind \
+                or ck["channels"] != self.channels \
+                or ck["superstep_k"] != self.superstep_k:
+            raise ValueError("checkpoint pool shape mismatch")
+        self.positions = list(ck["positions"])
+        sh = {"decode_mem": self._sh_lanes} if self.fused \
+            and self.kind == "celt" else {}
+        self.state = {k: jax.device_put(v, sh.get(k, self._sh))
+                      for k, v in ck["state"].items()}
+        raw = ck["group_states"]
+        if len(raw) != self.group.states.buf.nbytes:
+            raise ValueError("native state blob size mismatch")
+        self.group.states.buf[:] = np.frombuffer(
+            raw, dtype=np.uint8).reshape(self.group.states.buf.shape)
+        self._win = [(stg, pos, ok, lm)
+                     for stg, pos, ok, lm in ck["win"]]
+        self.pcm_out = [[np.asarray(a) for a in per]
+                        for per in ck["pcm_out"]]
+        self._stats = dict(ck["stats"])

@@ -81,6 +81,10 @@ def snapshot(pool) -> dict:
     # CELT-PLC loss-run tracker (rows concealed on the latest step)
     ck["celt_plc_prev_lost"] = sorted(getattr(pool, "_plc_prev_lost",
                                               set()))
+    # celt_decode_lost bookkeeping mirrors (noise-branch selection):
+    # conceals-since-last-good per row + the skip_plc flag set
+    ck["celt_plc_loss_cnt"] = dict(getattr(pool, "_plc_loss_cnt", {}))
+    ck["celt_plc_skip"] = sorted(getattr(pool, "_plc_skip", set()))
     # batched-multistream sub-pools checkpoint recursively
     ck["ms_subs"] = {key: snapshot(sp)
                      for key, sp in getattr(pool, "_ms_subs", {}).items()}
@@ -158,6 +162,8 @@ def restore(pool, ck: dict) -> None:
         pool.celt_hosts = [pickle.loads(b) for b in ck["celt_hosts"]]
     pool.scalar = [pickle.loads(b) for b in ck["scalar"]]
     pool._plc_prev_lost = set(ck.get("celt_plc_prev_lost", ()))
+    pool._plc_loss_cnt = dict(ck.get("celt_plc_loss_cnt", {}))
+    pool._plc_skip = set(ck.get("celt_plc_skip", ()))
     for key, sub_ck in ck.get("ms_subs", {}).items():
         restore(pool._ms_subs[key], sub_ck)
     for key, sub_ck in ck.get("kind_subs", {}).items():

@@ -281,3 +281,45 @@ def test_rfc_plc_mixed_celt_hybrid_loss():
     assert out[0].shape == ref0.shape, "concealed frames were dropped"
     assert np.array_equal(out[0], ref0)
     assert np.array_equal(out[1], ref1)
+
+
+@pytest.mark.slow
+def test_rfc_celt_loss_scalar_pool_equiv():
+    """Scalar-vs-batched loss equivalence for CELT (VERDICT r04 #4b):
+    the scalar RFC decoder now runs celt_decode_lost too (pitch branch
+    via the R=1 device kernel, noise branch in exact fixed point), so
+    a single-stream pool and the scalar decoder replaying the same
+    8-frame burst are BIT-IDENTICAL (the burst covers both branches
+    and the skip_plc post-recovery semantics)."""
+    lossfn = lambda k: 10 <= k < 18 or k == 20
+    src = "celt_fb_mono_20ms"
+    got = StreamPool([str(fixture_path(src))], channels=1,
+                     compat_ref=False, rfc_plc=True).run(
+        loss=lambda i, k: lossfn(k))[0]
+    ref = _scalar_rfc_loss(src, lossfn)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_rfc_hybrid_loss_highband_scalar_pool_equiv():
+    """Hybrid loss conceals BOTH layers (VERDICT r04 #4a): SILK PLC for
+    the low band + celt_decode_lost noise branch (start=17, libopus
+    takes the noise path for start != 0) for the high band, SAT16-mixed.
+    Scalar and batched agree bit-exactly, and the concealed frame keeps
+    energy above 8 kHz (the r04 gap: high band went abruptly silent)."""
+    LOST = {5, 11, 12}
+    src = "hybrid_swb_mono_20ms"
+    lossfn = lambda k: k in LOST
+    got = StreamPool([str(fixture_path(src))], channels=1,
+                     compat_ref=False, rfc_plc=True).run(
+        loss=lambda i, k: lossfn(k))[0]
+    ref = _scalar_rfc_loss(src, lossfn)
+    assert np.array_equal(got, ref)
+    # high-band energy present in a concealed frame: |fft| above 8 kHz
+    s = opusfile.open_file(fixture_path(src))
+    pre = s.jobs[0].discard_front
+    frame = got[960 * 5 - pre:960 * 5 - pre + 960, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(frame))
+    hi = spec[np.fft.rfftfreq(960, 1 / 48000) > 8000]
+    assert np.sqrt(np.mean(hi ** 2)) > 50.0, \
+        "concealed hybrid frame lost its high band"

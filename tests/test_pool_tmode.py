@@ -380,3 +380,49 @@ def test_hybrid1_superstep_bitexact():
     for o, r in zip(outs, refs):
         assert np.array_equal(o, r)
     assert any(k[0] == "hyb1" for k in pool.stats()["buckets"])
+
+
+@pytest.mark.slow
+def test_celt_superstep_loss_in_window(monkeypatch):
+    """CELT conceals ride the K-frame window (VERDICT r04 #3): lossy
+    steps amend the buffered window frame with compact conceal lanes
+    (_celt_pool_superstep_T_lossy) instead of flushing it — mixed
+    decode/conceal steps, a 2-frame burst (pitch/LPC carry, first
+    flags), and shared-loss steps across both streams. Bit-exact vs
+    the per-frame T-mode rfc_plc pool replaying the same losses: the
+    float32 conceal kernel's low bits vary with batch shape, so the
+    loss pattern keeps each lossy frame's lost-row count equal to its
+    window's max (in-window slot count S == per-frame compact cap)."""
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    pat = {0: {4, 9, 10}, 1: {9, 10}}
+    loss = lambda i, k: k in pat[i]
+    kw = dict(channels=1, native=True, compat_ref=False, rfc_plc=True,
+              fixed_buckets=True)
+    pool = StreamPool([src] * 2, superstep_k=3, **kw)
+    assert pool._t_mode and pool._ss_k == 3
+    outs = pool.run(loss=loss)
+    assert any(b[0] == "celtT_plc_ss"
+               for b in pool.stats()["buckets"]), "in-window path unused"
+    refs = StreamPool([src] * 2, **kw).run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
+def test_celt_superstep_all_lost_step(monkeypatch):
+    """A step where EVERY stream is lost staged no decode frame — the
+    conceal becomes its own all-inactive window frame (create path),
+    and the window keeps filling."""
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    loss = lambda i, k: k in (3, 4)
+    kw = dict(channels=1, native=True, compat_ref=False, rfc_plc=True,
+              fixed_buckets=True)
+    pool = StreamPool([src] * 2, superstep_k=3, **kw)
+    outs = pool.run(loss=loss)
+    refs = StreamPool([src] * 2, **kw).run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"

@@ -106,3 +106,65 @@ def test_sharded_pool_rejects_uneven_split(mesh):
     with pytest.raises(ValueError):
         ShardedStreamPool([str(fixture_path("celt_fb_mono_20ms"))] * 3,
                           mesh=mesh, channels=1)
+
+
+def test_sharded_celt_loss_matches_pool(mesh):
+    """Pod-scale loss semantics (VERDICT r04 #6): lost CELT packets are
+    consumed, the lane's state is KEPT and silence is emitted — the
+    same non-rfc semantics as StreamPool (the reference deleted
+    celt_decode_lost). Bit-exact vs the single-device pool replaying
+    the same schedule; stats() records the losses."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    name = "celt_fb_mono_20ms"
+    lossfn = lambda i, k: k > 0 and (k + i) % 5 == 0
+    pool = ShardedStreamPool([str(fixture_path(name))] * 8, mesh=mesh,
+                             channels=1, compat_ref=True, superstep_k=4)
+    outs = pool.run(loss=lossfn)
+    refs = StreamPool([str(fixture_path(name))] * 8,
+                      channels=1, compat_ref=True).run(loss=lossfn)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+    st = pool.stats()
+    assert st["frames_lost"] > 0 and st["active_streams"] == 0
+    assert st["samples_out"] == sum(o.shape[0] for o in outs)
+
+
+def test_sharded_silk_loss_fec_matches_pool(mesh):
+    """Lost SILK packets decode the empty bitstream per-row into the
+    group StateArray (compat loss semantics); FEC recovers from the
+    next packet's LBRR. Bit-exact vs the single-device pool."""
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    name = "silk_wb_fec_mono_20ms"
+    lossfn = lambda i, k: k > 0 and (k + i) % 6 == 0
+    pool = ShardedStreamPool([str(fixture_path(name))] * 8, mesh=mesh,
+                             channels=1, compat_ref=True, superstep_k=4)
+    outs = pool.run(loss=lossfn, fec=True)
+    refs = StreamPool([str(fixture_path(name))] * 8,
+                      channels=1, compat_ref=True).run(
+        loss=lossfn, fec=True)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"
+    assert pool.stats()["frames_fec"] > 0
+
+
+def test_sharded_checkpoint_roundtrip(mesh, tmp_path):
+    """Preemptible-safe resume for the SPMD vehicle: snapshot mid-decode
+    (device pytrees + native StateArray + cursors + buffered window),
+    restore onto a fresh pool, finish — bit-exact vs an uninterrupted
+    run."""
+    name = "celt_fb_mono_20ms"
+    srcs = [str(fixture_path(name))] * 8
+    ref = ShardedStreamPool(srcs, mesh=mesh, channels=1,
+                            compat_ref=True, superstep_k=4).run()
+    pool = ShardedStreamPool(srcs, mesh=mesh, channels=1,
+                             compat_ref=True, superstep_k=4)
+    for _ in range(6):      # mid-window: 6 = one dispatched + 2 buffered
+        pool.step()
+    ck = str(tmp_path / "sharded.ck")
+    pool.save_checkpoint(ck)
+    fresh = ShardedStreamPool(srcs, mesh=mesh, channels=1,
+                              compat_ref=True, superstep_k=4)
+    fresh.load_checkpoint(ck)
+    outs = fresh.run()
+    for i, (o, r) in enumerate(zip(outs, ref)):
+        assert np.array_equal(o, r), f"stream {i}"

@@ -235,6 +235,11 @@ def celt_synth_step_dual_T(dmT, preemph, X_T, bandE, start, end,
         chans.append(dcc)
     dmT = jnp.stack(chans, axis=0)
     synT = dmT[:, DBS - N:DBS, :]
+    # NOT the fused comb+deemph kernel (pallas_comb.comb_deemph_step_T):
+    # measured on the v5e it is ~1% SLOWER than this separate-kernel
+    # form — XLA already hides the (N, B) round-trip behind the scan,
+    # and the fused kernel's extra pcm output block adds copies
+    # (docs/CEILING.md r05 addendum, measured negative result)
     pcmT, pre2 = deemphasis_T(synT, preemph, downsample=downsample,
                               interpret=interpret)
     return pcmT, dmT, pre2

@@ -71,6 +71,45 @@ def _shift_window(buf_get, s_lo, width, off, nrows):
     return w
 
 
+PREEMPH_COEF = 27853
+
+
+def _make_comb_deemph_kernel(regions, CH: int, L: int, N: int,
+                             dstart: int):
+    """Comb postfilter + deemphasis IIR fused into ONE kernel
+    (docs/CEILING.md lift #2): the deemphasis consumes exactly the
+    region rows the comb just wrote — running it as the kernel's
+    epilogue keeps those rows in VMEM instead of paying a second
+    kernel's (N x B) int32 HBM read, and drops one kernel launch per
+    frame per channel. Bit-exact: the epilogue is the same op sequence
+    as pallas_kernels._deemph_kernel over out_ref[dstart:dstart+N)."""
+
+    def kern(par_ref, f_ref, buf_ref, mem_ref, out_ref, pcm_ref,
+             mem_out_ref):
+        out_ref[:, :] = buf_ref[:, :]
+
+        def src(lo, n):
+            return out_ref[lo:lo + n, :]
+
+        for start, n, po in regions:
+            _comb_region(par_ref, f_ref, out_ref, src, start, n, po,
+                         min(CH, n))
+
+        m = mem_ref[0:1, :]
+
+        def body(i, m):
+            tmp = out_ref[pl.ds(dstart + i, 1), :] + m
+            m = _smul(tmp, PREEMPH_COEF)
+            pcm_ref[pl.ds(i, 1), :] = jnp.clip((tmp + 2048) >> 12,
+                                               -32768, 32767)
+            return m
+
+        m = jax.lax.fori_loop(0, N, body, m)
+        mem_out_ref[0:1, :] = m
+
+    return kern
+
+
 def _make_comb_kernel(regions, CH: int, L: int):
     """regions: static list of (start, N, param_row_offset) — each an
     independent comb_filter call applied in order (the CELT step runs
@@ -212,6 +251,65 @@ def _run_comb(bufT, par, regions, CH: int, max_n: int, interpret: bool):
         interpret=interpret,
     )(par, _f_col(n_rows), bufT)
     return out[:, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("start", "N", "chunk",
+                                             "interpret"))
+def comb_deemph_step_T(bufT, start: int, N: int, comb1, comb2, mem,
+                       chunk: int = 13, interpret: bool = False):
+    """comb_filter_step_T + the frame's deemphasis IIR fused into one
+    kernel invocation (see _make_comb_deemph_kernel). mem: (B,) int32
+    deemphasis memory for this channel. Returns (bufT', pcm (N, B)
+    int32 int16-range, mem')."""
+    L, B = bufT.shape
+    par = jnp.concatenate([_comb_params(*comb1), _comb_params(*comb2)],
+                          axis=0)
+    n1 = min(SHORT_BLOCK, N)
+    regions = [(start, n1, 0)]
+    if N > n1:
+        regions.append((start + n1, N - n1, 12))
+    CH = min(chunk, N)
+    while start + ((N + CH - 1) // CH) * CH > L:
+        CH -= 1
+    max_n = max(n1, N - n1)
+    n_rows = ((max_n + CH - 1) // CH) * CH
+    padB = (-B) % LANES
+    if padB:
+        bufT = jnp.pad(bufT, ((0, 0), (0, padB)))
+        par = jnp.pad(par, ((0, 0), (0, padB)))
+        mem = jnp.pad(mem, ((0, padB),))
+    Bp = B + padB
+    P = par.shape[0]
+    kern = _make_comb_deemph_kernel(tuple(regions), CH, L, N, start)
+    out, pcm, mem2 = pl.pallas_call(
+        kern,
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((P, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, 1), lambda l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((L, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda l: (0, l),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Bp), I32),
+            jax.ShapeDtypeStruct((N, Bp), I32),
+            jax.ShapeDtypeStruct((1, Bp), I32),
+        ),
+        interpret=interpret,
+    )(par, _f_col(n_rows), bufT, mem[None, :])
+    return out[:, :B], pcm[:, :B], mem2[0, :B]
 
 
 @functools.partial(jax.jit, static_argnames=("start", "N", "chunk",

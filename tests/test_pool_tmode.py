@@ -426,3 +426,29 @@ def test_celt_superstep_all_lost_step(monkeypatch):
     refs = StreamPool([src] * 2, **kw).run(loss=loss)
     for i, (o, r) in enumerate(zip(outs, refs)):
         assert np.array_equal(o, r), f"stream {i}"
+
+
+@pytest.mark.slow
+def test_celt_superstep_long_burst_noise_in_window(monkeypatch):
+    """A long burst inside superstep windows: conceals 0-4 ride the
+    window as compact pitch-conceal lanes, conceals 5+ switch to the
+    libopus noise branch — which stages as ORDINARY decode rows
+    (host-fabricated LCG noise through the integer bucket), so they
+    ride the window natively too. Bit-exact vs the per-frame pool
+    (equal lost-row counts per frame keep the float pitch-branch batch
+    shapes matched; noise frames are integer-exact)."""
+    monkeypatch.setenv("OTPU_T_MODE", "1")
+    from esp32_opus_player_tpu.models.stream_pool import StreamPool
+    src = str(fixture_path("celt_fb_mono_20ms"))
+    LOST = set(range(8, 16))          # 8-frame burst on both streams
+    loss = lambda i, k: k in LOST
+    kw = dict(channels=1, native=True, compat_ref=False, rfc_plc=True,
+              fixed_buckets=True)
+    pool = StreamPool([src] * 2, superstep_k=3, **kw)
+    outs = pool.run(loss=loss)
+    st = pool.stats()
+    assert any(b[0] == "celtT_plc_ss" for b in st["buckets"])
+    assert st["frames_lost"] == 2 * len(LOST)
+    refs = StreamPool([src] * 2, **kw).run(loss=loss)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert np.array_equal(o, r), f"stream {i}"

@@ -323,3 +323,51 @@ def test_rfc_hybrid_loss_highband_scalar_pool_equiv():
     hi = spec[np.fft.rfftfreq(960, 1 / 48000) > 8000]
     assert np.sqrt(np.mean(hi ** 2)) > 50.0, \
         "concealed hybrid frame lost its high band"
+
+
+def _scalar_rfc_loss2(name, lossfn):
+    """Stereo scalar RFC loss replay (channels=2)."""
+    s = opusfile.open_file(fixture_path(name))
+    dec = OpusDecoder(2, compat_ref=False)
+    out = []
+    for k, job in enumerate(s.jobs):
+        pcm = dec.decode(None) if lossfn(k) else dec.decode(job.data)
+        lo = job.discard_front
+        hi = pcm.shape[0] - job.trim_end
+        out.append(pcm[lo:max(hi, lo)])
+    return np.concatenate(out)
+
+
+@pytest.mark.slow
+def test_rfc_celt_stereo_loss_scalar_pool_equiv():
+    """STEREO CELT loss (pitch branch CC=2, then noise branch past 5
+    conceals): scalar and single-stream pool bit-identical."""
+    lossfn = lambda k: 8 <= k < 15
+    src = "celt_fb_stereo_20ms"
+    got = StreamPool([str(fixture_path(src))], channels=2,
+                     compat_ref=False, rfc_plc=True).run(
+        loss=lambda i, k: lossfn(k))[0]
+    ref = _scalar_rfc_loss2(src, lossfn)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_rfc_hybrid_stereo_loss_scalar_pool_equiv():
+    """STEREO hybrid loss: stereo SILK conceal (mid always, side per
+    prev_decode_only_middle) + CELT high-band noise conceal (CC=2),
+    SAT16-mixed — batched (hyb2_plc route) vs scalar bit-identical,
+    and the concealed frame keeps high-band energy."""
+    LOST = {5, 6, 12}
+    src = "hybrid_fb_stereo_20ms"
+    lossfn = lambda k: k in LOST
+    got = StreamPool([str(fixture_path(src))], channels=2,
+                     compat_ref=False, rfc_plc=True).run(
+        loss=lambda i, k: lossfn(k))[0]
+    ref = _scalar_rfc_loss2(src, lossfn)
+    assert np.array_equal(got, ref)
+    s = opusfile.open_file(fixture_path(src))
+    pre = s.jobs[0].discard_front
+    frame = got[960 * 5 - pre:960 * 5 - pre + 960, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(frame))
+    hi = spec[np.fft.rfftfreq(960, 1 / 48000) > 8000]
+    assert np.sqrt(np.mean(hi ** 2)) > 50.0

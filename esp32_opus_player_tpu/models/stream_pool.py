@@ -2837,9 +2837,10 @@ class StreamPool:
         (models/consumer.py::OnChipConsumer): the decoder's PCM never
         crosses the host link; the downstream jitted stage (vocoder /
         feature front-end / ASR encoder on the same chip) runs straight
-        off HBM. Requires output='device'; per-frame dispatch only
-        (superstep pools retire K-frame blocks — hook _ss_dispatch if
-        that shape is needed)."""
+        off HBM. Requires output='device'. Superstep pools feed the
+        consumer per-frame VIEWS sliced out of the K-frame block in
+        HBM (_feed_consumer's _SSFrame branch; tests/test_consumer.py
+        covers K>1)."""
         if self.output != "device":
             raise ValueError("attach_consumer requires output='device'")
         if self._kind_subs:

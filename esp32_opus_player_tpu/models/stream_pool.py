@@ -2710,13 +2710,18 @@ class StreamPool:
         ok62 = all(bool(s[-1]) for s in stgs)
         while len(stgs) < K:
             stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
-        cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
         chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
         nb = 4 if LM == 3 else 2
-        bk = ("hyb2", LM, self._ss_k, cols[0].shape[1])
+        bk = ("hyb2", LM, self._ss_k, stgs[0][0].shape[0])
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
 
         def run():
+            # column stacking (tens of MB of memcpy per window) runs on
+            # the dispatch thread so it overlaps the next steps' host
+            # symbol phases — it used to burn ~1.3 ms/frame of the main
+            # thread's dispatch phase at B=256 stereo (BENCH_r05pre
+            # hybrid_fb_stereo_ss8 postmortem)
+            cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
             mixedK, dm, pre, st2 = _hybrid2_pool_superstep(
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk2_bucket(16),
@@ -2748,13 +2753,14 @@ class StreamPool:
         ok62 = all(bool(s[-1]) for s in stgs)
         while len(stgs) < K:
             stgs = stgs + [tuple(np.zeros_like(a) for a in stgs[0])]
-        cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
         chunk = 62 if ok62 and jax.default_backend() == "tpu" else 13
         nb = 4 if LM == 3 else 2
-        bk = ("hyb1", LM, self._ss_k, cols[0].shape[1])
+        bk = ("hyb1", LM, self._ss_k, stgs[0][0].shape[0])
         self._stats["buckets"][bk] = self._stats["buckets"].get(bk, 0) + 1
 
         def run():
+            # stacking on the dispatch thread (see _ss_dispatch_hyb2)
+            cols = [np.stack(parts) for parts in zip(*stgs)][:-1]
             mixedK, dm, pre, st2 = _hybrid1_pool_superstep(
                 self.state["decode_mem"], self.state["preemph"],
                 self._silk_bucket(16),

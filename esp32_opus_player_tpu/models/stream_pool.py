@@ -3352,7 +3352,6 @@ class StreamPool:
         if len(stgs) < self._ss_k:
             pad = [np.zeros_like(stgs[0][0]), None, None]
             stgs = stgs + [pad] * (self._ss_k - len(stgs))
-        stgK = np.stack([s[0] for s in stgs])
         LM, C = key
         lossy = any(s[1] is not None for s in stgs)
         if lossy:
@@ -3374,6 +3373,8 @@ class StreamPool:
                 self._stats["buckets"].get(bk, 0) + 1
 
         def run():
+            # stacking on the dispatch thread (see _ss_dispatch_hyb2)
+            stgK = np.stack([s[0] for s in stgs])
             if lossy:
                 pcmK, dm, pre, pit, lpc = _celt_pool_superstep_T_lossy(
                     self.state["decode_mem"], self.state["preemph"],
@@ -3422,8 +3423,6 @@ class StreamPool:
         while len(stgs) < K:
             stgs = stgs + [[tuple(np.zeros_like(a) for a in stgs[0][0]),
                             None, None]]
-        cols = [np.stack(parts) for parts in zip(*(s[0] for s in stgs))]
-        idxK, excK, AK, BK, ivK, boolsK, glueK = cols
 
         if lossy:
             empty = [_dummy_conceal_cols(cap, frame, order),
@@ -3434,16 +3433,22 @@ class StreamPool:
                 if s[1] is None:
                     s[1] = empty
                     s[2] = np.zeros(cap, dtype=bool)
-            smallsK = [np.stack(parts)
-                       for parts in zip(*(s[1][0] for s in stgs))]
-            lostK = np.stack([s[2] for s in stgs])
-            # frame-sized conceal inputs stay COMPACT on the link: pad
-            # each frame's lost rows to the window's pow2 slot count
-            # (position `cap` slots drop in the device scatter)
-            rowsK, randK, cngeK = _pad_compact(
-                [s[1][1:] for s in stgs], cap, frame)
 
             def run():
+                # column stacking on the dispatch thread — overlaps the
+                # next steps' host phases (see _ss_dispatch_hyb2)
+                idxK, excK, AK, BK, ivK, boolsK, glueK = [
+                    np.stack(parts)
+                    for parts in zip(*(s[0] for s in stgs))]
+                smallsK = [np.stack(parts)
+                           for parts in zip(*(s[1][0] for s in stgs))]
+                lostK = np.stack([s[2] for s in stgs])
+                # frame-sized conceal inputs stay COMPACT on the link:
+                # pad each frame's lost rows to the window's pow2 slot
+                # count (position `cap` slots drop in the device
+                # scatter)
+                rowsK, randK, cngeK = _pad_compact(
+                    [s[1][1:] for s in stgs], cap, frame)
                 rand_d = _expand_rows(jax.device_put(rowsK),
                                       jax.device_put(randK), cap=cap)
                 cnge_d = _expand_rows(jax.device_put(rowsK),
@@ -3472,6 +3477,9 @@ class StreamPool:
             return
 
         def run():
+            # stacking on the dispatch thread (see _ss_dispatch_hyb2)
+            idxK, excK, AK, BK, ivK, boolsK, glueK = [
+                np.stack(parts) for parts in zip(*(s[0] for s in stgs))]
             pcmK, st2 = _silk_pool_superstep(
                 self._silk_bucket(fs), jax.device_put(idxK),
                 jax.device_put(excK), jax.device_put(AK),
